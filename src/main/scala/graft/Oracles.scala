@@ -1,0 +1,274 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per [[Queries]] key, same column
+  * names/aliases, same deterministic ORDER BY, same arithmetic shapes
+  * (integer-cents money, per-row rounding, string timestamps) so the
+  * driver's hash compare is bit-stable. See Queries' determinism notes.
+  */
+object Oracles {
+
+  /** Portable tokenizer mirror of TextFunctions.tokens. */
+  private val TOKS =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
+
+  private def cents(x: String): String =
+    s"CAST(sum(CAST(round(($x)*100) AS BIGINT)) AS DOUBLE)/100.0"
+  private def centsAvg(x: String): String =
+    s"round(${cents(x)}/count(*), 4)"
+
+  /** Shared shingle CTE body (word 3-grams, distinct, non-empty). */
+  private val SHINGLE_CTES =
+    s"""WITH tok AS (SELECT doc_id, $TOKS AS tk FROM documents),
+       |sh0 AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+       |    ELSE list_transform(range(1, len(tk)-1),
+       |      i -> array_to_string(tk[i:i+2], ' ')) END) AS sh FROM tok),
+       |ss AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0)
+       |""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |${cents("l_extendedprice")} AS sum_base_price,
+         |${cents("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+         |round(avg(l_quantity), 4) AS avg_qty,
+         |${centsAvg("l_extendedprice")} AS avg_price,
+         |count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_segment" ->
+      s"""SELECT c_mktsegment,
+         |${cents("l_extendedprice*(1-l_discount)")} AS revenue,
+         |count(*) AS n_lines,
+         |count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q03_supplier_geo" ->
+      s"""SELECT r_name, n_name, count(*) AS n_suppliers,
+         |${cents("s_acctbal")} AS total_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_top_orders" ->
+      """SELECT o_orderpriority, "rank", o_orderkey, o_totalprice FROM (
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) AS "rank"
+        |FROM orders) WHERE "rank" <= 5
+        |ORDER BY o_orderpriority, "rank"""".stripMargin,
+
+    "q05_event_pivot" ->
+      """SELECT user_id,
+        |CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS "click",
+        |CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS "error",
+        |CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS "purchase",
+        |CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS "signup",
+        |CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS "view",
+        |count(*) AS total,
+        |round(CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT)*100.0/count(*), 2) AS purchase_pct
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q06_user_behavior" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |${cents("CASE WHEN event_type='purchase' THEN value ELSE 0.0 END")} AS purchase_value,
+         |count(DISTINCT event_type) AS n_types,
+         |round(CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT)*100.0/count(*), 2) AS error_rate
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q07_event_type_stats" ->
+      s"""SELECT event_type, count(*) AS n,
+         |count(DISTINCT user_id) AS n_users,
+         |${centsAvg("value")} AS avg_value,
+         |min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q08_hourly" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+        |count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q09_weekday" ->
+      s"""SELECT dayname(ts) AS day_name, count(*) AS n,
+         |count(DISTINCT user_id) AS n_users,
+         |${cents("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_heatmap" ->
+      """SELECT dayname(ts) AS day_name, CAST(hour(ts) AS INT) AS hour_of_day,
+        |count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_tumbling" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |event_type, count(*) AS n,
+         |${cents("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_sliding" ->
+      """SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+        |  - t.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q13_weekend" ->
+      s"""SELECT CASE WHEN dayname(ts) IN ('Saturday', 'Sunday')
+         |  THEN 'weekend' ELSE 'weekday' END AS day_kind,
+         |event_type, count(*) AS n,
+         |${centsAvg("value")} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_union_funnel" ->
+      s"""WITH u AS (
+         |SELECT strftime(ts, '%Y-%m-%d') AS "day", 'signup' AS kind, value
+         |FROM events WHERE event_type = 'signup'
+         |UNION ALL
+         |SELECT strftime(ts, '%Y-%m-%d') AS "day", 'purchase' AS kind, value
+         |FROM events WHERE event_type = 'purchase')
+         |SELECT "day", kind, count(*) AS n,
+         |${cents("value")} AS total_value
+         |FROM u GROUP BY "day", kind ORDER BY "day", kind""".stripMargin,
+
+    "q15_top_users_pct" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+        |FROM events GROUP BY 1, 2)
+        |SELECT event_type, "rank", user_id, cnt, pct_of_total FROM (
+        |SELECT event_type, user_id, cnt,
+        |row_number() OVER (PARTITION BY event_type
+        |  ORDER BY cnt DESC, user_id) AS "rank",
+        |round(cnt*100.0/sum(cnt) OVER (PARTITION BY event_type), 2) AS pct_of_total
+        |FROM c) WHERE "rank" <= 5 ORDER BY event_type, "rank"""".stripMargin,
+
+    "q16_event_summary" ->
+      """SELECT event_type, count(*) AS n,
+        |count(DISTINCT user_id) AS n_users,
+        |count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+        |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_first_event" ->
+      """SELECT user_id, event_id AS first_event_id,
+        |event_type AS first_type, value AS first_value FROM (
+        |SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q18_top_tokens" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM tok GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q19_lang_quality" ->
+      s"""WITH d AS (SELECT lang, $TOKS AS toks FROM documents),
+         |m AS (SELECT lang, len(toks) AS n,
+         |CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) AS stop_hits,
+         |CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq_cnt,
+         |len(list_filter(toks, x -> list_contains(['the','a','fast','slow'], x))) AS s_en,
+         |len(list_filter(toks, x -> list_contains(['key','order','table'], x))) AS s_es,
+         |len(list_filter(toks, x -> list_contains(['scan','merge','part'], x))) AS s_de,
+         |len(list_filter(toks, x -> list_contains(['window','small','hash'], x))) AS s_fr,
+         |len(list_filter(toks, x -> list_contains(['join','batch','stream'], x))) AS s_zh
+         |FROM d),
+         |q AS (SELECT lang, n,
+         |round((CASE WHEN n=0 THEN 0.0 ELSE uniq_cnt/n END)*0.5
+         | + (1.0-(CASE WHEN n=0 THEN 0.0 ELSE stop_hits/n END))*0.3
+         | + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4) AS quality,
+         |CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_zh)=0 THEN 'unknown'
+         | WHEN s_en>=s_es AND s_en>=s_de AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+         | WHEN s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+         | WHEN s_de>=s_fr AND s_de>=s_zh THEN 'de'
+         | WHEN s_fr>=s_zh THEN 'fr' ELSE 'zh' END AS guess
+         |FROM m)
+         |SELECT lang, count(*) AS n_docs,
+         |round(avg(quality), 4) AS avg_quality,
+         |CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_guess_match,
+         |round(avg(n), 2) AS avg_tokens
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q20_sentiment" ->
+      s"""WITH d AS (SELECT $TOKS AS toks FROM documents),
+         |s AS (SELECT CAST(
+         | len(list_filter(toks, x -> list_contains(['fast','big','spark'], x)))*2
+         | - len(list_filter(toks, x -> list_contains(['slow','small','dup'], x)))*2 AS INT) AS score FROM d),
+         |c AS (SELECT score, CASE WHEN score >= 4 THEN 'strong_positive'
+         | WHEN score > 0 THEN 'positive' WHEN score <= -4 THEN 'strong_negative'
+         | WHEN score < 0 THEN 'negative' ELSE 'neutral' END AS sentiment_type FROM s)
+         |SELECT sentiment_type, count(*) AS n, round(avg(score), 4) AS avg_score,
+         |min(score) AS min_score, max(score) AS max_score
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_dedup_exact" ->
+      s"""WITH d AS (SELECT doc_id,
+         |md5(array_to_string($TOKS, ' ')) AS fp FROM documents)
+         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM d GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q22_jaccard_pairs" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fp a JOIN fp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, shared, jaccard FROM (
+         |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard FROM pairs)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_minhash_lsh" ->
+      s"""${SHINGLE_CTES},
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |  list_transform(range(0, 8), s -> list_aggregate(
+         |    list_transform(sh, x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+         |FROM ss),
+         |banded AS (SELECT s.doc_id, s.n_sh, t.b AS band,
+         |  md5(array_to_string(s.sig[t.b*2+1:t.b*2+2], '#')) AS bucket
+         |FROM sig s CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+         |  AND l.doc_id < r.doc_id),
+         |j AS (SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared,
+         |  a.n_sh AS na, b.n_sh AS nb
+         |FROM cand c JOIN ss a ON c.id_a = a.doc_id JOIN ss b ON c.id_b = b.doc_id)
+         |SELECT id_a, id_b, shared,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
+         |FROM j WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q24_source_profile" ->
+      s"""WITH d AS (SELECT source, n_chars,
+         |md5(array_to_string($TOKS, ' ')) AS fp FROM documents)
+         |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+         |round(avg(n_chars), 2) AS avg_chars,
+         |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q25_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 8),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |round(list_dot_product(q.e, c.e)
+        |  /(sqrt(list_dot_product(q.e, q.e))*sqrt(list_dot_product(c.e, c.e))), 4) AS sim
+        |FROM q CROSS JOIN v c WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, "rank", neighbor_id, sim FROM (
+        |SELECT query_id, neighbor_id, sim,
+        |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
+        |FROM s) WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q26_asof_join" ->
+      """SELECT p.event_id, p.user_id, s.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin)
+}

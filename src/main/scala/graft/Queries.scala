@@ -1,0 +1,396 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Analytics, Dedup, Similarity}
+
+/** The query catalog: every operator family from SURVEY §2 re-expressed
+  * Spark-first over the TESTDATA tables, plus the training-data
+  * extension operators (§7.4). Each query has a 1:1 ANSI-SQL oracle in
+  * [[Oracles]]; names and column aliases must match exactly.
+  *
+  * Determinism rules (SURVEY §7.5 #2):
+  *  - money aggregates go through integer cents
+  *    (`sum(cast(round(x*100) as long))/100.0`) so results do not
+  *    depend on float summation order;
+  *  - all timestamp outputs are formatted strings at second
+  *    granularity (the source `events.ts` is nanos; Spark reads micros);
+  *  - every result has a total ORDER BY with tie-breaks;
+  *  - `first()`-style carries use window row_number (reference's
+  *    non-deterministic `first()` — SURVEY §2.5 A6);
+  *  - pivot values are pinned (A8).
+  */
+object Queries {
+
+  // ---------- shared helpers ----------
+
+  /** events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it only as
+    * long (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
+    * identical to DuckDB's ns→us cast. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def t(spark: SparkSession, dir: String): Tables = Tables(spark, dir)
+
+  /** Integer-cents sum: deterministic under any partitioning. */
+  private def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
+  private def money(c: Column): Column = centsSum(c) / 100.0
+  private def moneyAvg(c: Column): Column =
+    round(centsSum(c) / 100.0 / count(lit(1)), 4)
+
+  private def fmtTs(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def fmtDate(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // ---------- relational core (lineitem / orders / dims) ----------
+
+  /** TPC-H-Q1-shaped pricing summary: scan-filter → 2-key hash agg.
+    * (reference agg surface: SURVEY §2.5 A1/A4.) */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).lineitem
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_base_price"),
+        money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** 3-way join with broadcast dim (customer): revenue per segment.
+    * Fact side streams; only orders→lineitem shuffles on the join key. */
+  def q02RevenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    val c = tb.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val o = tb.orders.select(col("o_orderkey"), col("o_custkey"))
+    val l = tb.lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Snowflake dim chain supplier→nation→region, both dims broadcast. */
+  def q03SupplierGeo(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    tb.supplier
+      .join(broadcast(tb.nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tb.region),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        money(col("s_acctbal")).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Per-group top-k via partitioned row_number (no global sort). */
+  def q04TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir).orders
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  // ---------- events analytics (the reference's tweet-stream role) ----------
+
+  /** Pivot with pinned values (SURVEY A8) + derived pct columns. */
+  def q05EventPivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
+      .withColumn("total",
+        col("click") + col("error") + col("purchase") + col("signup")
+          + col("view"))
+      .withColumn("purchase_pct",
+        round(col("purchase") * 100.0 / col("total"), 2))
+      .orderBy(col("user_id"))
+
+  /** Conditional tallies (sum-of-when, SURVEY A5) per user. */
+  def q06UserBehavior(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .as("n_errors"),
+        money(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("purchase_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("error_rate",
+        round(col("n_errors") * 100.0 / col("n_events"), 2))
+      .orderBy(col("user_id"))
+
+  /** Per-type stats: count / exact distinct / min / max / cents-avg. */
+  def q07EventTypeStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        moneyAvg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+
+  /** Hour-of-day activity pattern (reference BQ9). */
+  def q08Hourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_of_day"), col("event_type"))
+
+  /** Weekday name pattern (reference BQ10; date_format EEEE). */
+  def q09Weekday(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day_name", date_format(col("ts"), "EEEE"))
+      .groupBy(col("day_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        money(col("value")).as("total_value"))
+      .orderBy(col("day_name"))
+
+  /** Day × hour heatmap (reference BQ11). */
+  def q10Heatmap(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(col("ts"), "EEEE").as("day_name"),
+        hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day_name"), col("hour_of_day"))
+
+  /** Tumbling 1h event-time window (reference T2), batch formulation.
+    * Streaming twin lives in graft.streaming (same plan post-source). */
+  def q11Tumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("total_value"))
+      .select(fmtTs(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding 1h/15m window (reference T3 shape). */
+  def q12Sliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(fmtTs(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Weekend-vs-weekday split (reference BQ12 when-ladder). */
+  def q13Weekend(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day_kind",
+        when(date_format(col("ts"), "EEEE").isin("Saturday", "Sunday"),
+          "weekend").otherwise("weekday"))
+      .groupBy(col("day_kind"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        moneyAvg(col("value")).as("avg_value"))
+      .orderBy(col("day_kind"), col("event_type"))
+
+  /** Positional union of two filtered projections (reference U1) then
+    * re-aggregation per day. */
+  def q14UnionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val s = ev.where(col("event_type") === "signup")
+      .select(fmtDate(col("ts")).as("day"), lit("signup").as("kind"),
+        col("value"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(fmtDate(col("ts")).as("day"), lit("purchase").as("kind"),
+        col("value"))
+    s.union(p)
+      .groupBy(col("day"), col("kind"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("total_value"))
+      .orderBy(col("day"), col("kind"))
+  }
+
+  /** Engine-side replacement of the reference's driver-side per-group
+    * top-k + rank + pct (SURVEY O4 → Window rank). */
+  def q15TopUsersPct(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    Analytics.topKPerGroup(counts, Seq("event_type"), "cnt", "user_id", 5)
+      .select(col("event_type"), col("rank"), col("user_id"), col("cnt"),
+        col("pct_of_total"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** Global summary (reference BQ13): counts + ts range as strings. */
+  def q16EventSummary(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(fmtDate(col("ts"))).as("n_days"),
+        fmtTs(min(col("ts"))).as("first_ts"),
+        fmtTs(max(col("ts"))).as("last_ts"))
+      .orderBy(col("event_type"))
+
+  /** Deterministic "first event per user" — replaces the reference's
+    * non-deterministic first() carry (SURVEY A6) with a window rank. */
+  def q17FirstEvent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("event_type").as("first_type"), col("value").as("first_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------- documents: text analysis (SURVEY §7.4) ----------
+
+  /** Corpus-level token frequencies, top-20 (explode → agg → topk). */
+  def q18TopTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** Per-language quality scoring + language-ID agreement. */
+  def q19LangQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("quality", qualityScore(col("toks")))
+      .withColumn("guess", langGuess(col("toks")))
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(when(col("guess") === col("lang"), 1).otherwise(0))
+          .as("n_guess_match"),
+        round(avg(size(col("toks"))), 2).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Sentiment keyword ladder (reference SQ10, UDF → pure columns). */
+  def q20Sentiment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("score", sentimentScore(col("toks")))
+      .withColumn("sentiment_type", sentimentType(col("score")))
+    docs.groupBy(col("sentiment_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("score")), 4).as("avg_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("sentiment_type"))
+  }
+
+  // ---------- dedup / similarity (training-data pipeline ops) ----------
+
+  /** Exact dedup by md5 fingerprint of the normalized token stream. */
+  def q21DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir).documents, "doc_id", "text")
+      .orderBy(col("fp"))
+
+  /** N-gram Jaccard near-dup pairs via shingle inverted index. */
+  def q22JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir).documents, "doc_id", "text",
+      n = 3, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash + banded LSH candidate pairs, exact-Jaccard verified. */
+  def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(spark, dir).documents, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Per-source fingerprint / length profile. */
+  def q24SourceProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .withColumn("fp", fingerprint(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+
+  /** Brute-force cosine top-5 for 8 query vectors (ANN baseline;
+    * corpus streams, query side broadcast). */
+  def q25AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("id") < 8)
+    Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** As-of join: each purchase picks up the user's most recent prior
+    * signup (union-and-carry, one sort-shuffle — SURVEY §7.4). */
+  def q26AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Analytics.asofJoin(purchases, signups, "user_id", "ts", "ts",
+        Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("asof_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------- registry ----------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_revenue_by_segment" -> (q02RevenueBySegment _),
+    "q03_supplier_geo" -> (q03SupplierGeo _),
+    "q04_top_orders" -> (q04TopOrders _),
+    "q05_event_pivot" -> (q05EventPivot _),
+    "q06_user_behavior" -> (q06UserBehavior _),
+    "q07_event_type_stats" -> (q07EventTypeStats _),
+    "q08_hourly" -> (q08Hourly _),
+    "q09_weekday" -> (q09Weekday _),
+    "q10_heatmap" -> (q10Heatmap _),
+    "q11_tumbling" -> (q11Tumbling _),
+    "q12_sliding" -> (q12Sliding _),
+    "q13_weekend" -> (q13Weekend _),
+    "q14_union_funnel" -> (q14UnionFunnel _),
+    "q15_top_users_pct" -> (q15TopUsersPct _),
+    "q16_event_summary" -> (q16EventSummary _),
+    "q17_first_event" -> (q17FirstEvent _),
+    "q18_top_tokens" -> (q18TopTokens _),
+    "q19_lang_quality" -> (q19LangQuality _),
+    "q20_sentiment" -> (q20Sentiment _),
+    "q21_dedup_exact" -> (q21DedupExact _),
+    "q22_jaccard_pairs" -> (q22JaccardPairs _),
+    "q23_minhash_lsh" -> (q23MinhashLsh _),
+    "q24_source_profile" -> (q24SourceProfile _),
+    "q25_ann_bruteforce" -> (q25AnnBruteForce _),
+    "q26_asof_join" -> (q26AsofJoin _))
+}

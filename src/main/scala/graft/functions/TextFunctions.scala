@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure-Column text primitives (no UDFs — everything stays inside
+  * whole-stage codegen; see SURVEY §2.9/§2.10 and §7.3).
+  *
+  * Re-expresses the reference's text surface Spark-first:
+  *  - tokenization / word counts (reference: `split`, `size` —
+  *    `streaming/job2.py:155`, `batch/job4_spam.py:99-101`)
+  *  - keyword-list hit counting + priority ladder (the sentiment UDF,
+  *    `streaming/job3_sentiment.py:154-243`, rebuilt as native columns)
+  *  - quality scoring / language-ID / fingerprinting (training-data
+  *    pipeline extensions, SURVEY §7.4)
+  *
+  * All functions are deterministic and have 1:1 ANSI-SQL oracles.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. Empty string → empty array.
+    * Backed by the native single-pass [[graft.expressions.Tokenize]];
+    * semantically `filter(split(lower(trim(text)), "\s+"), length > 0)`. */
+  def tokens(text: Column): Column =
+    graft.expressions.TextExpressions.tokenize(text)
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that appear in `words` (codegen'd; no UDF). */
+  def keywordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words.map(lit))))
+
+  // Keyword lists for the sentiment ladder over the synthetic corpus
+  // (role of the pos/neg emoji+keyword lists, job3_sentiment.py:46-57).
+  val PosWords: Seq[String] = Seq("fast", "big", "spark")
+  val NegWords: Seq[String] = Seq("slow", "small", "dup")
+
+  /** Sentiment score: +2 per positive hit, -2 per negative hit
+    * (reference scoring shape, job3_sentiment.py:191-201). */
+  def sentimentScore(toks: Column): Column =
+    (keywordHits(toks, PosWords) * 2 - keywordHits(toks, NegWords) * 2)
+      .cast("int")
+
+  /** Priority ladder — positives checked first, order matters
+    * (job3_sentiment.py:209-230). */
+  def sentimentType(score: Column): Column =
+    when(score >= 4, "strong_positive")
+      .when(score > 0, "positive")
+      .when(score <= -4, "strong_negative")
+      .when(score < 0, "negative")
+      .otherwise("neutral")
+
+  // ---- quality / language-ID (training-data extensions) ----
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Share of tokens that are stopwords, in [0,1]; 0 for empty docs. */
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(keywordHits(toks, Stopwords).cast("double") / size(toks))
+
+  /** Share of distinct tokens (lexical diversity). */
+  def uniqueRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+
+  /** Mean token length; 0 for empty docs. */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks))
+
+  /** Composite quality score in [0,1]: rewards diversity and length,
+    * penalizes stopword stuffing. Deterministic, SQL-expressible. */
+  def qualityScore(toks: Column): Column =
+    round(
+      uniqueRatio(toks) * 0.5
+        + (lit(1.0) - stopwordRatio(toks)) * 0.3
+        + least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.2,
+      4)
+
+  /** N-gram language-ID heuristic: score each language profile by
+    * marker-token hits; argmax wins, ties broken by profile order.
+    * Profiles are deterministic marker lists (stand-in for character
+    * n-gram profiles; same plan shape at scale). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("key", "order", "table"),
+    "de" -> Seq("scan", "merge", "part"),
+    "fr" -> Seq("window", "small", "hash"),
+    "zh" -> Seq("join", "batch", "stream"))
+
+  def langGuess(toks: Column): Column = {
+    // struct(score, priority) argmax via greatest(): higher score wins,
+    // earlier profile wins ties (priority encoded descending).
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        keywordHits(toks, words).as("score"),
+        lit(LangProfiles.size - i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") === 0, "unknown")
+      .otherwise(best.getField("lang"))
+  }
+
+  // ---- shingling / fingerprinting (dedup building blocks) ----
+
+  /** Word n-gram shingles (space-joined), e.g. n=3. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array())
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Normalized document fingerprint: md5 over the canonical
+    * (lowercased, whitespace-collapsed) token stream. Portable across
+    * engines — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+}

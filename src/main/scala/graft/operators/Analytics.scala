@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable analytic operator shapes re-expressed engine-side.
+  *
+  * The reference computes per-group top-k + rank + share-of-total in a
+  * driver-side Python loop inside foreachBatch
+  * (`streaming/job2.py:201-246`, SURVEY §2.7 O4) — the single worst
+  * scale anti-pattern in the source. Here it is one Catalyst plan:
+  * a partitioned window rank plus a windowed sum, fully distributed,
+  * one shuffle on the partition keys.
+  */
+object Analytics {
+
+  /** Per-group top-k with rank and percent-of-group-total.
+    * `metric` must be a column of the input; ties break on `tieBreak`
+    * for determinism (reference behavior is list-order, i.e. arbitrary).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], metric: String,
+      tieBreak: String, k: Int): DataFrame = {
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val rankW = part.orderBy(col(metric).desc, col(tieBreak))
+    df.withColumn("rank", row_number().over(rankW))
+      .withColumn("pct_of_total",
+        round(col(metric) * 100.0 / sum(col(metric)).over(part), 2))
+      .where(col("rank") <= k)
+  }
+
+  /** As-of join: for each left row, attach the most recent right row
+    * (per key) with rightTime <= leftTime. Implemented as the
+    * union-and-carry trick: one sort-shuffle on (key, time) instead of
+    * an O(n·m) range join — the scalable shape for 100 TB event data.
+    *
+    * left/right must share the key column name `key`; time columns are
+    * `leftTime`/`rightTime`. Output: all left columns + `asofCols`
+    * (from right) as `asof_<name>`, null when no prior right row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      asofCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    // side 0 = right (carrier), side 1 = left (receiver); at equal
+    // timestamps the right row sorts first ⇒ inclusive (<=) semantics.
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      struct(asofCols.map(col): _*).as("_payload"))
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+      lit(null).cast(r.schema("_payload").dataType).as("_payload"),
+      struct(lCols.map(col): _*).as("_row"))
+    val unioned = r.withColumn("_row", lit(null).cast(l.schema("_row").dataType))
+      .unionByName(l)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned
+      .withColumn("_carry", last(col("_payload"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+    val outCols = lCols.map(c => col("_row").getField(c).as(c)) ++
+      asofCols.map(c => col("_carry").getField(c).as(s"asof_$c"))
+    carried.select(outCols: _*)
+  }
+}

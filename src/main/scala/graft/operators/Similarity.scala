@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (SURVEY §7.4 extension surface).
+  *
+  * Layout: embeddings are `array<float>`; all math is done after an
+  * explicit cast to `array<double>` so the dot-product is IEEE-double
+  * sequential fold — bit-reproducible across engines (oracle parity)
+  * and across partitionings (zip_with + aggregate evaluate per-row,
+  * no cross-row float reordering).
+  *
+  * Scale shape:
+  *  - bruteForceTopK: queries × corpus. The query side is broadcast
+  *    (small by construction); the corpus streams — no shuffle of the
+  *    100 TB side, and the per-query top-k is a windowed rank that
+  *    shuffles only (corpus_rows × queries) scored pairs. For large
+  *    query sets switch to ivfTopK.
+  *  - ivfTopK: coarse-quantizer bucketing (IVF): assign every corpus
+  *    vector to its nearest of `nlist` centroid buckets, probe only
+  *    the query's nearest `nprobe` buckets — turns the scan into a
+  *    bucket-pruned join keyed by centroid id.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec array<float|double>). Self-matches
+    * (same id) are excluded. Similarity is rounded to 4 dp BEFORE
+    * ranking so ranks are stable across engines; ties break by id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-style bucketed ANN: corpus vectors are assigned to their
+    * nearest centroid (by dot product, deterministic tie-break on
+    * centroid id); each query probes its `nprobe` nearest centroid
+    * buckets and ranks only those vectors. Centroids are provided
+    * (id, vec) — at scale they come from a sampled k-means fit. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+
+    def nearestCentroids(side: DataFrame, idName: String,
+        keep: Int): DataFrame = {
+      val cents = centroids.select(col("id").as("cent_id"),
+        col("vec").cast("array<double>").as("cent_v"))
+      val v = side.select(col("id").as(idName),
+        col("vec").cast("array<double>").as("v"))
+      val w = Window.partitionBy(col(idName))
+        .orderBy(col("cscore").desc, col("cent_id"))
+      v.join(broadcast(cents))
+        .select(col(idName), col("v"), col("cent_id"),
+          round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .drop("cscore", "crank")
+    }
+
+    val assigned = nearestCentroids(corpus, "neighbor_id", 1)
+      .withColumnRenamed("v", "cv")
+    val probed = nearestCentroids(queries, "query_id", nprobe)
+      .withColumnRenamed("v", "qv")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}
