@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Sink builders mirroring the reference's output topology
+  * (SURVEY §2.2 K1-K7): per-query checkpointed parquet append sinks,
+  * foreachBatch reporting, a pluggable index sink (the OpenSearch
+  * role), and multi-query fan-out with awaitAnyTermination.
+  */
+object Sinks {
+
+  /** K1: streaming parquet append sink — per-query checkpoint dir and
+    * processing-time trigger, exactly the reference layout
+    * (job2.py:326-342). */
+  def parquetAppend(df: DataFrame, path: String, checkpoint: String,
+      triggerInterval: String = "60 seconds"): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+
+  /** K2: foreachBatch reporting sink. The reference pretty-prints and
+    * re-aggregates per batch on the driver; the callback receives the
+    * batch DataFrame so callers can do the same (or better, keep it
+    * distributed). */
+  def foreachBatchSink(df: DataFrame,
+      f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.outputMode("append").foreachBatch(f)
+
+  /** K3/K4: pluggable document-index sink (the OpenSearch role).
+    * `ensureIndex` is the out-of-band mapping bootstrap (K4); `indexDocs`
+    * receives one micro-batch. The reference collect()s every batch to
+    * the driver and HTTP-POSTs per document (elk_sender.py:107-128) —
+    * an O(batch) driver bottleneck; implementations should instead ship
+    * partitions from executors (foreachPartition) at scale. */
+  trait IndexSink {
+    def ensureIndex(name: String, mapping: Map[String, String]): Unit
+    def indexDocs(index: String, docs: Iterator[Map[String, Any]]): Unit
+  }
+
+  /** In-memory IndexSink for tests / local runs. */
+  final class MemoryIndexSink extends IndexSink {
+    val indices = scala.collection.mutable.Map[String, Map[String, String]]()
+    val docs = scala.collection.mutable.ArrayBuffer[(String, Map[String, Any])]()
+    override def ensureIndex(name: String,
+        mapping: Map[String, String]): Unit = synchronized {
+      if (!indices.contains(name)) indices(name) = mapping
+    }
+    override def indexDocs(index: String,
+        batch: Iterator[Map[String, Any]]): Unit = synchronized {
+      batch.foreach(d => docs += index -> d)
+    }
+  }
+
+  /** foreachBatch adapter for an IndexSink. Keeps the reference's
+    * driver-side collect semantics for parity (documented bottleneck). */
+  def indexSinkBatch(sink: IndexSink, index: String)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val cols = batch.columns
+    val rows = batch.collect().iterator.map { r =>
+      cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+    }
+    sink.indexDocs(index, rows)
+  }
+
+  /** K7: start many queries off one logical source and block on any
+    * termination (improvement over the reference, which awaits only the
+    * console query — job2.py:389). */
+  def awaitAny(spark: SparkSession, queries: Seq[StreamingQuery]): Unit =
+    spark.streams.awaitAnyTermination()
+}

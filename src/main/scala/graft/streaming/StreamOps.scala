@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's streaming
+  * surface (SURVEY §2.11, §2.12 SQ1-SQ14). Every transform is a pure
+  * `DataFrame => DataFrame` so the same logic runs against a Kafka
+  * source, a file source, or a MemoryStream in tests — and (minus the
+  * watermark) in batch for differential checks.
+  *
+  * Semantics carried over 1:1:
+  *  - declared-schema JSON envelope decode + flatten
+  *    (`from_json(cast(value as string))` then `data.*` —
+  *    streaming/job2.py:136-139)
+  *  - event-time promotion via to_timestamp (job2.py:140)
+  *  - uniform 2-minute watermark before every agg (job1_bots.py:147)
+  *  - 60 s tumbling detection window (job1_bots.py:148-151)
+  *  - 5 min / 1 min sliding metrics windows (job2.py:177)
+  *  - stateless alert filters + priority ladder (job5.py:139-205)
+  *  - heterogeneous alert union via unionByName(allowMissingColumns)
+  *    (job1_bots.py:358-360)
+  *  - chained stateful topology: windowed agg → union → second
+  *    watermark+window agg in append mode (job1_bots.py:310-333 —
+  *    SURVEY §7.5 #1, needs Spark ≥3.4; tested in StreamingSpec)
+  *  - streaming side always uses approx_count_distinct (HLL++), batch
+  *    exact — the reference's A2/A3 split.
+  */
+object StreamOps {
+
+  /** The streamed event record (plays the reference's tweet role).
+    * Single source of truth for the envelope schema — the reference
+    * copy-pastes its StructType five times (SURVEY §1.2). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType), // ISO timestamp-as-string, like the ref
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** S2: decode a binary/string `value` column carrying one JSON object
+    * per record against the declared schema, flatten to columns.
+    * Unparseable JSON → all-null row (from_json semantics, as in the
+    * reference — no error channel). */
+  def decodeJsonEnvelope(raw: DataFrame,
+      schema: StructType = eventSchema): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("data"))
+      .select("data.*")
+
+  /** S3: event-time promotion (string → TimestampType). */
+  def withEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withColumn(tsCol, to_timestamp(col(tsCol)))
+
+  val WatermarkDelay = "2 minutes"
+
+  /** T1: the single watermark definition. Applied ONCE at the source;
+    * Spark ≥3.4 propagates it through chained stateful operators —
+    * redefining it downstream is disallowed (and was the reference's
+    * luck: PySpark 3.5 tolerated re-watermarking the union because the
+    * branches carried the same source watermark). No-op in batch. */
+  def watermarked(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, WatermarkDelay)
+
+  /** T8/SQ1: high-frequency detector — ≥ `threshold` events from one
+    * user inside a 60 s tumbling window. Stateful (windowed agg);
+    * expects a [[watermarked]] input. Output `ts` is the window end,
+    * which carries the propagated event-time watermark. */
+  def highFrequencyAlerts(events: DataFrame, threshold: Long = 3)
+      : DataFrame =
+    events
+      .groupBy(window(col("ts"), "60 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("event_count"))
+      .where(col("event_count") >= threshold)
+      .select(
+        // window_time (= window.end - 1µs) keeps the event-time /
+        // watermark metadata so a downstream agg can chain (T9);
+        // a bare window.end would strip it.
+        window_time(col("window")).as("ts"),
+        col("user_id"),
+        lit("high_frequency").as("alert_type"),
+        lit("high").as("alert_priority"),
+        col("event_count"))
+
+  /** T7/SQ14-shape: stateless high-value alert with a 3-tier priority
+    * ladder (order matters — first match wins, job5.py:177-180). */
+  def highValueAlerts(events: DataFrame, minValue: Double = 150.0)
+      : DataFrame =
+    events
+      .where(col("event_type") === "purchase" && col("value") >= minValue)
+      .select(
+        col("ts"), col("user_id"),
+        lit("high_value").as("alert_type"),
+        when(col("value") >= minValue * 2, "critical")
+          .when(col("value") >= minValue * 1.5, "high")
+          .otherwise("medium").as("alert_priority"),
+        col("value"))
+
+  /** T7: stateless error alert (filter-only detector). */
+  def errorAlerts(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "error")
+      .select(
+        col("ts"), col("user_id"),
+        lit("error").as("alert_type"),
+        lit("medium").as("alert_priority"))
+
+  /** U2: align heterogeneous alert streams by name, missing → null. */
+  def alertUnion(streams: Seq[DataFrame]): DataFrame =
+    streams.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** T1/T3/SQ5-shape metrics: sliding-window re-aggregation of an
+    * alert stream — count + HLL++ distinct users. Relies on the
+    * source watermark propagating through upstream operators (in a
+    * chained-stateful topology this is the *second* stateful op, T9). */
+  def windowedMetrics(df: DataFrame,
+      windowLen: String = "5 minutes", slide: String = "1 minute")
+      : DataFrame =
+    df.groupBy(window(col("ts"), windowLen, slide), col("alert_type"))
+      .agg(
+        count(lit(1)).as("n_alerts"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("alert_type"), col("n_alerts"), col("approx_users"))
+
+  /** T9: the full chained topology — stateful detector ∪ stateless
+    * alerts → second watermark + sliding-window agg, append mode.
+    * The most fragile semantic in the port (SURVEY §7.5 #1). */
+  def chainedAlertMetrics(events: DataFrame): DataFrame = {
+    val src = watermarked(events)
+    val chained = alertUnion(Seq(
+      highFrequencyAlerts(src),
+      highValueAlerts(src),
+      errorAlerts(src)))
+    windowedMetrics(chained)
+  }
+}

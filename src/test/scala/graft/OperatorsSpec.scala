@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Dedup, Similarity}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  // ---- Dedup ----
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),      // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon eta"),       // near dup of 1
+    (4L, "completely different words entirely here now"),
+    (5L, "ALPHA  beta GAMMA delta epsilon zeta")      // normalizes to 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy($"keep_id").collect()
+    assert(out.length === 3)
+    val byKeep = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeep(1L) === 3L) // docs 1, 2, 5 collapse
+    assert(byKeep(3L) === 1L)
+    assert(byKeep(4L) === 1L)
+  }
+
+  test("jaccard pairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.2).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(ids.contains((1L, 5L)))
+    assert(ids.contains((1L, 3L))) // 3 of 4 shingles shared → j=0.6
+    assert(!ids.exists { case (a, b) => a == 4L || b == 4L })
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+      .getDouble(3)
+    assert(j12 === 1.0)
+  }
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3,
+      bands = 4, rowsPerBand = 2, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L))) // identical docs always collide
+  }
+
+  // ---- Similarity ----
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("id", "vec")
+
+  test("brute-force topk ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs.where($"id" === 0), vecs, 2)
+      .orderBy($"rank").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L) // nearest neighbor of e_x
+    assert(out.forall(_.getLong(1) != 0L))
+  }
+
+  test("ivf with full probe matches brute force") {
+    val centroids = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 1.0f))).toDF("id", "vec")
+    val queries = vecs.where($"id" === 0)
+    val bf = Similarity.bruteForceTopK(queries, vecs, 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, centroids, k = 2, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(ivf === bf)
+  }
+
+  // ---- Analytics ----
+
+  test("topKPerGroup: rank order, tie-break, pct of group total") {
+    val df = Seq(
+      ("a", 1L, 6L), ("a", 2L, 3L), ("a", 3L, 1L), ("a", 4L, 6L),
+      ("b", 5L, 10L)).toDF("grp", "uid", "cnt")
+    val out = Analytics.topKPerGroup(df, Seq("grp"), "cnt", "uid", 2)
+      .orderBy($"grp", $"rank").collect()
+    assert(out.length === 3)
+    // ties on cnt=6 break by uid: 1 before 4
+    assert(out(0).getLong(1) === 1L && out(0).getInt(3) === 1)
+    assert(out(1).getLong(1) === 4L && out(1).getInt(3) === 2)
+    assert(out(0).getDouble(4) === 37.5) // 6 of 16
+    assert(out(2).getDouble(4) === 100.0)
+  }
+
+  test("asofJoin: latest prior row per key, inclusive at equal ts, null when none") {
+    val left = Seq(
+      (10L, 1L, "2024-01-01 10:00:00"),
+      (11L, 1L, "2024-01-01 12:00:00"),
+      (12L, 2L, "2024-01-01 09:00:00")
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", to_timestamp($"ts"))
+    val right = Seq(
+      (100L, 1L, "2024-01-01 10:00:00"), // equal ts → inclusive
+      (101L, 1L, "2024-01-01 11:00:00"),
+      (102L, 3L, "2024-01-01 08:00:00")
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Analytics.asofJoin(left, right, "user_id", "ts", "ts",
+      Seq("event_id")).orderBy($"event_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(3) === 100L) // 10:00 picks the equal-ts row
+    assert(out(1).getLong(3) === 101L) // 12:00 picks latest prior
+    assert(out(2).isNullAt(3))         // user 2 has no signup
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** Streaming-semantics tests (SURVEY §5.2): watermark drop, append-mode
+  * delayed emission, tumbling-threshold boundary, heterogeneous alert
+  * union, and the chained-stateful topology (T9 — the hardest semantic
+  * in the port, SURVEY §7.5 #1).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private def json(id: Long, ts: String, user: Long, typ: String,
+      value: Double): String =
+    s"""{"event_id":$id,"ts":"$ts","user_id":$user,"event_type":"$typ","value":$value}"""
+
+  /** Run a streaming transform over memory-stream batches, return the
+    * memory-sink table. Each element of `batches` is one micro-batch. */
+  private def runStream(name: String, batches: Seq[Seq[String]])(
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val q = pipeline(events).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("envelope decode: declared schema, bad JSON becomes all-null row") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val decoded = StreamOps.decodeJsonEnvelope(input.toDF())
+    val q = decoded.writeStream.format("memory").queryName("dec")
+      .outputMode("append").start()
+    input.addData(Seq(
+      json(1, "2024-01-01 10:00:00", 7, "purchase", 42.5),
+      "not json at all"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dec").collect()
+    assert(rows.length === 2)
+    val good = rows.find(!_.isNullAt(0)).get
+    assert(good.getLong(0) === 1L && good.getString(3) === "purchase")
+    assert(rows.exists(r => (0 until 5).forall(r.isNullAt)))
+  }
+
+  test("append mode: windows emit only after watermark passes window end") {
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
+      json(2, "2024-01-01 10:00:20", 2, "error", 1.0))
+    // advance event time so watermark (max - 2min) passes 10:01:00
+    val w2 = Seq(json(3, "2024-01-01 10:10:00", 3, "error", 1.0))
+    val out = runStream("append_t", Seq(w1, w2)) { ev =>
+      StreamOps.windowedMetrics(
+        StreamOps.errorAlerts(StreamOps.watermarked(ev)),
+        "60 seconds", "60 seconds")
+    }
+    val rows = out.collect()
+    // only the 10:00 window is finalized; the 10:10 window is still open
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_alerts") === 2L)
+  }
+
+  test("watermark: late data beyond the 2-minute bound is dropped") {
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
+      json(2, "2024-01-01 10:00:20", 2, "error", 1.0))
+    val w2 = Seq(json(3, "2024-01-01 10:10:00", 3, "error", 1.0))
+    // late arrival for the already-finalized 10:00 window
+    val w3 = Seq(json(4, "2024-01-01 10:00:30", 4, "error", 1.0))
+    val out = runStream("late_t", Seq(w1, w2, w3)) { ev =>
+      StreamOps.windowedMetrics(
+        StreamOps.errorAlerts(StreamOps.watermarked(ev)),
+        "60 seconds", "60 seconds")
+    }
+    val finalized = out.where($"window_start" === "2024-01-01 10:00:00")
+      .collect()
+    assert(finalized.length === 1)
+    assert(finalized.head.getAs[Long]("n_alerts") === 2L) // late row dropped
+  }
+
+  test("high-frequency detector: >=3 events per user per 60s window") {
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:05", 1, "view", 1.0),
+      json(2, "2024-01-01 10:00:15", 1, "view", 1.0),
+      json(3, "2024-01-01 10:00:55", 1, "view", 1.0),
+      json(4, "2024-01-01 10:00:05", 2, "view", 1.0),
+      json(5, "2024-01-01 10:00:15", 2, "view", 1.0))
+    val w2 = Seq(json(9, "2024-01-01 10:10:00", 9, "view", 1.0))
+    val out = runStream("hf_t", Seq(w1, w2))(ev =>
+      StreamOps.highFrequencyAlerts(StreamOps.watermarked(ev)))
+    val rows = out.collect()
+    assert(rows.length === 1) // user 1 only; user 2 is below threshold
+    assert(rows.head.getAs[Long]("user_id") === 1L)
+    assert(rows.head.getAs[Long]("event_count") === 3L)
+  }
+
+  test("chained stateful topology (T9): windowed agg -> union -> windowed agg") {
+    val w1 = Seq(
+      // user 1: high-frequency burst (stateful detector fires)
+      json(1, "2024-01-01 10:00:05", 1, "view", 1.0),
+      json(2, "2024-01-01 10:00:15", 1, "view", 1.0),
+      json(3, "2024-01-01 10:00:25", 1, "view", 1.0),
+      // stateless alerts
+      json(4, "2024-01-01 10:00:30", 2, "error", 1.0),
+      json(5, "2024-01-01 10:00:40", 3, "purchase", 400.0))
+    // push event time far enough for BOTH stateful stages' watermarks
+    val w2 = Seq(json(9, "2024-01-01 10:30:00", 9, "view", 1.0))
+    val w3 = Seq(json(10, "2024-01-01 11:00:00", 9, "view", 1.0))
+    val out = runStream("chain_t", Seq(w1, w2, w3))(
+      StreamOps.chainedAlertMetrics(_))
+    val byType = out.groupBy($"alert_type")
+      .agg(sum($"n_alerts").as("n")).as[(String, Long)].collect().toMap
+    // 5-min/1-min sliding windows: each alert lands in 5 windows
+    assert(byType("error") === 5L)
+    assert(byType("high_value") === 5L)
+    assert(byType("high_frequency") === 5L)
+  }
+
+  test("alert union aligns heterogeneous schemas with nulls (U2)") {
+    val a = Seq((1L, "x")).toDF("user_id", "reason")
+    val b = Seq((2L, 9.5)).toDF("user_id", "value")
+    val u = StreamOps.alertUnion(Seq(a, b)).orderBy($"user_id").collect()
+    assert(u.length === 2)
+    assert(u(0).getString(1) === "x" && u(0).isNullAt(2))
+    assert(u(1).isNullAt(1) && u(1).getDouble(2) === 9.5)
+  }
+}
