@@ -270,5 +270,84 @@ object Oracles {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q27_extract_terms" ->
+      """WITH m AS (SELECT doc_id,
+        |unnest(regexp_extract_all(lower(text), '\bs[a-z]+')) AS term
+        |FROM documents)
+        |SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        |FROM m GROUP BY term ORDER BY term""".stripMargin,
+
+    // q28_approx_distinct intentionally has no oracle: HLL++ sketches
+    // are engine-specific (driver falls back to the rows-only check).
+
+    "q29_alert_union" ->
+      """WITH u AS (
+        |SELECT event_id, user_id, 'error' AS alert_type,
+        |  'medium' AS priority, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, user_id, 'high_value' AS alert_type,
+        |  CASE WHEN value >= 300.0 THEN 'critical'
+        |    WHEN value >= 225.0 THEN 'high' ELSE 'medium' END AS priority,
+        |  value
+        |FROM events WHERE event_type = 'purchase' AND value >= 150.0)
+        |SELECT * FROM u ORDER BY event_id""".stripMargin,
+
+    "q30_cube" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+         |coalesce(day_name, 'ALL') AS day_name, count(*) AS n,
+         |${cents("value")} AS total_value
+         |FROM (SELECT event_type, dayname(ts) AS day_name, value FROM events)
+         |GROUP BY CUBE(event_type, day_name)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q31_sessions" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id,
+        |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM g),
+        |per_sess AS (SELECT user_id, sid, count(*) AS sess_events
+        |FROM s GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |CAST(sum(sess_events) AS BIGINT) AS n_events,
+        |max(sess_events) AS max_session_events
+        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q32_range_join" ->
+      """SELECT p.event_id, p.user_id, count(v.vts) AS n_prior_views
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id AS v_user, ts AS vts FROM events
+        |  WHERE event_type = 'view') v
+        |ON p.user_id = v.v_user AND v.vts >= p.ts - INTERVAL 1 HOUR
+        |  AND v.vts < p.ts
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+
+    "q33_user_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |date_diff('second', lag(ts) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id), ts) AS gap_s
+        |FROM events)
+        |SELECT user_id, count(gap_s) AS n_gaps,
+        |round(avg(gap_s), 2) AS avg_gap_s, max(gap_s) AS max_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q34_value_histogram" ->
+      """SELECT bucket, n, round(n*100.0/sum(n) OVER (), 2) AS pct FROM (
+        |SELECT CAST(floor(value/50.0) AS INT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1) ORDER BY bucket""".stripMargin,
+
+    "q35_props_extract" ->
+      """WITH k AS (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |  AS INT) AS k FROM events)
+        |SELECT k % 10 AS k_bucket, count(*) AS n, round(avg(k), 4) AS avg_k,
+        |min(k) AS min_k, max(k) AS max_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -364,6 +364,142 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Regex term extraction (reference P10/BQ17 `regexp_extract_all`
+    * mention mining, re-targeted at the corpus vocabulary). */
+  def q27ExtractTerms(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("\\bs[a-z]+"), lit(0))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("term"))
+
+  /** A3: HLL++ approximate distinct next to the exact count (the
+    * reference's streaming-vs-batch split). No SQL oracle — HLL++
+    * internals are engine-specific; driver does the rows-only check. */
+  def q28ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** U2: heterogeneous alert union via unionByName(allowMissing) —
+    * missing columns null-filled, with the SQ14 priority ladder. */
+  def q29AlertUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        lit("error").as("alert_type"), lit("medium").as("priority"))
+    val highValue = ev
+      .where(col("event_type") === "purchase" && col("value") >= 150.0)
+      .select(col("event_id"), col("user_id"),
+        lit("high_value").as("alert_type"),
+        when(col("value") >= 300.0, "critical")
+          .when(col("value") >= 225.0, "high")
+          .otherwise("medium").as("priority"),
+        col("value"))
+    errors.unionByName(highValue, allowMissingColumns = true)
+      .orderBy(col("event_id"))
+  }
+
+  /** A11 consolidation: cube over (event_type, day) — the idiomatic
+    * replacement for the reference's separate global/per-key queries.
+    * Grouping nulls are coalesced to 'ALL' for engine-portable order. */
+  def q30Cube(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day_name", date_format(col("ts"), "EEEE"))
+      .cube(col("event_type"), col("day_name"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day_name"), lit("ALL")).as("day_name"),
+        col("n"), col("total_value"))
+      .orderBy(col("event_type"), col("day_name"))
+
+  /** Sessionization: 30-min inactivity gap starts a new session
+    * (batch analog of session windows; lag + running sum). */
+  def q31Sessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val withSid = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+          1).otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(run))
+    withSid
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Range join (equi key + time-range residual): views in the hour
+    * before each purchase. Hash-joins on user_id, range as residual —
+    * the scalable shape (no cross product). */
+  def q32RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+    p.join(v,
+        col("user_id") === col("v_user")
+          && col("vts") >= col("ts") - expr("INTERVAL 1 HOUR")
+          && col("vts") < col("ts"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("vts")).as("n_prior_views"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Lag/lead analytics (§2.8 — absent in the reference, standard in
+    * any temporal engine): inter-event gap stats per user. */
+  def q33UserGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(col("gap_s")).as("n_gaps"),
+        round(avg(col("gap_s")), 2).as("avg_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Value histogram: fixed-width buckets + share of total. */
+  def q34ValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("bucket", floor(col("value") / 50.0).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(col("n") * 100.0 / sum(col("n")).over(), 2))
+      .orderBy(col("bucket"))
+
+  /** JSON property extraction from the events.props payload
+    * (reference S2 from_json surface, batch flavor). */
+  def q35PropsExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,5 +528,14 @@ object Queries {
     "q23_minhash_lsh" -> (q23MinhashLsh _),
     "q24_source_profile" -> (q24SourceProfile _),
     "q25_ann_bruteforce" -> (q25AnnBruteForce _),
-    "q26_asof_join" -> (q26AsofJoin _))
+    "q26_asof_join" -> (q26AsofJoin _),
+    "q27_extract_terms" -> (q27ExtractTerms _),
+    "q28_approx_distinct" -> (q28ApproxDistinct _),
+    "q29_alert_union" -> (q29AlertUnion _),
+    "q30_cube" -> (q30Cube _),
+    "q31_sessions" -> (q31Sessions _),
+    "q32_range_join" -> (q32RangeJoin _),
+    "q33_user_gaps" -> (q33UserGaps _),
+    "q34_value_histogram" -> (q34ValueHistogram _),
+    "q35_props_extract" -> (q35PropsExtract _))
 }
