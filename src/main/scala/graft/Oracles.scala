@@ -349,5 +349,24 @@ object Oracles {
         |  AS INT) AS k FROM events)
         |SELECT k % 10 AS k_bucket, count(*) AS n, round(avg(k), 4) AS avg_k,
         |min(k) AS min_k, max(k) AS max_k
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Text bytes are ASCII, so char-indexed substring over VARCHAR
+    // equals the engine's byte-indexed substring over BINARY.
+    "q36_frame_profile" ->
+      """WITH per AS (SELECT source, doc_id, length(text) AS n_bytes,
+        |CASE WHEN length(text) < 64 THEN []::VARCHAR[]
+        |ELSE list_transform(range(0, CAST(floor((length(text)-64)/128) AS INT)+1),
+        |  i -> md5(substring(text, CAST(i*128+1 AS INT), 64))) END AS frames
+        |FROM documents),
+        |base AS (SELECT source, count(*) AS n_docs,
+        |CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |CAST(sum(len(frames)) AS BIGINT) AS total_frames
+        |FROM per GROUP BY source),
+        |df AS (SELECT source, count(DISTINCT f) AS n_distinct_frames
+        |FROM (SELECT source, unnest(frames) AS f FROM per) GROUP BY source)
+        |SELECT b.source, b.n_docs, b.total_bytes, b.total_frames,
+        |coalesce(df.n_distinct_frames, 0) AS n_distinct_frames
+        |FROM base b LEFT JOIN df ON b.source = df.source
+        |ORDER BY b.source""".stripMargin)
 }

@@ -500,6 +500,34 @@ object Queries {
         max(col("k")).as("max_k"))
       .orderBy(col("k_bucket"))
 
+  /** Multimodal plumbing over opaque binary payloads: documents text
+    * bytes stand in for media content (UTF-8 → binary cast); frames are
+    * 64-byte windows at stride 128, fingerprinted — schema/partition/
+    * batch shape identical to a real image/audio pipeline with the
+    * codec swapped in (operators.Multimodal). */
+  def q36FrameProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val per = t(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        col("text").cast("binary").as("content"))
+      .withColumn("frames",
+        Multimodal.frameFingerprints(col("content"), 64, 128))
+      .select(col("source"), col("doc_id"),
+        length(col("content")).as("n_bytes"), size(col("frames")).as("n_frames"),
+        col("frames"))
+    val base = per.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bytes")).as("total_bytes"),
+      sum(col("n_frames")).as("total_frames"))
+    val distinctFrames = per
+      .select(col("source"), explode(col("frames")).as("f"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("f")).as("n_distinct_frames"))
+    base.join(distinctFrames, Seq("source"), "left")
+      .na.fill(0, Seq("n_distinct_frames"))
+      .orderBy(col("source"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -537,5 +565,6 @@ object Queries {
     "q32_range_join" -> (q32RangeJoin _),
     "q33_user_gaps" -> (q33UserGaps _),
     "q34_value_histogram" -> (q34ValueHistogram _),
-    "q35_props_extract" -> (q35PropsExtract _))
+    "q35_props_extract" -> (q35PropsExtract _),
+    "q36_frame_profile" -> (q36FrameProfile _))
 }

@@ -90,6 +90,59 @@ case class Tokenize(child: Expression)
     copy(child = c)
 }
 
+/** One-pass portable MinHash signature over a shingle array: element s
+  * of the result is the lexicographic MIN over shingles of
+  * `md5(s || '|' || shingle)` — exactly the Column formulation
+  * `transform(seq, s -> array_min(transform(sh, x -> md5(...))))` but
+  * one digest loop instead of numHashes interpreted HOF passes.
+  * Engine-portable (md5 hex + byte-order compare), no Murmur. */
+case class MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(i * 2) = HEX((b(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HEX(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[String](numHashes)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val sh = arr.getUTF8String(i).toString
+      var s = 0
+      while (s < numHashes) {
+        md.reset()
+        val h = hex(md.digest(
+          (s.toString + "|" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      mins.map(m => if (m == null) null else UTF8String.fromString(m))
+        .asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles of a text column (native). */
   def wordShingles(text: Column, n: Int): Column =
@@ -98,4 +151,8 @@ object TextExpressions {
   /** Whitespace tokens of a text column (native). */
   def tokenize(text: Column): Column =
     ColumnBridge.column(Tokenize(ColumnBridge.expression(text)))
+
+  /** Portable MinHash signature of a shingle-array column (native). */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(shingles), numHashes))
 }

@@ -91,11 +91,11 @@ object Dedup {
 
   /** Portable MinHash signature: for seed s, the signature element is
     * the lexicographic MIN of md5(s || '|' || shingle) — identical in
-    * any engine with md5, no Murmur dependency. */
+    * any engine with md5, no Murmur dependency. Backed by the native
+    * one-pass [[graft.expressions.MinhashSig]] (the equivalent HOF
+    * formulation costs numHashes interpreted passes per row). */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(sh, x =>
-        md5(concat(s.cast("string"), lit("|"), x)))))
+    graft.expressions.TextExpressions.minhashSig(sh, numHashes)
 
   /** Banded-LSH candidate pairs + exact-Jaccard verification.
     * numHashes = bands * rowsPerBand. Emits (id_a < id_b, jaccard)

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch ingest surface (SURVEY §2.1 S4-S7): the reference's two
+  * deliberately asymmetric CSV paths plus constant injection and
+  * per-job null repair.
+  *
+  * Differences from the reference, on purpose:
+  *  - explicit schemas instead of `inferSchema` (deterministic runs,
+  *    one scan instead of two — SURVEY §7.5 #2)
+  *  - column names applied positionally via `toDF`, mirroring the
+  *    `_c0.._cN` rename chain (job1_locations.py:30-37)
+  */
+object Sources {
+
+  /** S4: headerless CSV with positional column names. */
+  def csvHeaderless(spark: SparkSession, path: String, schema: StructType,
+      names: Seq[String]): DataFrame = {
+    require(schema.size == names.size)
+    spark.read.schema(schema).csv(path).toDF(names: _*)
+  }
+
+  /** S5: header CSV with a declared schema. */
+  def csvWithHeader(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S6: constant column injection (`lit("bitcoin")` role). */
+  def withConstant(df: DataFrame, name: String, value: String): DataFrame =
+    df.withColumn(name, lit(value))
+
+  /** S7: per-job null repair (`fillna` maps differ per job). */
+  def repairNulls(df: DataFrame, stringFills: Map[String, String],
+      numericFills: Map[String, Long] = Map.empty): DataFrame = {
+    val s = if (stringFills.nonEmpty) df.na.fill(stringFills) else df
+    if (numericFills.nonEmpty) s.na.fill(numericFills) else s
+  }
+}
+
+/** Batch write surface (SURVEY §2.2 K5-K6 + the scale path).
+  * The reference's `coalesce(1)` single-file CSV contract is kept as
+  * an explicit, documented anti-pattern; the scale path writes
+  * partitioned/bucketed parquet.
+  */
+object Writers {
+
+  /** K5 parity: single-file CSV (kills write parallelism — reference
+    * artifact contract only; never for large outputs). */
+  def singleFileCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  /** K6: plain parquet overwrite. */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Scale path: hive-partitioned parquet — prunes at read time on the
+    * partition keys (date/type-style columns, low cardinality). */
+  def partitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Scale path: bucketed table — co-locates join/agg keys so repeated
+    * joins on `bucketCols` skip the shuffle entirely. */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    var w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+}
