@@ -368,5 +368,36 @@ object Oracles {
         |SELECT b.source, b.n_docs, b.total_bytes, b.total_frames,
         |coalesce(df.n_distinct_frames, 0) AS n_distinct_frames
         |FROM base b LEFT JOIN df ON b.source = df.source
-        |ORDER BY b.source""".stripMargin)
+        |ORDER BY b.source""".stripMargin,
+
+    "q37_percentiles" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.9), 4) AS p90,
+        |round(quantile_cont(value, 0.99), 4) AS p99,
+        |count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q38_semi_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        |CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS n_without_orders
+        |FROM (SELECT c_mktsegment,
+        |EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+        |FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q39_running_revenue" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS "day",
+        |sum(CAST(round(value*100) AS BIGINT)) AS cents, count(*) AS n
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT "day", n,
+        |CAST(cents AS DOUBLE)/100.0 AS daily_value,
+        |CAST(sum(cents) OVER (ORDER BY "day"
+        |  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_value,
+        |round(CAST(sum(cents) OVER w7 AS DOUBLE)
+        |  / count(*) OVER w7 / 100.0, 4) AS ma7
+        |FROM daily
+        |WINDOW w7 AS (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY "day"""".stripMargin)
 }

@@ -40,6 +40,7 @@ object Queries {
 
   /** Integer-cents sum: deterministic under any partitioning. */
   private def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
+  private[graft] def centsSumPublic(c: Column): Column = centsSum(c)
   private def money(c: Column): Column = centsSum(c) / 100.0
   private def moneyAvg(c: Column): Column =
     round(centsSum(c) / 100.0 / count(lit(1)), 4)
@@ -528,6 +529,60 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Exact interpolated percentiles per group (both engines use linear
+    * interpolation; rounded to absorb last-bit arithmetic differences). */
+  def q37Percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customer order coverage
+    * per segment. left_semi/left_anti never materialize the right side
+    * in the output — the scalable existence check. */
+  def q38SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    val c = tb.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val o = tb.orders.select(col("o_custkey"))
+    val all = c.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+    all.join(semi, Seq("c_mktsegment"), "left")
+      .join(anti, Seq("c_mktsegment"), "left")
+      .na.fill(0, Seq("n_with_orders", "n_without_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Frame-spec windows (rowsBetween): cumulative revenue + 7-day
+    * moving average over daily purchase totals. Runs in integer cents
+    * so running sums are order-exact in any engine. The unpartitioned
+    * window is safe here: input is the *daily* aggregate (≤ a few
+    * thousand rows at any scale), not raw events. */
+  def q39RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(fmtDate(col("ts")).as("day"))
+      .agg(centsSumPublic(col("value")).as("cents"), count(lit(1)).as("n"))
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("daily_value", col("cents") / 100.0)
+      .withColumn("running_value", sum(col("cents")).over(wAll) / 100.0)
+      .withColumn("ma7",
+        round(sum(col("cents")).over(w7) / count(lit(1)).over(w7) / 100.0, 4))
+      .select(col("day"), col("n"), col("daily_value"),
+        col("running_value"), col("ma7"))
+      .orderBy(col("day"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -566,5 +621,8 @@ object Queries {
     "q33_user_gaps" -> (q33UserGaps _),
     "q34_value_histogram" -> (q34ValueHistogram _),
     "q35_props_extract" -> (q35PropsExtract _),
-    "q36_frame_profile" -> (q36FrameProfile _))
+    "q36_frame_profile" -> (q36FrameProfile _),
+    "q37_percentiles" -> (q37Percentiles _),
+    "q38_semi_anti" -> (q38SemiAnti _),
+    "q39_running_revenue" -> (q39RunningRevenue _))
 }

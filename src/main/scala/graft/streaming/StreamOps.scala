@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,6 +124,67 @@ object StreamOps {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("alert_type"), col("n_alerts"), col("approx_users"))
+
+  /** T4 extension: session windows — activity sessions close after
+    * `gap` of event-time inactivity per user (no fixed boundaries;
+    * state merges as events arrive). Append emission once the
+    * watermark passes the session end. */
+  def sessionMetrics(events: DataFrame, gap: String = "30 minutes")
+      : DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("event_type")).as("approx_types"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("approx_types"))
+
+  /** Custom keyed state (SURVEY §2.11 beyond-parity): exactly-once-ish
+    * stream dedup — drops events whose event_id was already seen for
+    * the user. State is the seen-id set per user, expired one hour of
+    * event time after the user goes quiet (EventTimeTimeout — bounds
+    * state at scale; a processing-time timeout would also keep the
+    * no-data batch loop spinning). Input must be [[watermarked]]. */
+  def dedupStream(events: Dataset[Row], spark: SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked event-time column must remain in the stateful
+    // operator's input, so ts rides along and is dropped on output
+    val typed = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long,
+            rows: Iterator[(Long, Long, String, Double, java.sql.Timestamp)],
+            state: GroupState[Set[Long]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Set.empty[Long])
+            var rowsMaxTs = 0L
+            val (emitted, seenAfter) = rows.foldLeft(
+              List.empty[(Long, Long, String, Double)] -> seen) {
+                case ((out, s), r) =>
+                  if (r._5 != null) rowsMaxTs = rowsMaxTs.max(r._5.getTime)
+                  if (s.contains(r._1)) (out, s)
+                  else ((r._1, r._2, r._3, r._4) :: out, s + r._1)
+              }
+            state.update(seenAfter)
+            // expire 1h of event time after this user's newest event
+            // (a watermark-relative timeout set while the watermark
+            // still lags would expire state too early)
+            val maxTs = rowsMaxTs.max(state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(maxTs + 3600000L)
+            emitted.reverseIterator
+          }
+        })
+      .toDF("event_id", "user_id", "event_type", "value")
+  }
 
   /** T9: the full chained topology — stateful detector ∪ stateless
     * alerts → second watermark + sliding-window agg, append mode.

@@ -126,6 +126,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(byType("high_frequency") === 5L)
   }
 
+  test("session windows: 30-min gap splits sessions, append after watermark") {
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      json(2, "2024-01-01 10:10:00", 1, "view", 1.0),   // same session
+      json(3, "2024-01-01 11:30:00", 1, "view", 1.0))   // new session
+    val w2 = Seq(json(9, "2024-01-01 14:00:00", 9, "view", 1.0))
+    val out = runStream("sess_t", Seq(w1, w2))(ev =>
+      StreamOps.sessionMetrics(StreamOps.watermarked(ev)))
+    val u1 = out.where($"user_id" === 1).orderBy($"session_start").collect()
+    assert(u1.length === 2)
+    assert(u1(0).getAs[Long]("n_events") === 2L)
+    assert(u1(1).getAs[Long]("n_events") === 1L)
+  }
+
+  test("flatMapGroupsWithState dedup drops repeated event_ids per user") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val q = StreamOps.dedupStream(StreamOps.watermarked(events.toDF()), spark)
+      .writeStream
+      .format("memory").queryName("dedup_t").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        json(1, "2024-01-01 10:00:01", 1, "view", 1.0), // dup in batch
+        json(2, "2024-01-01 10:00:02", 1, "click", 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        json(1, "2024-01-01 10:01:00", 1, "view", 1.0), // dup across batches
+        json(3, "2024-01-01 10:01:01", 1, "view", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_t").select($"event_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("K1: checkpointed parquet append sink writes finalized windows") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftk1").toString
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val metrics = StreamOps.windowedMetrics(
+      StreamOps.errorAlerts(StreamOps.watermarked(events)),
+      "60 seconds", "60 seconds")
+    val q = graft.streaming.Sinks.parquetAppend(
+        metrics, s"$dir/out", s"$dir/chk", "1 seconds").start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
+        json(2, "2024-01-01 10:00:20", 2, "error", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(json(3, "2024-01-01 10:10:00", 3, "error", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 1) // the finalized 10:00 window
+    assert(back.head().getAs[Long]("n_alerts") === 2L)
+    assert(new java.io.File(s"$dir/chk/offsets").exists) // T11 layout
+  }
+
   test("alert union aligns heterogeneous schemas with nulls (U2)") {
     val a = Seq((1L, "x")).toDF("user_id", "reason")
     val b = Seq((2L, 9.5)).toDF("user_id", "value")
