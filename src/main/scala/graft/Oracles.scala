@@ -399,5 +399,33 @@ object Oracles {
         |  / count(*) OVER w7 / 100.0, 4) AS ma7
         |FROM daily
         |WINDOW w7 AS (ORDER BY "day" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY "day"""".stripMargin)
+        |ORDER BY "day"""".stripMargin,
+
+    // SimHash bit j = bit (3 - j%4) of hex nibble j/4 of md5(token),
+    // i.e. the MSB-first bits of the digest's first 8 bytes — exactly
+    // the native SimHashBits derivation.
+    "q40_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |h AS (SELECT doc_id, substring(md5(t), 1, 16) AS h FROM tok),
+         |bits AS (SELECT doc_id, j.j,
+         |  CASE WHEN sum(2*(((strpos('0123456789abcdef',
+         |    substring(h, CAST(j.j//4+1 AS INT), 1))-1)
+         |    >> CAST(3-j.j%4 AS INT)) & 1)-1) > 0
+         |  THEN '1' ELSE '0' END AS b
+         |FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) j
+         |GROUP BY doc_id, j.j),
+         |fp AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS bits
+         |FROM bits GROUP BY doc_id),
+         |banded AS (SELECT doc_id, bits, b.b AS band,
+         |  substring(bits, CAST(b.b*16+1 AS INT), 16) AS bucket
+         |FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |  l.bits AS bits_a, r.bits AS bits_b
+         |FROM banded l JOIN banded r ON l.band = r.band
+         |  AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |SELECT id_a, id_b, CAST(len(list_filter(range(1, 65),
+         |  i -> substring(bits_a, CAST(i AS INT), 1)
+         |    != substring(bits_b, CAST(i AS INT), 1))) AS INT) AS hamming
+         |FROM cand) WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin)
 }

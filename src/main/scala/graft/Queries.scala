@@ -583,6 +583,14 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** SimHash-64 near-dup pairs: banded 16-bit buckets for candidates,
+    * Hamming-verified (native SimHashBits expression; portable md5
+    * bit derivation mirrored in the oracle). */
+  def q40Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir).documents, "doc_id", "text",
+      maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -624,5 +632,6 @@ object Queries {
     "q36_frame_profile" -> (q36FrameProfile _),
     "q37_percentiles" -> (q37Percentiles _),
     "q38_semi_anti" -> (q38SemiAnti _),
-    "q39_running_revenue" -> (q39RunningRevenue _))
+    "q39_running_revenue" -> (q39RunningRevenue _),
+    "q40_simhash" -> (q40Simhash _))
 }

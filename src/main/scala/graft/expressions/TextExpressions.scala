@@ -143,6 +143,46 @@ case class MinhashSig(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** SimHash-64 over a token array, emitted as a 64-char '0'/'1' string
+  * (engine-portable — no signed-long edge cases, bands are plain
+  * substrings). Bit j votes +1 when bit j of md5(token)'s first 8
+  * bytes (MSB-first) is set, -1 otherwise; votes are weighted by token
+  * multiplicity; the fingerprint bit is 1 on a positive total.
+  * Identical in SQL via hex-nibble extraction of md5(token). */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        val byte = d(j >> 3) & 0xff
+        val bit = (byte >> (7 - (j & 7))) & 1
+        votes(j) += (if (bit == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Char](64)
+    var j = 0
+    while (j < 64) { out(j) = if (votes(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashBits =
+    copy(child = c)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles of a text column (native). */
   def wordShingles(text: Column, n: Int): Column =
@@ -155,4 +195,8 @@ object TextExpressions {
   /** Portable MinHash signature of a shingle-array column (native). */
   def minhashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(shingles), numHashes))
+
+  /** SimHash-64 bit string of a token-array column (native). */
+  def simhashBits(tokens: Column): Column =
+    ColumnBridge.column(SimHashBits(ColumnBridge.expression(tokens)))
 }

@@ -105,6 +105,116 @@ object TextFunctions {
       .otherwise(best.getField("lang"))
   }
 
+  // ---- reference-parity parsers (SURVEY §7.5 #3-#4) ----
+
+  /** Parse the reference's stringified-Python-list format
+    * (`"['BTC', 'moon']"`) into an array, bug-for-bug with
+    * `regexp_replace(col, "[\[\]']", "")` + `split(", ")`
+    * (streaming/job2.py:149-155), including its quirks: an element
+    * containing `", "` splits in two, embedded quotes/brackets are
+    * stripped anywhere, `"[]"`/`""`/null → no elements. The reference
+    * guards empties with `hashtags != '[]' and hashtags != ''`
+    * (job2.py:146-148); here the guard is fused as a filter on the
+    * parsed array. */
+  def parsePseudoList(c: Column): Column =
+    when(c.isNull || c === "" || c === "[]", array())
+      .otherwise(
+        filter(split(regexp_replace(c, "[\\[\\]']", ""), ", "),
+          t => length(t) > 0))
+
+  /** Emoji / non-ASCII symbol stripping, codepoint-correct: the
+    * reference deletes emoji ranges before matching locations
+    * (job4_locationsreal_time.py:141, job1_locations.py:80). Java
+    * regex works on UTF-16, so supplementary-plane emoji are matched
+    * via surrogate-aware codepoint classes rather than raw `[U+1F300-
+    * U+1FAFF]` char classes — `\x{...}` escapes handle pairs correctly. */
+  def stripEmoji(c: Column): Column =
+    regexp_replace(c,
+      "[\\x{1F000}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{FE0F}\\x{200D}]", "")
+
+  // ---- full-parity sentiment (reference SQ10, job3_sentiment.py:154-243) ----
+
+  /** Scoring weights mirror the reference: +2 per positive emoji, -2
+    * per negative emoji, +1/-1 per keyword hit, -3 for an exclamation
+    * burst (>3 '!'), -2 for a caps burst (>50% uppercase letters in a
+    * text with ≥5 letters). */
+  final case class SentimentConfig(
+      posEmoji: Seq[String], negEmoji: Seq[String],
+      posWords: Seq[String], negWords: Seq[String])
+
+  val DefaultSentiment: SentimentConfig = SentimentConfig(
+    posEmoji = Seq("🚀", "😀", "🎉", "💎", "📈"),
+    negEmoji = Seq("😢", "💀", "📉", "😡", "🐻"),
+    posWords = PosWords, negWords = NegWords)
+
+  /** Occurrences of a literal substring (not token-bound — the
+    * reference uses substring containment, job3_sentiment.py:188-189). */
+  def substrCount(text: Column, sub: String): Column = {
+    // Spark length() counts codepoints (UTF8String.numChars), so the
+    // divisor must too — String.length would double-count emoji.
+    val subLen = sub.codePointCount(0, sub.length)
+    ((length(text) - length(regexp_replace(text,
+      java.util.regex.Pattern.quote(sub), ""))) / subLen).cast("int")
+  }
+
+  private def totalHits(text: Column, subs: Seq[String]): Column =
+    subs.map(substrCount(text, _)).reduce(_ + _)
+
+  def exclamationCount(text: Column): Column = substrCount(text, "!")
+
+  /** Ratio of uppercase letters among letters; 0 when no letters. */
+  def capsRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+    when(letters === 0, lit(0.0))
+      .otherwise(uppers.cast("double") / letters)
+  }
+
+  /** Full reference-parity sentiment score (see weights above). */
+  def sentimentScoreFull(text: Column,
+      cfg: SentimentConfig = DefaultSentiment): Column = {
+    val posE = totalHits(text, cfg.posEmoji)
+    val negE = totalHits(text, cfg.negEmoji)
+    val lowered = lower(text)
+    val posW = totalHits(lowered, cfg.posWords)
+    val negW = totalHits(lowered, cfg.negWords)
+    val exclPenalty = when(exclamationCount(text) > 3, -3).otherwise(0)
+    val letters = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val capsPenalty =
+      when(letters >= 5 && capsRatio(text) > 0.5, -2).otherwise(0)
+    (posE * 2 - negE * 2 + posW - negW + exclPenalty + capsPenalty)
+      .cast("int")
+  }
+
+  /** The reference's 5-way priority ladder WITH its order dependency:
+    * positives are checked before negatives, so a text carrying both
+    * strong signals classifies positive (job3_sentiment.py:209-230). */
+  def sentimentTypeFull(score: Column, posEmojiCount: Column,
+      negEmojiCount: Column): Column =
+    when(score >= 4 || posEmojiCount >= 2, "strong_positive")
+      .when(score > 0, "positive")
+      .when(score <= -4 || negEmojiCount >= 2, "strong_negative")
+      .when(score < 0, "negative")
+      .otherwise("neutral")
+
+  /** Per-emoji-list counts exposed for the ladder + output contract
+    * (the reference returns a 6-field struct, job3_sentiment.py:234-241). */
+  def sentimentStruct(text: Column,
+      cfg: SentimentConfig = DefaultSentiment): Column = {
+    val posE = totalHits(text, cfg.posEmoji)
+    val negE = totalHits(text, cfg.negEmoji)
+    val score = sentimentScoreFull(text, cfg)
+    val stype = sentimentTypeFull(score, posE, negE)
+    struct(
+      stype.as("sentiment_type"),
+      when(stype.isin("strong_positive", "strong_negative"), "high")
+        .when(stype.isin("positive", "negative"), "medium")
+        .otherwise("low").as("alert_priority"),
+      score.cast("float").as("score"),
+      posE.as("pos_emoji_count"),
+      negE.as("neg_emoji_count"))
+  }
+
   // ---- shingling / fingerprinting (dedup building blocks) ----
 
   /** Word n-gram shingles (space-joined), e.g. n=3. */

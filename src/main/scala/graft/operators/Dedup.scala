@@ -97,6 +97,43 @@ object Dedup {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     graft.expressions.TextExpressions.minhashSig(sh, numHashes)
 
+  /** SimHash near-dup pairs: 64-bit fingerprints (as bit strings),
+    * banded into 4×16-bit exact-match buckets for candidates (a
+    * fingerprint pair within Hamming distance 3 shares ≥1 band by
+    * pigeonhole), then verified by Hamming distance <= maxHamming.
+    * One shuffle per band join; no O(n²) comparisons. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val bits = docs
+      .where(size(toks) > 0) // token-less docs have no fingerprint
+      .select(col(idCol).as("doc_id"),
+        graft.expressions.TextExpressions.simhashBits(toks).as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band b = 16-bit substring [b*16+1, 16]
+    val withBands = bits.select(col("doc_id"), col("bits"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        col("bits").substr(b * 16 + 1, lit(16)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = withBands.select(col("doc_id").as("id_a"),
+      col("bits").as("bits_a"), col("band"), col("bucket"))
+    val r = withBands.select(col("doc_id").as("id_b"),
+      col("bits").as("bits_b"), col("band"), col("bucket"))
+    val hamming = aggregate(
+      transform(sequence(lit(1), lit(64)), i =>
+        when(col("bits_a").substr(i, lit(1))
+          =!= col("bits_b").substr(i, lit(1)), 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bits_a"), col("bits_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Banded-LSH candidate pairs + exact-Jaccard verification.
     * numHashes = bands * rowsPerBand. Emits (id_a < id_b, jaccard)
     * for verified pairs with jaccard >= threshold. */

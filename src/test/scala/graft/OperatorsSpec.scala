@@ -52,6 +52,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 2L))) // identical docs always collide
   }
 
+  test("simhash: identical docs distance 0, near dups close, unrelated apart") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0) // exact dup
+    assert(pairs((1L, 5L)) === 0) // normalizes to same tokens
+    assert(pairs.get((1L, 3L)).forall(_ <= 16)) // near dup, small distance
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   // ---- Similarity ----
 
   private lazy val vecs = Seq(
