@@ -591,6 +591,20 @@ object Queries {
       maxHamming = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** IVF-bucketed ANN (the 100 TB path of q25): corpus vectors are
+    * assigned to their nearest centroid, queries probe 2 nearest
+    * centroid buckets. Centroids here are a deterministic subset
+    * (vec_id % 250 == 0); at scale they come from a sampled k-means. */
+  def q41AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 250 === 0)
+    val queries = emb.where(col("id") < 8)
+    Similarity.ivfTopK(queries, emb, centroids, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -633,5 +647,6 @@ object Queries {
     "q37_percentiles" -> (q37Percentiles _),
     "q38_semi_anti" -> (q38SemiAnti _),
     "q39_running_revenue" -> (q39RunningRevenue _),
-    "q40_simhash" -> (q40Simhash _))
+    "q40_simhash" -> (q40Simhash _),
+    "q41_ann_ivf" -> (q41AnnIvf _))
 }
