@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.expressions.{MinhashSig, SimHashBits, Tokenize, WordShingles}
+
+/** SQL-surface registration: exposes the native expressions to
+  * `spark.sql(...)` users, so the engine's text primitives are usable
+  * from pure SQL exactly like built-ins (`SELECT word_shingles(text, 3)
+  * FROM docs`). Idempotent per session. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("tokenize",
+      exprs => Tokenize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinhashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("simhash_bits",
+      exprs => SimHashBits(exprs.head), "built-in")
+  }
+}

@@ -59,6 +59,19 @@ class ParityFunctionsSpec extends AnyFunSuite {
     assert(stype("nothing here") === "neutral")
   }
 
+  test("pseudo-list parser round-trips arbitrary simple-token lists (property)") {
+    import org.scalacheck.Gen
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val lists = Gen.listOfN(40, Gen.listOf(token))
+    val sample = lists.sample.getOrElse(List(List("BTC")))
+    val formatted = sample.map { l =>
+      if (l.isEmpty) "[]" else l.map(t => s"'$t'").mkString("[", ", ", "]")
+    }
+    val parsed = formatted.toDF("h")
+      .select(parsePseudoList($"h")).as[Seq[String]].collect().toList
+    assert(parsed === sample.map(_.toSeq))
+  }
+
   test("sentiment struct carries the reference's output contract") {
     val r = Seq("🚀🚀 fast").toDF("t").select(sentimentStruct($"t").as("s"))
       .select("s.*").head()

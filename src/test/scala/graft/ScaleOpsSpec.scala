@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.Writers
+
+/** Scale-shape checks: salted join equivalence, bucketed-table join
+  * shuffle elimination, SQL registration of native functions. */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val big = Seq.tabulate(100)(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c"), (7, "zz")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .as[(Int, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, "k", factor = 4,
+      saltSource = Seq("v")).select("k", "v", "name")
+      .as[(Int, Int, String)].collect().toSet
+    assert(salted === plain)
+    assert(salted.size === 100)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = Seq.tabulate(50)(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = Seq.tabulate(50)(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Writers.bucketedTable(a, "bkt_a", Seq("k"), 4, Seq("k"))
+    Writers.bucketedTable(b, "bkt_b", Seq("k"), 4, Seq("k"))
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === 50)
+    spark.sql("DROP TABLE bkt_a"); spark.sql("DROP TABLE bkt_b")
+  }
+
+  test("native functions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq((1L, "The Fast key the fast")).toDF("id", "text")
+      .createOrReplaceTempView("sqldocs")
+    val r = spark.sql(
+      """SELECT tokenize(text) AS toks,
+        |word_shingles(text, 2) AS sh,
+        |simhash_bits(tokenize(text)) AS bits FROM sqldocs""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) === Seq("the", "fast", "key", "the", "fast"))
+    assert(r.getSeq[String](1) ===
+      Seq("the fast", "fast key", "key the")) // distinct, first-occurrence
+    assert(r.getString(2).length === 64)
+  }
+}
