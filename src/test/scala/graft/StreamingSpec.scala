@@ -189,6 +189,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk/offsets").exists) // T11 layout
   }
 
+  test("K3: foreachBatch index sink receives alert docs with mappings") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Sinks
+    val sink = new Sinks.MemoryIndexSink
+    sink.ensureIndex("alerts", Map("user_id" -> "long", "alert_type" -> "keyword"))
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val q = Sinks.foreachBatchSink(
+      StreamOps.errorAlerts(events).drop("ts"),
+      Sinks.indexSinkBatch(sink, "alerts")).start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 5, "error", 1.0),
+        json(2, "2024-01-01 10:00:01", 6, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sink.indices.contains("alerts"))
+    assert(sink.docs.map(_._2("user_id")) === Seq(5L))
+    assert(sink.docs.head._2("alert_type") === "error")
+  }
+
   test("alert union aligns heterogeneous schemas with nulls (U2)") {
     val a = Seq((1L, "x")).toDF("user_id", "reason")
     val b = Seq((2L, 9.5)).toDF("user_id", "value")
