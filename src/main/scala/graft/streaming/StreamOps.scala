@@ -61,6 +61,12 @@ object StreamOps {
     * branches carried the same source watermark). No-op in batch. */
   def watermarked(events: DataFrame, tsCol: String = "ts"): DataFrame =
     events.withWatermark(tsCol, WatermarkDelay)
+  // Operational note: Catalyst pushes filters whose predicates don't
+  // reference the event-time column BELOW the watermark node, so the
+  // watermark only advances on rows surviving those filters. A topology
+  // that filters to a rare event type therefore needs its own traffic
+  // to advance event time (verified in StreamingSpec's differential
+  // test; same behavior as upstream Spark).
 
   /** T8/SQ1: high-frequency detector — ≥ `threshold` events from one
     * user inside a 60 s tumbling window. Stateful (windowed agg);

@@ -211,6 +211,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.docs.head._2("alert_type") === "error")
   }
 
+  test("differential: finalized streaming windows equal the batch formulation") {
+    val rows = Seq(
+      json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
+      json(2, "2024-01-01 10:00:20", 2, "error", 1.0),
+      json(3, "2024-01-01 10:02:05", 1, "error", 1.0),
+      json(4, "2024-01-01 10:03:30", 3, "error", 1.0))
+    // two closer batches: the watermark computed from batch N only
+    // gates emission in batch N+1. NOTE they must be 'error' rows:
+    // Catalyst pushes the errorAlerts type-filter BELOW the watermark
+    // node (the predicate doesn't touch ts), so rows of other types
+    // never reach the watermark operator and don't advance it.
+    val closer = Seq(json(9, "2024-01-01 10:30:00", 9, "error", 1.0),
+      json(10, "2024-01-01 10:31:00", 9, "error", 1.0))
+    val streamed = runStream("diff_t",
+      Seq(rows, closer.take(1), closer.drop(1))) { ev =>
+      StreamOps.windowedMetrics(
+        StreamOps.errorAlerts(StreamOps.watermarked(ev)),
+        "60 seconds", "60 seconds")
+    }
+    // batch formulation: same transforms, no watermark, same rows
+    implicit val ctx = spark.sqlContext
+    val batchRaw = (rows ++ closer).toDF("value")
+    val batch = StreamOps.windowedMetrics(
+      StreamOps.errorAlerts(
+        StreamOps.withEventTime(StreamOps.decodeJsonEnvelope(batchRaw))),
+      "60 seconds", "60 seconds")
+    // every finalized streaming window must match batch exactly
+    val sRows = streamed
+      .select($"window_start", $"alert_type", $"n_alerts")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val bRows = batch
+      .select($"window_start", $"alert_type", $"n_alerts")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(sRows.nonEmpty && sRows.subsetOf(bRows))
+    // all windows closed by the watermark were emitted (everything
+    // before 10:28 here): stream == batch on the error windows
+    assert(sRows === bRows.filter(_._1.getTime <
+      java.sql.Timestamp.valueOf("2024-01-01 10:28:00").getTime))
+  }
+
+  test("JSON envelope round-trips through to_json (producer role, S8)") {
+    val ev = Seq((7L, "2024-01-01 10:00:00", 42L, "purchase", 9.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val wire = ev.select(to_json(struct(
+      $"event_id", $"ts", $"user_id", $"event_type", $"value")).as("value"))
+    val back = StreamOps.decodeJsonEnvelope(wire).head()
+    assert(back.getLong(0) === 7L)
+    assert(back.getString(3) === "purchase")
+    assert(back.getDouble(4) === 9.5)
+  }
+
   test("alert union aligns heterogeneous schemas with nulls (U2)") {
     val a = Seq((1L, "x")).toDF("user_id", "reason")
     val b = Seq((2L, 9.5)).toDF("user_id", "value")
