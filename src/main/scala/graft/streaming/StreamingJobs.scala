@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's five streaming job topologies (SURVEY §2.12
+  * SQ1-SQ14), re-expressed as compositions of StreamOps + Sinks. A
+  * reference user starts the same fan-out (alerts + windowed metrics,
+  * parquet + reporting sinks, per-query checkpoints) from one call.
+  *
+  * `events` is any decoded event stream (Kafka via [[KafkaSource]],
+  * files, or MemoryStream in tests) — topologies never know the
+  * source. Each `start*` returns the live queries; callers block via
+  * `Sinks.awaitAny`.
+  */
+object StreamingJobs {
+
+  /** job1-analog (bot detection): stateful high-frequency detector ∪
+    * stateless detectors → alert sink; chained re-aggregated metrics
+    * (T9) → metrics sink. */
+  def startDetection(spark: SparkSession, events: DataFrame,
+      outDir: String, trigger: String = "60 seconds")
+      : Seq[StreamingQuery] = {
+    val src = StreamOps.watermarked(events)
+    val alerts = StreamOps.alertUnion(Seq(
+      StreamOps.highFrequencyAlerts(src),
+      StreamOps.highValueAlerts(src),
+      StreamOps.errorAlerts(src)))
+    val metrics = StreamOps.windowedMetrics(alerts)
+    Seq(
+      Sinks.parquetAppend(alerts.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")),
+        s"$outDir/alerts", s"$outDir/chk/alerts", trigger).start(),
+      Sinks.parquetAppend(metrics,
+        s"$outDir/metrics", s"$outDir/chk/metrics", trigger).start())
+  }
+
+  /** job4-analog (session tracking): session-window metrics. */
+  def startSessions(spark: SparkSession, events: DataFrame,
+      outDir: String, trigger: String = "60 seconds")
+      : Seq[StreamingQuery] = {
+    val metrics = StreamOps.sessionMetrics(StreamOps.watermarked(events))
+    Seq(Sinks.parquetAppend(metrics,
+      s"$outDir/sessions", s"$outDir/chk/sessions", trigger).start())
+  }
+
+  /** job5-analog (stream hygiene): stateful dedup pass-through. */
+  def startDedup(spark: SparkSession, events: DataFrame,
+      outDir: String, trigger: String = "60 seconds")
+      : Seq[StreamingQuery] = {
+    val deduped = StreamOps.dedupStream(
+      StreamOps.watermarked(events), spark)
+    Seq(Sinks.parquetAppend(deduped,
+      s"$outDir/deduped", s"$outDir/chk/deduped", trigger).start())
+  }
+}
