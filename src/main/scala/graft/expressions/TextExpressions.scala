@@ -183,6 +183,32 @@ case class SimHashBits(child: Expression)
     copy(child = c)
 }
 
+/** Hamming distance between two equal-length strings (bit strings in
+  * the SimHash pipeline). Counts positions with differing chars; null
+  * if lengths differ. */
+case class HammingDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String].toString
+    val b = r.asInstanceOf[UTF8String].toString
+    if (a.length != b.length) null
+    else {
+      var d = 0
+      var i = 0
+      while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+      java.lang.Integer.valueOf(d)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** Distinct word n-gram shingles of a text column (native). */
   def wordShingles(text: Column, n: Int): Column =
@@ -195,6 +221,11 @@ object TextExpressions {
   /** Portable MinHash signature of a shingle-array column (native). */
   def minhashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(shingles), numHashes))
+
+  /** Hamming distance between two bit-string columns (native). */
+  def hammingDist(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDist(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** SimHash-64 bit string of a token-array column (native). */
   def simhashBits(tokens: Column): Column =

@@ -120,11 +120,8 @@ object Dedup {
       col("bits").as("bits_a"), col("band"), col("bucket"))
     val r = withBands.select(col("doc_id").as("id_b"),
       col("bits").as("bits_b"), col("band"), col("bucket"))
-    val hamming = aggregate(
-      transform(sequence(lit(1), lit(64)), i =>
-        when(col("bits_a").substr(i, lit(1))
-          =!= col("bits_b").substr(i, lit(1)), 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    val hamming = graft.expressions.TextExpressions.hammingDist(
+      col("bits_a"), col("bits_b"))
     l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("bits_a"), col("bits_b"))
