@@ -454,5 +454,26 @@ object Oracles {
         |SELECT query_id, "rank", neighbor_id, sim FROM (
         |SELECT query_id, neighbor_id, sim,
         |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
-        |FROM s) WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)
+        |FROM s) WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q42_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, "rank", term, score FROM (
+         |SELECT tf.doc_id, tf.term,
+         |round(tf.tf/(df.df+1.0), 6) AS score,
+         |row_number() OVER (PARTITION BY tf.doc_id
+         |  ORDER BY round(tf.tf/(df.df+1.0), 6) DESC, tf.term) AS "rank"
+         |FROM tf JOIN df ON tf.term = df.term)
+         |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+
+    "q43_rollup" ->
+      s"""SELECT coalesce("day", 'ALL') AS "day",
+         |coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+         |${cents("value")} AS total_value
+         |FROM (SELECT strftime(ts, '%Y-%m-%d') AS "day", event_type, value
+         |  FROM events)
+         |GROUP BY ROLLUP("day", event_type)
+         |ORDER BY 1, 2""".stripMargin)
 }

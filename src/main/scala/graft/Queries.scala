@@ -605,6 +605,38 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** TF-IDF-style term importance: rarity-weighted score
+    * tf/(df+1) — a single exact division so ranks are reproducible
+    * across engines (the classic log form differs per libm). Top-3
+    * terms per doc via partitioned rank. */
+  def q42TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", round(col("tf") / (col("df") + 1.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** A11 rollup variant: hierarchical day → event_type totals. */
+  def q43Rollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", fmtDate(col("ts")))
+      .rollup(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("total_value"))
+      .select(
+        coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -648,5 +680,7 @@ object Queries {
     "q38_semi_anti" -> (q38SemiAnti _),
     "q39_running_revenue" -> (q39RunningRevenue _),
     "q40_simhash" -> (q40Simhash _),
-    "q41_ann_ivf" -> (q41AnnIvf _))
+    "q41_ann_ivf" -> (q41AnnIvf _),
+    "q42_tfidf_terms" -> (q42TfidfTerms _),
+    "q43_rollup" -> (q43Rollup _))
 }

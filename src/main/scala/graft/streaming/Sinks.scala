@@ -30,6 +30,22 @@ object Sinks {
       f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.outputMode("append").foreachBatch(f)
 
+  /** K2 concrete impl: the reference's per-batch console report
+    * (batch count + grouped tallies pretty-printed on the driver —
+    * job1_bots.py:271-303). Aggregation happens engine-side; only the
+    * small summary is collected. */
+  def consoleReport(groupCol: String): (DataFrame, Long) => Unit = {
+    (batch, id) =>
+      val n = batch.count()
+      println(s"=== batch $id: $n rows ===")
+      if (n > 0) {
+        batch.groupBy(groupCol).count()
+          .orderBy(org.apache.spark.sql.functions.col("count").desc)
+          .collect()
+          .foreach(r => println(s"  ${r.get(0)}: ${r.getLong(1)}"))
+      }
+  }
+
   /** K3/K4: pluggable document-index sink (the OpenSearch role).
     * `ensureIndex` is the out-of-band mapping bootstrap (K4); `indexDocs`
     * receives one micro-batch. The reference collect()s every batch to

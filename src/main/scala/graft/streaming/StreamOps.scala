@@ -192,6 +192,42 @@ object StreamOps {
       .toDF("event_id", "user_id", "event_type", "value")
   }
 
+  /** Stream-static enrichment join: attach dimension attributes to the
+    * stream (broadcast-hash per micro-batch; the dim is re-planned each
+    * batch so slowly-changing dims stay fresh). Stateless. */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Stream-stream interval join (extension surface): purchases matched
+    * to the same user's views in the preceding hour. Both sides carry
+    * the source watermark; the range condition bounds the view-side
+    * state to 1 h + watermark delay. Inner join ⇒ emits as soon as both
+    * sides arrive; state expires with the watermark. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = watermarked(events)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val views = watermarked(events)
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    purchases.join(views,
+      col("user_id") === col("v_user")
+        && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("v_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("value"))
+  }
+
+  /** Streaming exact dedup on event_id via the built-in
+    * dropDuplicatesWithinWatermark — state expires once the watermark
+    * passes the first-seen event time (vs. [[dedupStream]]'s custom
+    * keyed-state variant with its own timeout policy). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    watermarked(events).dropDuplicatesWithinWatermark("event_id")
+
   /** T9: the full chained topology — stateful detector ∪ stateless
     * alerts → second watermark + sliding-window agg, append mode.
     * The most fragile semantic in the port (SURVEY §7.5 #1). */

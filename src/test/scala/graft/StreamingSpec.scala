@@ -262,6 +262,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.getDouble(4) === 9.5)
   }
 
+  test("stream-static enrichment join attaches dim attributes per batch") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((5L, "gold"), (6L, "basic")).toDF("c_key", "tier")
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val q = StreamOps.enriched(events, dim, "user_id", "c_key")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 5, "view", 1.0),
+        json(2, "2024-01-01 10:00:01", 9, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enrich_t").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L) === Some("gold"))
+    assert(rows(2L) === None) // unmatched user keeps null tier
+  }
+
+  test("stream-stream interval join: views attribute to later purchases") {
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      json(2, "2024-01-01 10:20:00", 1, "view", 1.0),
+      json(3, "2024-01-01 10:30:00", 1, "purchase", 99.0),
+      json(4, "2024-01-01 08:00:00", 2, "view", 1.0),     // too old
+      json(5, "2024-01-01 10:30:00", 2, "purchase", 50.0))
+    val w2 = Seq(json(9, "2024-01-01 12:00:00", 9, "view", 1.0))
+    val out = runStream("ssjoin_t", Seq(w1, w2))(
+      StreamOps.purchaseAttribution(_))
+    val got = out.select($"purchase_id", $"view_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L), (3L, 2L))) // user 2's view too old
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeats across batches") {
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      json(1, "2024-01-01 10:00:00", 1, "view", 1.0))
+    val w2 = Seq(
+      json(1, "2024-01-01 10:00:30", 1, "view", 1.0), // dup, within wm
+      json(2, "2024-01-01 10:01:00", 1, "view", 2.0))
+    val out = runStream("ddww_t", Seq(w1, w2))(
+      StreamOps.dedupWithinWatermark(_))
+    val ids = out.select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("K2 console report runs engine-side aggregation per batch") {
+    val batch = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("alert_type", "v")
+    // direct invocation of the foreachBatch callback body
+    graft.streaming.Sinks.consoleReport("alert_type")(batch, 7L)
+  }
+
   test("alert union aligns heterogeneous schemas with nulls (U2)") {
     val a = Seq((1L, "x")).toDF("user_id", "reason")
     val b = Seq((2L, 9.5)).toDF("user_id", "value")
