@@ -1,35 +1,43 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expressions for the hot text paths (SURVEY §7.3:
-  * "custom Expression beats UDF beats anything else").
-  *
-  * The pure-Column formulation of word shingling
-  * (`transform(sequence(...), i => concat_ws(" ", slice(tokens, i, n)))`)
-  * is an interpreted higher-order-function chain that Catalyst inlines
-  * into every consumer — measured ~8 ms/doc at 460 tokens (39 s for
-  * 5 000 docs). This single-pass expression does the same work in one
-  * JVM loop (~µs/doc). Semantics are identical to
-  * `array_distinct(shingles(tokens(text), n))`:
-  * lowercase → split on `\s+` → drop empties → space-joined n-grams →
-  * distinct in first-occurrence order.
+/** Single-pass JVM kernels behind the native text expressions. Kept in
+  * one object with static forwarders so generated (Janino) code can
+  * call them directly — each expression's `doGenCode` emits a plain
+  * method call, keeping whole-stage codegen intact around the text
+  * operators (a CodegenFallback would collapse the entire projection
+  * to interpreted mode).
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1, "shingle size must be >= 1")
+object TextKernels {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
+  /** lowercase → split \s+ → drop empties. */
+  def tokenize(input: UTF8String): ArrayData = {
+    val toks = input.toString
+      .toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
+    val arr = new Array[Any](n)
+    var k = 0
+    i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) { arr(k) = UTF8String.fromString(toks(i)); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
+  /** Distinct space-joined word n-grams, first-occurrence order. */
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val toks = input.toString
       .toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
@@ -55,54 +63,6 @@ case class WordShingles(child: Expression, n: Int)
     }
   }
 
-  override protected def withNewChildInternal(c: Expression): WordShingles =
-    copy(child = c)
-}
-
-/** Single-pass tokenizer: lowercase → split `\s+` → drop empties.
-  * Same output as `filter(split(lower(trim(text)), "\s+"), length > 0)`
-  * but one JVM loop instead of an interpreted HOF chain (which Catalyst
-  * additionally inlines into every consumer — the dominant cost in the
-  * text queries before this existed). */
-case class Tokenize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "tokenize"
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+")
-    var n = 0
-    var i = 0
-    while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
-    val arr = new Array[Any](n)
-    var k = 0
-    i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) { arr(k) = UTF8String.fromString(toks(i)); k += 1 }
-      i += 1
-    }
-    new GenericArrayData(arr)
-  }
-
-  override protected def withNewChildInternal(c: Expression): Tokenize =
-    copy(child = c)
-}
-
-/** One-pass portable MinHash signature over a shingle array: element s
-  * of the result is the lexicographic MIN over shingles of
-  * `md5(s || '|' || shingle)` — exactly the Column formulation
-  * `transform(seq, s -> array_min(transform(sh, x -> md5(...))))` but
-  * one digest loop instead of numHashes interpreted HOF passes.
-  * Engine-portable (md5 hex + byte-order compare), no Murmur. */
-case class MinhashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(numHashes >= 1)
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
-  override def prettyName: String = "minhash_sig"
-
   private val HEX = "0123456789abcdef".toCharArray
 
   private def hex(b: Array[Byte]): String = {
@@ -116,8 +76,8 @@ case class MinhashSig(child: Expression, numHashes: Int)
     new String(out)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** Element s = lexicographic min over shingles of md5(s + "|" + x). */
+  def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = new Array[String](numHashes)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -128,7 +88,8 @@ case class MinhashSig(child: Expression, numHashes: Int)
       while (s < numHashes) {
         md.reset()
         val h = hex(md.digest(
-          (s.toString + "|" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          (s.toString + "|" + sh)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
         s += 1
       }
@@ -139,23 +100,8 @@ case class MinhashSig(child: Expression, numHashes: Int)
         .asInstanceOf[Array[Any]])
   }
 
-  override protected def withNewChildInternal(c: Expression): MinhashSig =
-    copy(child = c)
-}
-
-/** SimHash-64 over a token array, emitted as a 64-char '0'/'1' string
-  * (engine-portable — no signed-long edge cases, bands are plain
-  * substrings). Bit j votes +1 when bit j of md5(token)'s first 8
-  * bytes (MSB-first) is set, -1 otherwise; votes are weighted by token
-  * multiplicity; the fingerprint bit is 1 on a positive total.
-  * Identical in SQL via hex-nibble extraction of md5(token). */
-case class SimHashBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = StringType
-  override def prettyName: String = "simhash_bits"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** 64-char '0'/'1' SimHash fingerprint (md5 MSB-first bit votes). */
+  def simhashBits(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -179,30 +125,120 @@ case class SimHashBits(child: Expression)
     UTF8String.fromString(new String(out))
   }
 
+  /** Positions differing between two equal-length strings. */
+  def hamming(l: UTF8String, r: UTF8String): Int = {
+    val a = l.toString
+    val b = r.toString
+    var d = 0
+    var i = 0
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+    d
+  }
+}
+
+/** Native Catalyst expressions for the hot text paths (SURVEY §7.3:
+  * "custom Expression beats UDF beats anything else"). The pure-Column
+  * HOF formulations (transform/filter/aggregate chains) are interpreted
+  * AND inlined per consumer by Catalyst — measured ~8 ms/doc for
+  * shingling at 460 tokens (39 s for 5 000 docs at sf0.1) vs ~µs/doc
+  * here. Each expression generates a direct kernel call in whole-stage
+  * codegen.
+  */
+case class Tokenize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.tokenize($c)")
+
+  override protected def withNewChildInternal(c: Expression): Tokenize =
+    copy(child = c)
+}
+
+/** Distinct word n-gram shingles — semantics of
+  * `array_distinct(shingles(tokens(text), n))`. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** One-pass portable MinHash signature (lex-min md5 per seed). */
+case class MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.minhashSig($c, $numHashes)")
+
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** SimHash-64 over a token array as a portable '0'/'1' bit string. */
+case class SimHashBits(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhashBits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.simhashBits($c)")
+
   override protected def withNewChildInternal(c: Expression): SimHashBits =
     copy(child = c)
 }
 
 /** Hamming distance between two equal-length strings (bit strings in
-  * the SimHash pipeline). Counts positions with differing chars; null
-  * if lengths differ. */
+  * the SimHash pipeline); null when lengths differ. */
 case class HammingDist(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def prettyName: String = "hamming_dist"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[UTF8String].toString
-    val b = r.asInstanceOf[UTF8String].toString
-    if (a.length != b.length) null
-    else {
-      var d = 0
-      var i = 0
-      while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
-      java.lang.Integer.valueOf(d)
-    }
+    val a = l.asInstanceOf[UTF8String]
+    val b = r.asInstanceOf[UTF8String]
+    if (a.numChars() != b.numChars()) null
+    else java.lang.Integer.valueOf(TextKernels.hamming(a, b))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numChars() != $b.numChars()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.expressions.TextKernels.hamming($a, $b);
+      }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HammingDist =
