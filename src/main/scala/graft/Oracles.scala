@@ -475,5 +475,16 @@ object Oracles {
          |FROM (SELECT strftime(ts, '%Y-%m-%d') AS "day", event_type, value
          |  FROM events)
          |GROUP BY ROLLUP("day", event_type)
-         |ORDER BY 1, 2""".stripMargin)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q44_ship_delay" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |round(avg(delay_days), 2) AS avg_delay,
+        |CAST(min(delay_days) AS INT) AS min_delay,
+        |CAST(max(delay_days) AS INT) AS max_delay
+        |FROM (SELECT o_orderstatus,
+        |date_diff('day', CAST(o_orderdate AS DATE),
+        |  CAST(l_shipdate AS DATE)) AS delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -637,6 +637,24 @@ object Queries {
         col("n"), col("total_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Date arithmetic (reference §2.9: datediff/to_date — the account-
+    * age computation re-targeted): ship delay in days per order status. */
+  def q44ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    tb.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(tb.orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus")), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("delay_days")), 2).as("avg_delay"),
+        min(col("delay_days")).as("min_delay"),
+        max(col("delay_days")).as("max_delay"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -682,5 +700,6 @@ object Queries {
     "q40_simhash" -> (q40Simhash _),
     "q41_ann_ivf" -> (q41AnnIvf _),
     "q42_tfidf_terms" -> (q42TfidfTerms _),
-    "q43_rollup" -> (q43Rollup _))
+    "q43_rollup" -> (q43Rollup _),
+    "q44_ship_delay" -> (q44ShipDelay _))
 }
