@@ -56,6 +56,42 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic Lloyd's k-means for IVF centroids: init = the k
+    * lowest-id vectors, fixed iteration count, mean in double with a
+    * deterministic id tie-break on assignment. Each iteration is one
+    * broadcast-join + groupBy — at 100 TB you fit on a sample and only
+    * the final assignment pass touches the full corpus. Returns
+    * (id, vec array<double>) centroids. */
+  def fitCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = corpus.select(col("id"), col("vec").cast("array<double>").as("v"))
+    var cents = v.orderBy(col("id")).limit(k)
+      .select(col("id").as("cent_id"), col("v").as("cent_v"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cscore").desc, col("cent_id"))
+      val assigned = v.join(broadcast(cents))
+        .select(col("id"), col("v"), col("cent_id"),
+          round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") === 1)
+      // mean per cluster: explode positions, average, regroup. The sum
+      // folds over a SORTED collect_list so the mean is bit-identical
+      // under any partitioning (plain avg would be order-dependent);
+      // at extreme cluster sizes swap for fixed-point accumulation.
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((aggregate(array_sort(collect_list(col("col"))), lit(0.0),
+          (a, x) => a + x) / count(lit(1))).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), x => x.getField("m")).as("cent_v"))
+    }
+    cents
+  }
+
   /** IVF-style bucketed ANN: corpus vectors are assigned to their
     * nearest centroid (by dot product, deterministic tie-break on
     * centroid id); each query probes its `nprobe` nearest centroid

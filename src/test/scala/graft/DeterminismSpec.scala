@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The oracle contract requires bit-stable results under ANY
+  * partitioning (the driver and the engine will not shuffle the same
+  * way twice). Re-run representative queries under different shuffle
+  * parallelism and require identical collected output — this is what
+  * the integer-cents / string-timestamp / total-order rules buy.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val probes = Seq(
+    "q01_pricing_summary",  // cents-sum aggregation
+    "q15_top_users_pct",    // window rank + pct
+    "q22_jaccard_pairs",    // self-join pipeline
+    "q25_ann_bruteforce",   // float math, rounded pre-rank
+    "q39_running_revenue")  // running frames
+
+  probes.foreach { name =>
+    test(s"$name is partition-invariant") {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a === b)
+    }
+  }
+}

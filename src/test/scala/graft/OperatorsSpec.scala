@@ -92,6 +92,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf === bf)
   }
 
+  test("fitCentroids: deterministic k-means, IVF over fitted centroids finds true neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val c1 = Similarity.fitCentroids(emb, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c2 = Similarity.fitCentroids(emb, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 === c2) // bit-identical across runs
+    val cents = Similarity.fitCentroids(emb, 4, 2)
+      .select($"cent_id".as("id"), $"cent_v".as("vec"))
+    val queries = emb.where($"id" < 4)
+    val ivf = Similarity.ivfTopK(queries, emb, cents, k = 3, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val bf = Similarity.bruteForceTopK(queries, emb, 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(ivf === bf) // full probe of all 4 centroids = exact
+  }
+
   // ---- Analytics ----
 
   test("topKPerGroup: rank order, tie-break, pct of group total") {
