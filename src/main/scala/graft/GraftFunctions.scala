@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{MinhashSig, SimHashBits, Tokenize, WordShingles}
+import graft.expressions.{HammingDist, MinhashSig, SimHashBits, Tokenize, WordShingles}
 
 /** SQL-surface registration: exposes the native expressions to
   * `spark.sql(...)` users, so the engine's text primitives are usable
@@ -21,5 +21,7 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("simhash_bits",
       exprs => SimHashBits(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming_dist",
+      exprs => HammingDist(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -486,5 +486,14 @@ object Oracles {
         |date_diff('day', CAST(o_orderdate AS DATE),
         |  CAST(l_shipdate AS DATE)) AS delay_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q45_stratified_sample" ->
+      """SELECT lang, sample_rank, doc_id, source, n_chars FROM (
+        |SELECT lang, doc_id, source, n_chars,
+        |row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('graft-r1' || '|' || CAST(doc_id AS VARCHAR)),
+        |  doc_id) AS sample_rank
+        |FROM documents) WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin)
 }

@@ -655,6 +655,18 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Reproducible stratified sampling: k docs per language, chosen by
+    * keyed-hash order — the auditable replacement for rand()-based
+    * sampling in corpus construction. */
+  def q45StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedTopK(
+        t(spark, dir).documents.select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")),
+        "lang", "doc_id", k = 5, seed = "graft-r1")
+      .select(col("lang"), col("sample_rank"), col("doc_id"),
+        col("source"), col("n_chars"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -701,5 +713,6 @@ object Queries {
     "q41_ann_ivf" -> (q41AnnIvf _),
     "q42_tfidf_terms" -> (q42TfidfTerms _),
     "q43_rollup" -> (q43Rollup _),
-    "q44_ship_delay" -> (q44ShipDelay _))
+    "q44_ship_delay" -> (q44ShipDelay _),
+    "q45_stratified_sample" -> (q45StratifiedSample _))
 }

@@ -42,6 +42,66 @@ class JobsSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/chk/metrics/offsets").exists)
   }
 
+  test("sessions and dedup job topologies run over a memory source") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftjob2").toString
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val qs = StreamingJobs.startSessions(spark, events, s"$dir/s", "1 seconds") ++
+      StreamingJobs.startDedup(spark, events, s"$dir/d", "1 seconds")
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        json(1, "2024-01-01 10:00:00", 1, "view", 1.0), // stream dup
+        json(2, "2024-01-01 10:05:00", 1, "view", 1.0)))
+      qs.foreach(_.processAllAvailable())
+      input.addData(Seq(json(9, "2024-01-01 12:00:00", 9, "view", 1.0)))
+      qs.foreach(_.processAllAvailable())
+      input.addData(Seq(json(10, "2024-01-01 13:00:00", 9, "view", 1.0)))
+      qs.foreach(_.processAllAvailable())
+    } finally qs.foreach(_.stop())
+    val sessions = spark.read.parquet(s"$dir/s/sessions")
+    assert(sessions.where($"user_id" === 1).count() === 1) // one session, 3 events
+    val deduped = spark.read.parquet(s"$dir/d/deduped")
+    assert(deduped.count() === 4) // 5 events in, 1 dup dropped
+  }
+
+  test("file streaming source + AvailableNow backfills a windowed pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graftfile").toString
+    // land a parquet batch as the file-source input
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), 1L, "error", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:20"), 2L, "error", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/in")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(s"$dir/in")
+      val metrics = StreamOps.windowedMetrics(
+        StreamOps.errorAlerts(StreamOps.watermarked(stream)),
+        "60 seconds", "60 seconds")
+      val q = metrics.writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce() // ingests the backfill; watermark persisted in checkpoint
+    // a later file arrives; the restarted query recovers the watermark
+    // from the checkpoint and finalizes the 10:00 window
+    Seq((9L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 9L, "error", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 1)
+    assert(out.head().getAs[Long]("n_alerts") === 2L)
+  }
+
   test("batch job bundle writes csv + parquet report tree") {
     val dir = java.nio.file.Files.createTempDirectory("graftbatch").toString
     BatchJobs.run(spark, "/root/testdata/sf0.001", dir, "terms")
