@@ -495,5 +495,46 @@ object Oracles {
         |  ORDER BY md5('graft-r1' || '|' || CAST(doc_id AS VARCHAR)),
         |  doc_id) AS sample_rank
         |FROM documents) WHERE sample_rank <= 5
-        |ORDER BY lang, sample_rank""".stripMargin)
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q46_quality_filter" ->
+      s"""WITH d AS (SELECT lang, $TOKS AS toks FROM documents),
+         |m AS (SELECT lang, len(toks) AS n,
+         |CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks,
+         |  x -> list_contains(['the','a'], x))) AS DOUBLE)/len(toks) END AS stop_r,
+         |CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_distinct(toks))
+         |  AS DOUBLE)/len(toks) END AS uniq_r
+         |FROM d),
+         |q AS (SELECT lang, n, stop_r, uniq_r,
+         |round(uniq_r*0.5 + (1.0-stop_r)*0.3
+         |  + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4) AS quality
+         |FROM m),
+         |c AS (SELECT lang, quality,
+         |CASE WHEN n < 10 THEN 'drop:too_short'
+         |  WHEN stop_r > 0.5 THEN 'drop:stopword_stuffed'
+         |  WHEN uniq_r < 0.2 THEN 'drop:repetitive'
+         |  WHEN quality < 0.5 THEN 'drop:low_quality'
+         |  ELSE 'keep' END AS decision
+         |FROM q)
+         |SELECT lang, decision, count(*) AS n, round(avg(quality), 4) AS avg_q
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q47_crossmodal" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fp a JOIN fp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT id_a, id_b,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
+         |FROM pairs WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT j.id_a, j.id_b, j.jaccard,
+         |round(list_dot_product(va.e, vb.e)
+         |  /(sqrt(list_dot_product(va.e, va.e))*sqrt(list_dot_product(vb.e, vb.e))), 4) AS emb_sim
+         |FROM j JOIN v va ON j.id_a = va.vec_id JOIN v vb ON j.id_b = vb.vec_id
+         |ORDER BY j.id_a, j.id_b""".stripMargin)
 }

@@ -667,6 +667,42 @@ object Queries {
         col("source"), col("n_chars"))
       .orderBy(col("lang"), col("sample_rank"))
 
+  /** Corpus cleaning decision: the keep/drop ladder a training-data
+    * pipeline applies per document (order matters — first reason wins),
+    * built from the quality/language primitives. */
+  def q46QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("quality", qualityScore(col("toks")))
+      .withColumn("decision",
+        when(size(col("toks")) < 10, "drop:too_short")
+          .when(stopwordRatio(col("toks")) > 0.5, "drop:stopword_stuffed")
+          .when(uniqueRatio(col("toks")) < 0.2, "drop:repetitive")
+          .when(col("quality") < 0.5, "drop:low_quality")
+          .otherwise("keep"))
+    d.groupBy(col("lang"), col("decision"))
+      .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_q"))
+      .orderBy(col("lang"), col("decision"))
+  }
+
+  /** Cross-modal verification: textual near-dup pairs (q22 pipeline)
+    * joined to their embedding cosine — pairs that are near-dups in
+    * BOTH modalities are high-confidence duplicates. Inner-joins the
+    * (tiny) pair set against the embedding table twice. */
+  def q47CrossModal(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(spark, dir).documents, "doc_id",
+      "text", n = 3, threshold = 0.2)
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("e").as("ea")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("e").as("eb")), Seq("id_b"))
+      .withColumn("emb_sim",
+        round(Similarity.cosine(col("ea"), col("eb")), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("emb_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,5 +750,7 @@ object Queries {
     "q42_tfidf_terms" -> (q42TfidfTerms _),
     "q43_rollup" -> (q43Rollup _),
     "q44_ship_delay" -> (q44ShipDelay _),
-    "q45_stratified_sample" -> (q45StratifiedSample _))
+    "q45_stratified_sample" -> (q45StratifiedSample _),
+    "q46_quality_filter" -> (q46QualityFilter _),
+    "q47_crossmodal" -> (q47CrossModal _))
 }

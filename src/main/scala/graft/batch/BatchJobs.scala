@@ -20,15 +20,17 @@ object BatchJobs {
       "q24_source_profile"),
     // job2_historico-analog: volumes, influencers, summary
     "history" -> Seq("q14_union_funnel", "q15_top_users_pct",
-      "q16_event_summary", "q39_running_revenue"),
+      "q16_event_summary", "q39_running_revenue", "q44_ship_delay"),
     // job3_patron_temporal-analog: hourly/weekday/heatmap/weekend
     "temporal" -> Seq("q08_hourly", "q09_weekday", "q10_heatmap",
       "q13_weekend", "q31_sessions"),
     // job4_spam-analog: quality flags + composite scoring
     "quality" -> Seq("q19_lang_quality", "q20_sentiment",
-      "q21_dedup_exact", "q40_simhash"),
+      "q21_dedup_exact", "q40_simhash", "q46_quality_filter",
+      "q45_stratified_sample"),
     // job5_menciones-analog: term extraction + top-k
-    "terms" -> Seq("q18_top_tokens", "q27_extract_terms"))
+    "terms" -> Seq("q18_top_tokens", "q27_extract_terms",
+      "q42_tfidf_terms"))
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       job: String): Unit =
