@@ -88,6 +88,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalized.head.getAs[Long]("n_alerts") === 2L) // late row dropped
   }
 
+  test("out-of-order data within the watermark is accepted into its window") {
+    val w1 = Seq(json(1, "2024-01-01 10:00:40", 1, "error", 1.0))
+    // out of order (earlier than batch 1) but within the 2-min bound
+    val w2 = Seq(
+      json(2, "2024-01-01 10:00:10", 2, "error", 1.0),
+      json(3, "2024-01-01 10:01:30", 3, "error", 1.0))
+    val w3 = Seq(json(9, "2024-01-01 10:10:00", 9, "error", 1.0))
+    val w4 = Seq(json(10, "2024-01-01 10:11:00", 9, "error", 1.0))
+    val out = runStream("ooo_t", Seq(w1, w2, w3, w4)) { ev =>
+      StreamOps.windowedMetrics(
+        StreamOps.errorAlerts(StreamOps.watermarked(ev)),
+        "60 seconds", "60 seconds")
+    }
+    val w1000 = out.where($"window_start" === "2024-01-01 10:00:00").collect()
+    assert(w1000.length === 1)
+    assert(w1000.head.getAs[Long]("n_alerts") === 2L) // ids 1 and 2
+  }
+
   test("high-frequency detector: >=3 events per user per 60s window") {
     val w1 = Seq(
       json(1, "2024-01-01 10:00:05", 1, "view", 1.0),
