@@ -17,19 +17,26 @@ object StreamingJobs {
 
   /** job1-analog (bot detection): stateful high-frequency detector ∪
     * stateless detectors → alert sink; chained re-aggregated metrics
-    * (T9) → metrics sink. */
-  def startDetection(spark: SparkSession, events: DataFrame,
+    * (T9) → metrics sink.
+    *
+    * Takes a source FACTORY: every started query instantiates its own
+    * source plan — exactly how the reference topology behaves (each
+    * query maintains independent Kafka offsets, SURVEY T12), and
+    * required for single-consumer test sources like MemoryStream. */
+  def startDetection(spark: SparkSession, events: () => DataFrame,
       outDir: String, trigger: String = "60 seconds")
       : Seq[StreamingQuery] = {
-    val src = StreamOps.watermarked(events)
-    val alerts = StreamOps.alertUnion(Seq(
+    def alertsOf(src: DataFrame) = StreamOps.alertUnion(Seq(
       StreamOps.highFrequencyAlerts(src),
       StreamOps.highValueAlerts(src),
       StreamOps.errorAlerts(src)))
-    val metrics = StreamOps.windowedMetrics(alerts)
+    val alerts = alertsOf(StreamOps.watermarked(events()))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val metrics = StreamOps.windowedMetrics(
+      alertsOf(StreamOps.watermarked(events())))
     Seq(
-      Sinks.parquetAppend(alerts.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp")),
+      Sinks.parquetAppend(alerts,
         s"$outDir/alerts", s"$outDir/chk/alerts", trigger).start(),
       Sinks.parquetAppend(metrics,
         s"$outDir/metrics", s"$outDir/chk/metrics", trigger).start())

@@ -19,19 +19,26 @@ class JobsSpec extends AnyFunSuite {
   test("streaming detection job fans out alerts + chained metrics") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graftjob").toString
-    val input = MemoryStream[String]
-    val events = StreamOps.withEventTime(
-      StreamOps.decodeJsonEnvelope(input.toDF()))
-    val queries = StreamingJobs.startDetection(spark, events, dir,
+    // one source instance per started query (MemoryStream is
+    // single-consumer; production Kafka behaves the same way — each
+    // query tracks its own offsets)
+    val inputs = scala.collection.mutable.ArrayBuffer[MemoryStream[String]]()
+    def events(): org.apache.spark.sql.DataFrame = {
+      val in = MemoryStream[String]
+      inputs += in
+      StreamOps.withEventTime(StreamOps.decodeJsonEnvelope(in.toDF()))
+    }
+    def addData(rows: Seq[String]): Unit = inputs.foreach(_.addData(rows))
+    val queries = StreamingJobs.startDetection(spark, events _, dir,
       trigger = "1 seconds")
     try {
-      input.addData(Seq(
+      addData(Seq(
         json(1, "2024-01-01 10:00:05", 1, "error", 1.0),
         json(2, "2024-01-01 10:00:40", 3, "purchase", 400.0)))
       queries.foreach(_.processAllAvailable())
-      input.addData(Seq(json(9, "2024-01-01 10:30:00", 9, "view", 1.0)))
+      addData(Seq(json(9, "2024-01-01 10:30:00", 9, "view", 1.0)))
       queries.foreach(_.processAllAvailable())
-      input.addData(Seq(json(10, "2024-01-01 11:00:00", 9, "view", 1.0)))
+      addData(Seq(json(10, "2024-01-01 11:00:00", 9, "view", 1.0)))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     val alerts = spark.read.parquet(s"$dir/alerts")
@@ -45,26 +52,43 @@ class JobsSpec extends AnyFunSuite {
   test("sessions and dedup job topologies run over a memory source") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graftjob2").toString
-    val input = MemoryStream[String]
-    val events = StreamOps.withEventTime(
-      StreamOps.decodeJsonEnvelope(input.toDF()))
-    val qs = StreamingJobs.startSessions(spark, events, s"$dir/s", "1 seconds") ++
-      StreamingJobs.startDedup(spark, events, s"$dir/d", "1 seconds")
+    // one MemoryStream per query — the test source is single-consumer
+    val inputA = MemoryStream[String]
+    val inputB = MemoryStream[String]
+    def ev(in: MemoryStream[String]) = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(in.toDF()))
+    val qs =
+      StreamingJobs.startSessions(spark, ev(inputA), s"$dir/s", "1 seconds") ++
+      StreamingJobs.startDedup(spark, ev(inputB), s"$dir/d", "1 seconds")
+    def addData(rows: Seq[String]): Unit = {
+      inputA.addData(rows); inputB.addData(rows)
+    }
     try {
-      input.addData(Seq(
+      addData(Seq(
         json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
         json(1, "2024-01-01 10:00:00", 1, "view", 1.0), // stream dup
         json(2, "2024-01-01 10:05:00", 1, "view", 1.0)))
       qs.foreach(_.processAllAvailable())
-      input.addData(Seq(json(9, "2024-01-01 12:00:00", 9, "view", 1.0)))
-      qs.foreach(_.processAllAvailable())
-      input.addData(Seq(json(10, "2024-01-01 13:00:00", 9, "view", 1.0)))
-      qs.foreach(_.processAllAvailable())
+      // multiple real closer batches: emission rides data batches, not
+      // the (timing-dependent) no-data micro-batch of the 1s trigger
+      Seq("2024-01-01 12:00:00", "2024-01-01 13:00:00",
+        "2024-01-01 14:00:00").zipWithIndex.foreach { case (ts, i) =>
+        addData(Seq(json(9L + i, ts, 9, "view", 1.0)))
+        qs.foreach(_.processAllAvailable())
+      }
+      // addData batches can coalesce per query, leaving the final
+      // emission to an asynchronous no-data micro-batch — poll for it
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          (scala.util.Try(spark.read.parquet(s"$dir/s/sessions")
+            .where($"user_id" === 1).count()).getOrElse(0L) < 1)) {
+        Thread.sleep(200)
+      }
     } finally qs.foreach(_.stop())
     val sessions = spark.read.parquet(s"$dir/s/sessions")
     assert(sessions.where($"user_id" === 1).count() === 1) // one session, 3 events
     val deduped = spark.read.parquet(s"$dir/d/deduped")
-    assert(deduped.count() === 4) // 5 events in, 1 dup dropped
+    assert(deduped.count() === 5) // 6 events in, 1 dup dropped
   }
 
   test("file streaming source + AvailableNow backfills a windowed pipeline") {
