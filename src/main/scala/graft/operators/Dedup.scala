@@ -73,7 +73,10 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select(col("shingle"))
+    // both sides of the self-join consume the filtered posting list;
+    // materialize it once (inverted-index build step)
     val filtered = posting.join(df, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = filtered.select(col("doc_id").as("id_a"), col("n_sh").as("na"),
       col("shingle"))
     val b = filtered.select(col("doc_id").as("id_b"), col("n_sh").as("nb"),
