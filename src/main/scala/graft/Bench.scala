@@ -4,11 +4,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Plans execute fully via the
   * noop sink (a bare .count() would let Catalyst elide sorts and
-  * projections and under-measure). */
+  * projections and under-measure).
+  *
+  * Methodology (round-2 bench contract):
+  *  - n samples per query (SPARK_GRAFT_BENCH_N, default 3); the
+  *    reported per-query number is the MIN across samples — the shared
+  *    host inflates single samples 5-30× under external load, and the
+  *    min of n identical plan executions is the engine's actual cost.
+  *  - operator caches are released between samples
+  *    (Caches.releaseAll), so every sample pays the full plan cost —
+  *    no cross-sample cache reuse inflating the min.
+  *  - failures are NOT silently folded into timings: a query that
+  *    throws in any sample reports -1 and lands in "failed" so the
+  *    driver can tell a fast query from a broken one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,24 +36,29 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Best-of-2 per query: the host is shared and external load can
-    // inflate a single sample 5-30x; the min of two runs reports the
-    // engine's actual cost (plans and caches identical across runs).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        graft.operators.Caches.releaseAll()
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> samples.min
+      (name, samples.map(_._1).min, samples.forall(_._2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (name, _, false) => name }
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -427,7 +427,7 @@ object Oracles {
          |SELECT id_a, id_b, CAST(len(list_filter(range(1, 65),
          |  i -> substring(bits_a, CAST(i AS INT), 1)
          |    != substring(bits_b, CAST(i AS INT), 1))) AS INT) AS hamming
-         |FROM cand) WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
+         |FROM cand) WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q41_ann_ivf" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

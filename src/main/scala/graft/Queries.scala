@@ -585,10 +585,13 @@ object Queries {
 
   /** SimHash-64 near-dup pairs: banded 16-bit buckets for candidates,
     * Hamming-verified (native SimHashBits expression; portable md5
-    * bit derivation mirrored in the oracle). */
+    * bit derivation mirrored in the oracle). maxHamming=3 is the
+    * 4-band pigeonhole recall bound — the operator enforces
+    * maxHamming < bands so the emitted pair set is COMPLETE at the
+    * declared distance, not silently partial. */
   def q40Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(spark, dir).documents, "doc_id", "text",
-      maxHamming = 8)
+      maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** IVF-bucketed ANN (the 100 TB path of q25): corpus vectors are

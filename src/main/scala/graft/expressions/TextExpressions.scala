@@ -125,13 +125,24 @@ object TextKernels {
     UTF8String.fromString(new String(out))
   }
 
-  /** Positions differing between two equal-length strings. */
+  /** Codepoint positions differing between two strings of equal
+    * numChars. Iterates by codepoint, not UTF-16 unit: the caller's
+    * guard compares numChars (codepoints), so supplementary-plane
+    * input like '𝄞' vs 'x' has equal numChars but unequal java
+    * lengths — a charAt loop would walk past the shorter string. */
   def hamming(l: UTF8String, r: UTF8String): Int = {
     val a = l.toString
     val b = r.toString
     var d = 0
     var i = 0
-    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) d += 1
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
     d
   }
 }

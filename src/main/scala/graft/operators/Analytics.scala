@@ -53,8 +53,12 @@ object Analytics {
       struct(lCols.map(col): _*).as("_row"))
     val unioned = r.withColumn("_row", lit(null).cast(l.schema("_row").dataType))
       .unionByName(l)
+    // final tie-break on the payload struct: two right rows with the
+    // same key AND identical timestamp would otherwise sort
+    // nondeterministically, making the carried payload run-dependent
+    // (ascending struct order ⇒ the max payload deterministically wins)
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_payload"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = unioned
       .withColumn("_carry", last(col("_payload"), ignoreNulls = true).over(w))

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Lifecycle registry for operator-internal persisted frames.
+  *
+  * Dedup (and friends) persist intermediates — posting lists, band
+  * tables — that must outlive the operator call: the consuming action
+  * only happens when the caller materializes the returned plan. That
+  * means the operator itself can never safely unpersist. Instead every
+  * internal persist is tracked here, and session drivers that run many
+  * catalog queries (Bench, Verify, long-lived services) release them
+  * between queries via [[releaseAll]]. Without this, cached blocks
+  * accumulate for the life of the session (disk-spilled blocks are not
+  * LRU-evicted) and repeated catalog runs re-cache already-cached
+  * plans (the `CacheManager` warnings seen in the round-1 bench log).
+  */
+object Caches {
+  private val frames =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist `df` at MEMORY_AND_DISK and track it for later release. */
+  def persistTracked[T](df: Dataset[T]): Dataset[T] = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    frames.add(df)
+    df
+  }
+
+  /** Unpersist every tracked frame (non-blocking). Call after the
+    * action that consumes the operator's output. */
+  def releaseAll(): Unit = {
+    var df = frames.poll()
+    while (df != null) { df.unpersist(false); df = frames.poll() }
+  }
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -18,11 +17,15 @@ import graft.functions.TextFunctions._
   *  - minhashLsh: banded MinHash — candidate pairs only when a band
   *               collides; verification re-computes exact Jaccard on
   *               the (tiny) candidate set. This is the 100 TB path: cost
-  *               is O(n·bands), not O(pairs).
+  *               is O(n·bands), not O(pairs), and only slim
+  *               (id, band, bucket) rows ride the candidate shuffle.
   *
   * Hashes are engine-portable (md5-hex, lexicographic min) so results
   * are reproducible bit-for-bit in any SQL engine — which is also what
   * the DuckDB oracle checks.
+  *
+  * Internal persists are tracked in [[Caches]]; run-many-queries
+  * drivers call `Caches.releaseAll()` between queries.
   */
 object Dedup {
 
@@ -48,11 +51,10 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
+    Caches.persistTracked(
+      docs.select(col(idCol).as("doc_id"),
         graft.expressions.TextExpressions.wordShingles(col(textCol), n)
-          .as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .as("sh")))
       .withColumn("n_sh", size(col("sh")))
       .where(col("n_sh") > 0)
 
@@ -75,8 +77,7 @@ object Dedup {
       .select(col("shingle"))
     // both sides of the self-join consume the filtered posting list;
     // materialize it once (inverted-index build step)
-    val filtered = posting.join(df, Seq("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = Caches.persistTracked(posting.join(df, Seq("shingle")))
     val a = filtered.select(col("doc_id").as("id_a"), col("n_sh").as("na"),
       col("shingle"))
     val b = filtered.select(col("doc_id").as("id_b"), col("n_sh").as("nb"),
@@ -101,22 +102,35 @@ object Dedup {
     graft.expressions.TextExpressions.minhashSig(sh, numHashes)
 
   /** SimHash near-dup pairs: 64-bit fingerprints (as bit strings),
-    * banded into 4×16-bit exact-match buckets for candidates (a
-    * fingerprint pair within Hamming distance 3 shares ≥1 band by
-    * pigeonhole), then verified by Hamming distance <= maxHamming.
-    * One shuffle per band join; no O(n²) comparisons. */
+    * banded into `bands` exact-match buckets for candidates, then
+    * verified by Hamming distance <= maxHamming. One shuffle per band
+    * join; no O(n²) comparisons.
+    *
+    * Recall bound (pigeonhole): a fingerprint pair within Hamming
+    * distance d is GUARANTEED to share a band only when d <= bands-1,
+    * so `maxHamming < bands` is required — a larger maxHamming would
+    * silently emit an incomplete pair set (pairs at larger distances
+    * surface only on coincidental band collisions). More bands buy
+    * recall but shrink buckets to 64/bands bits, increasing candidate
+    * collisions — at 4 bands a bucket is 16 bits (65k values), still
+    * selective; at 16 bands it is 4 bits and the band join degenerates
+    * toward all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"banded LSH guarantees recall only for Hamming distance <= bands-1"
+        + s" (pigeonhole); got maxHamming=$maxHamming with $bands bands")
+    val bandBits = 64 / bands
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val bits = docs
+    val bits = Caches.persistTracked(docs
       .where(size(toks) > 0) // token-less docs have no fingerprint
       .select(col(idCol).as("doc_id"),
-        graft.expressions.TextExpressions.simhashBits(toks).as("bits"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band b = 16-bit substring [b*16+1, 16]
+        graft.expressions.TextExpressions.simhashBits(toks).as("bits")))
+    // band b = bandBits-bit substring [b*bandBits+1, bandBits]
     val withBands = bits.select(col("doc_id"), col("bits"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
-        col("bits").substr(b * 16 + 1, lit(16)))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        col("bits").substr(b * bandBits + 1, lit(bandBits)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val l = withBands.select(col("doc_id").as("id_a"),
@@ -136,35 +150,45 @@ object Dedup {
 
   /** Banded-LSH candidate pairs + exact-Jaccard verification.
     * numHashes = bands * rowsPerBand. Emits (id_a < id_b, jaccard)
-    * for verified pairs with jaccard >= threshold. */
+    * for verified pairs with jaccard >= threshold.
+    *
+    * Shuffle shape (the 100 TB consideration): ONLY slim
+    * (doc_id, band, bucket) rows ride the band self-join and the
+    * (id_a,id_b) dedup shuffles — the full shingle arrays stay in the
+    * persisted [[shingleSets]] frame and are joined back BY ID for the
+    * tiny verified candidate set. Carrying the arrays through the
+    * candidate shuffles instead would cost
+    * O(candidates × avg-shingle-set-bytes) — the arrays dominate. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sets = shingleSets(docs, idCol, textCol, n)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // band value = md5 of the concatenated signature slice
-    val banded = sets.select(
-      col("doc_id"), col("sh"), col("n_sh"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          md5(concat_ws("#",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
-      // banded is self-joined below; without materialization the 8×md5
-      // signature computation would run once per join side.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-      col("n_sh").as("na"), col("band"), col("bucket"))
-    val r = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-      col("n_sh").as("nb"), col("band"), col("bucket"))
+    // band value = md5 of the concatenated signature slice; persisted
+    // because both sides of the self-join consume it (without
+    // materialization the signature would compute once per join side)
+    val banded = Caches.persistTracked(
+      sets
+        .withColumn("sig", minhashSignature(col("sh"), numHashes))
+        .select(col("doc_id"),
+          posexplode(
+            transform(sequence(lit(0), lit(bands - 1)), b =>
+              md5(concat_ws("#",
+                slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"))
+    val l = banded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
     val cand = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
-        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    // fetch the shingle sets for the surviving candidates by id
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      col("n_sh").as("na"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      col("n_sh").as("nb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("shared",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",

@@ -75,14 +75,17 @@ object Similarity {
         .withColumn("crank", row_number().over(w))
         .where(col("crank") === 1)
       // mean per cluster: explode positions, average, regroup. The sum
-      // folds over a SORTED collect_list so the mean is bit-identical
-      // under any partitioning (plain avg would be order-dependent);
-      // at extreme cluster sizes swap for fixed-point accumulation.
+      // runs in fixed-point (1e-6 quanta) longs: integer addition is
+      // order-independent, so the mean is bit-identical under any
+      // partitioning at CONSTANT row width — a collect_list mean would
+      // accumulate every member value in one row and OOM at real
+      // cluster sizes. (The later per-cluster collect_list is bounded
+      // by the vector dimensionality, not cluster size.)
       cents = assigned
         .select(col("cent_id"), posexplode(col("v")))
         .groupBy(col("cent_id"), col("pos"))
-        .agg((aggregate(array_sort(collect_list(col("col"))), lit(0.0),
-          (a, x) => a + x) / count(lit(1))).as("m"))
+        .agg((sum(round(col("col") * 1e6).cast("long")).cast("double")
+          / 1e6 / count(lit(1))).as("m"))
         .groupBy(col("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))

@@ -53,12 +53,17 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs distance 0, near dups close, unrelated apart") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    // maxHamming must respect the bands-1 pigeonhole recall bound
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 2L)) === 0) // exact dup
     assert(pairs((1L, 5L)) === 0) // normalizes to same tokens
-    assert(pairs.get((1L, 3L)).forall(_ <= 16)) // near dup, small distance
+    assert(pairs.get((1L, 3L)).forall(_ <= 3)) // near dup if emitted
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // over-bound maxHamming would silently under-report pairs → rejected
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    }
   }
 
   // ---- Similarity ----

@@ -86,4 +86,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
     assert(qs(1) > qs(0)) // diverse non-stopword text scores higher
   }
+
+  test("hamming_dist: codepoint-safe on supplementary-plane input") {
+    import graft.expressions.TextExpressions.hammingDist
+    // '𝄞' is outside the BMP: numChars 1 but java length 2 — a
+    // UTF-16-unit loop would walk past 'x' and throw at runtime
+    val out = Seq(("𝄞", "x"), ("𝄞a", "𝄞b"), ("ab", "ab"), ("abc", "ab"))
+      .toDF("a", "b")
+      .select(hammingDist($"a", $"b").as("d"))
+      .collect()
+    assert(out(0).getInt(0) === 1)
+    assert(out(1).getInt(0) === 1)
+    assert(out(2).getInt(0) === 0)
+    assert(out(3).isNullAt(0)) // unequal codepoint lengths → null
+  }
 }
