@@ -7,6 +7,29 @@ package graft
   */
 object Oracles {
 
+  import graft.functions.TweetFunctions
+
+  /** Synthetic tweet-shaped columns shared by the q48-q51 oracles —
+    * must mirror the derivations in Queries exactly. */
+  private val LOC_SYNTH =
+    """CASE WHEN doc_id % 8 = 0 THEN NULL
+      |  WHEN doc_id % 8 = 1 THEN 'Unknown'
+      |  WHEN doc_id % 8 = 2 THEN '#' || source
+      |  WHEN doc_id % 8 = 3 THEN 'http://' || source
+      |  WHEN doc_id % 8 = 4 THEN 'NY'
+      |  WHEN doc_id % 8 = 5 THEN 'Rio'
+      |  WHEN doc_id % 8 = 6 THEN 'Wallet City'
+      |  ELSE source || ' city' END""".stripMargin
+
+  private val STREAM_BLACKLIST_IN = TweetFunctions.StreamingLocationBlacklist
+    .map(s => s"'$s'").mkString("(", ", ", ")")
+  private val BATCH_KEYWORD_FILTERS = TweetFunctions.BatchLocationKeywords
+    .map(k => s"AND NOT contains(lc, '$k')").mkString("\n")
+  private val SPAM_REGEX = TweetFunctions.SpamKeywords
+    .map(k => s"(?i)$k").mkString("|")
+  private val BOT_REGEX = TweetFunctions.KnownBots
+    .map(_.toLowerCase).mkString("|")
+
   /** Portable tokenizer mirror of TextFunctions.tokens. */
   private val TOKS =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
@@ -536,5 +559,96 @@ object Oracles {
          |round(list_dot_product(va.e, vb.e)
          |  /(sqrt(list_dot_product(va.e, va.e))*sqrt(list_dot_product(vb.e, vb.e))), 4) AS emb_sim
          |FROM j JOIN v va ON j.id_a = va.vec_id JOIN v vb ON j.id_b = vb.vec_id
-         |ORDER BY j.id_a, j.id_b""".stripMargin)
+         |ORDER BY j.id_a, j.id_b""".stripMargin,
+
+    "q48_location_clean" ->
+      s"""WITH d AS (SELECT doc_id, source, $LOC_SYNTH AS loc FROM documents),
+         |base AS (SELECT loc FROM d
+         |  WHERE loc IS NOT NULL AND loc != '' AND loc != 'Unknown'),
+         |s0 AS (SELECT upper(trim(regexp_replace(loc,
+         |  '[📍🌍🌎🌏🗺️]', '', 'g'))) AS lc FROM base),
+         |s AS (SELECT lc FROM s0 WHERE length(lc) > 2
+         |  AND lc NOT IN $STREAM_BLACKLIST_IN
+         |  AND NOT contains(lc, 'HTTP') AND NOT contains(lc, 'WWW.')
+         |  AND NOT starts_with(lc, '#')),
+         |b0 AS (SELECT regexp_replace(trim(lower(loc)),
+         |  '[📍🌍🌎🌏🚀💎]', '', 'g') AS lc FROM base),
+         |b AS (SELECT lc FROM b0
+         |  WHERE NOT starts_with(lc, '[') AND NOT starts_with(lc, '#')
+         |  AND NOT regexp_matches(lc, '^\\d{4}-\\d{2}-\\d{2}')
+         |  AND NOT regexp_matches(lc, '^\\d{2}:\\d{2}:\\d{2}')
+         |  AND length(lc) > 3 AND length(lc) < 100
+         |  $BATCH_KEYWORD_FILTERS
+         |  AND NOT regexp_matches(lc, '^[0-9]+$$')
+         |  AND NOT contains(lc, 'http') AND NOT contains(lc, 'www.')),
+         |u AS (
+         |  SELECT 'batch' AS variant, count(*) AS n_kept,
+         |    count(DISTINCT lc) AS n_distinct FROM b
+         |  UNION ALL
+         |  SELECT 'streaming', count(*), count(DISTINCT lc) FROM s)
+         |SELECT variant, n_kept, n_distinct FROM u ORDER BY variant""".stripMargin,
+
+    "q49_spam_profile" ->
+      s"""WITH d AS (SELECT source,
+         |  CASE WHEN doc_id % 13 = 0 THEN 'Act now! Win FREE bonus'
+         |    WHEN doc_id % 11 = 0 THEN text || ' see https://promo.example/x'
+         |    ELSE text END AS tweet
+         |  FROM documents),
+         |f AS (SELECT source,
+         |  regexp_matches(tweet, 'http[s]?://') AS url_f,
+         |  regexp_matches(tweet, '$SPAM_REGEX') AS spam_f,
+         |  len(string_split_regex(tweet, '\\s+')) AS wc
+         |  FROM d),
+         |g AS (SELECT source, url_f, spam_f, wc, wc <= 5 AS short_f,
+         |  (CASE WHEN url_f THEN 1 ELSE 0 END
+         |   + CASE WHEN spam_f THEN 1 ELSE 0 END
+         |   + CASE WHEN wc <= 5 THEN 1 ELSE 0 END) AS score
+         |  FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |CAST(sum(CASE WHEN url_f THEN 1 ELSE 0 END) AS BIGINT) AS with_urls,
+         |CAST(sum(CASE WHEN spam_f THEN 1 ELSE 0 END) AS BIGINT) AS spam_docs,
+         |CAST(sum(CASE WHEN short_f THEN 1 ELSE 0 END) AS BIGINT) AS very_short,
+         |round(avg(wc), 2) AS avg_words,
+         |CAST(sum(CASE WHEN score >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS high_risk
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q50_device_profile" ->
+      s"""WITH d AS (SELECT lang,
+         |  CASE WHEN doc_id % 8 = 0 THEN 'Twitter Web App'
+         |    WHEN doc_id % 8 = 1 THEN 'Twitter for Android'
+         |    WHEN doc_id % 8 = 2 THEN 'Twitter for iPhone'
+         |    WHEN doc_id % 8 = 3 THEN 'IFTTT'
+         |    WHEN doc_id % 8 = 4 THEN 'crypto feed aggregator'
+         |    WHEN doc_id % 8 = 5 THEN 'TweetDeck'
+         |    WHEN doc_id % 8 = 6 THEN 'Twitter for Mac'
+         |    ELSE 'Mobile Web' END AS src
+         |  FROM documents),
+         |c AS (SELECT lang, src,
+         |  CASE WHEN regexp_matches(lower(src), '$BOT_REGEX')
+         |    THEN 'Bots y Automatizacion'
+         |  WHEN contains(src, 'Web App') THEN 'PC Web Browser'
+         |  WHEN contains(src, 'Android') THEN 'Android'
+         |  WHEN contains(src, 'iPhone') OR contains(src, 'iPad')
+         |    OR contains(src, 'Mac') THEN 'Apple iOS Mac'
+         |  ELSE 'Otras Apps' END AS device_category
+         |  FROM d)
+         |SELECT lang, device_category, count(*) AS n,
+         |count(DISTINCT src) AS n_sources,
+         |round(count(*)*100.0/sum(count(*)) OVER (PARTITION BY lang), 2) AS pct
+         |FROM c GROUP BY lang, device_category
+         |ORDER BY lang, device_category""".stripMargin,
+
+    "q51_mentions" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' @user'
+        |    || CAST(doc_id % 25 AS VARCHAR) || ' and @Crypto_Bot99'
+        |  ELSE text END AS tweet
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(tweet, '@([A-Za-z0-9_]+)', 1)) AS mention
+        |  FROM d)
+        |SELECT mention, count(*) AS mention_count,
+        |count(DISTINCT doc_id) AS n_docs
+        |FROM m WHERE mention != ''
+        |GROUP BY mention ORDER BY mention""".stripMargin)
 }

@@ -706,6 +706,108 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------- reference-domain parity pack (q48-q51) ----------
+  // The reference's tweet-analytics Column logic (TweetFunctions) run
+  // over deterministic tweet-shaped columns synthesized from the
+  // documents table — the fixtures carry no locations/mentions/device
+  // strings, so each query derives them reproducibly from doc_id and
+  // mirrors the derivation in its oracle. The *functions* carry the
+  // exact reference semantics; ParityFunctionsSpec additionally pins
+  // them against realistic inputs (emoji, blacklist hits, bots).
+
+  /** Both divergent location cleaners side-by-side (streaming:
+    * job4_locationsreal_time.py:132-162; batch: job1_locations.py:
+    * 68-93 — kept separate per SURVEY §5.5 #6). The synthesized
+    * locations exercise every filter arm; 'Rio' (len 3) and
+    * 'Wallet City' (batch keyword hit) survive exactly one variant. */
+  def q48LocationClean(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TweetFunctions._
+    val m = col("doc_id") % 8
+    val d = t(spark, dir).documents.withColumn("loc",
+      when(m === 0, lit(null).cast("string"))
+        .when(m === 1, lit("Unknown"))
+        .when(m === 2, concat(lit("#"), col("source")))
+        .when(m === 3, concat(lit("http://"), col("source")))
+        .when(m === 4, lit("NY"))
+        .when(m === 5, lit("Rio"))
+        .when(m === 6, lit("Wallet City"))
+        .otherwise(concat(col("source"), lit(" city"))))
+    def variant(name: String, cleaner: Column => Column): DataFrame =
+      d.select(cleaner(col("loc")).as("lc"))
+        .where(col("lc").isNotNull)
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("lc")).as("n_distinct"))
+        .select(lit(name).as("variant"), col("n_kept"), col("n_distinct"))
+    variant("batch", cleanLocationBatch)
+      .unionByName(variant("streaming", cleanLocationStreaming))
+      .orderBy(col("variant"))
+  }
+
+  /** Spam flags + composite 0-3 score + high-risk filter per source
+    * (job4_spam.py:81-199). Deterministic URL/short-tweet injection so
+    * every flag arm fires on the synthetic corpus. */
+  def q49SpamProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TweetFunctions._
+    val d = t(spark, dir).documents.withColumn("tweet",
+      when(col("doc_id") % 13 === 0, lit("Act now! Win FREE bonus"))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" see https://promo.example/x")))
+        .otherwise(col("text")))
+      .withColumn("score", spamScore(col("tweet")))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(containsUrl(col("tweet")), 1).otherwise(0)).as("with_urls"),
+        sum(when(isSpamKeyword(col("tweet")), 1).otherwise(0)).as("spam_docs"),
+        sum(when(isVeryShort(col("tweet")), 1).otherwise(0)).as("very_short"),
+        round(avg(spamWordCount(col("tweet"))), 2).as("avg_words"),
+        sum(when(col("score") >= 2, 1).otherwise(0)).as("high_risk"))
+      .orderBy(col("source"))
+  }
+
+  /** Device/bot categorization ladder + per-language share
+    * (job2_historico.py:145-158; bot list job2_historico.py:23-28).
+    * Synthesized source strings hit every ladder arm including the
+    * bot-regex-before-platform precedence. */
+  def q50DeviceProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TweetFunctions._
+    val m = col("doc_id") % 8
+    val d = t(spark, dir).documents.withColumn("src",
+      when(m === 0, lit("Twitter Web App"))
+        .when(m === 1, lit("Twitter for Android"))
+        .when(m === 2, lit("Twitter for iPhone"))
+        .when(m === 3, lit("IFTTT"))
+        .when(m === 4, lit("crypto feed aggregator"))
+        .when(m === 5, lit("TweetDeck"))
+        .when(m === 6, lit("Twitter for Mac"))
+        .otherwise(lit("Mobile Web")))
+      .withColumn("device_category", deviceCategory(col("src")))
+    val byLang = Window.partitionBy(col("lang"))
+    d.groupBy(col("lang"), col("device_category"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("src")).as("n_sources"))
+      .withColumn("pct",
+        round(col("n") * 100.0 / sum(col("n")).over(byLang), 2))
+      .orderBy(col("lang"), col("device_category"))
+  }
+
+  /** `@mention` extraction with the reference's exact regex
+    * `@([A-Za-z0-9_]+)` (job5_menciones.py:75-78), explode + tally. */
+  def q51Mentions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TweetFunctions._
+    val d = t(spark, dir).documents.withColumn("tweet",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" @user"),
+          (col("doc_id") % 25).cast("string"), lit(" and @Crypto_Bot99")))
+        .otherwise(col("text")))
+    d.select(col("doc_id"),
+        explode(extractMentions(col("tweet"))).as("mention"))
+      .where(col("mention") =!= "")
+      .groupBy(col("mention"))
+      .agg(count(lit(1)).as("mention_count"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("mention"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -755,5 +857,9 @@ object Queries {
     "q44_ship_delay" -> (q44ShipDelay _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
     "q46_quality_filter" -> (q46QualityFilter _),
-    "q47_crossmodal" -> (q47CrossModal _))
+    "q47_crossmodal" -> (q47CrossModal _),
+    "q48_location_clean" -> (q48LocationClean _),
+    "q49_spam_profile" -> (q49SpamProfile _),
+    "q50_device_profile" -> (q50DeviceProfile _),
+    "q51_mentions" -> (q51Mentions _))
 }

@@ -80,4 +80,79 @@ class ParityFunctionsSpec extends AnyFunSuite {
     assert(r.getFloat(2) === 5.0f)
     assert(r.getInt(3) === 2 && r.getInt(4) === 0)
   }
+
+  // ---- the two DIVERGENT location cleaners (SURVEY §5.5 #6) ----
+
+  import graft.functions.TweetFunctions._
+
+  private def cleanS(s: String): Option[String] =
+    Seq(Option(s)).toDF("l")
+      .select(cleanLocationStreaming($"l")).as[Option[String]].head()
+  private def cleanB(s: String): Option[String] =
+    Seq(Option(s)).toDF("l")
+      .select(cleanLocationBatch($"l")).as[Option[String]].head()
+
+  test("streaming cleaner: upper-case, blacklist-20, http/www/# guards, len>2") {
+    assert(cleanS("📍 Lima, Peru") === Some("LIMA, PERU"))
+    assert(cleanS("moon") === None)          // upper-cases onto blacklist
+    assert(cleanS("WORLDWIDE") === None)     // blacklist exact hit
+    assert(cleanS("NY") === None)            // len 2 not > 2
+    assert(cleanS("Rio") === Some("RIO"))    // len 3 kept (diverges: batch drops)
+    assert(cleanS("http://x.co") === None)   // HTTP guard after upper
+    assert(cleanS("#crypto") === None)       // '#' prefix
+    assert(cleanS("Unknown") === None)
+    assert(cleanS(null) === None)
+    // blacklist is EXACT equality — a superstring survives streaming
+    assert(cleanS("Wallet City") === Some("WALLET CITY"))
+  }
+
+  test("batch cleaner: lower-case, keyword substrings, 3<len<100, shape guards") {
+    // batch trims BEFORE stripping emoji (opposite of streaming), so a
+    // leading emoji leaves its separator space — reference-faithful
+    assert(cleanB("📍 Lima, Peru") === Some(" lima, peru"))
+    assert(cleanB("Rio") === None)           // len 3 not > 3 (diverges: streaming keeps)
+    assert(cleanB("Wallet City") === None)   // 'wallet' substring (diverges)
+    assert(cleanB("moon base") === None)     // keyword substring
+    assert(cleanB("2021-01-01 somewhere") === None) // date shape
+    assert(cleanB("12345") === None)         // all digits
+    assert(cleanB("[object]") === None)      // '[' prefix
+    assert(cleanB("Lima, Peru") === Some("lima, peru"))
+    // divergent emoji sets: 🗺️ is stripped by streaming, NOT by batch
+    assert(cleanS("🗺️ Lima") === Some("LIMA"))
+    assert(cleanB("🗺️ Lima").exists(_ != "lima"))
+  }
+
+  test("spam flags + composite 0-3 score + high-risk (job4_spam.py:81-199)") {
+    def sc(s: String): Int =
+      Seq(s).toDF("t").select(spamScore($"t")).as[Int].head()
+    assert(sc("totally normal words about the weather today ok") === 0)
+    assert(sc("FREE airdrop!") === 2)       // keyword (case-insensitive) + short
+    assert(sc("see https://x.co") === 2)    // url + short
+    assert(sc("Join the giveaway now at https://x.co right here") === 2) // url + keyword
+    assert(sc("win https://x.co") === 3)    // all three flags
+    val wc = Seq("a  b", "one two three four five six").toDF("t")
+      .select(spamWordCount($"t")).as[Int].collect()
+    assert(wc(0) === 2 && wc(1) === 6)
+  }
+
+  test("device ladder: bot regex wins over platform buckets (job2_historico.py:145-158)") {
+    def cat(s: String): String =
+      Seq(s).toDF("s").select(deviceCategory($"s")).as[String].head()
+    assert(cat("Twitter Web App") === "PC Web Browser")
+    assert(cat("Twitter for Android") === "Android")
+    assert(cat("Twitter for iPhone") === "Apple iOS Mac")
+    assert(cat("Twitter for iPad") === "Apple iOS Mac")
+    assert(cat("IFTTT") === "Bots y Automatizacion")
+    assert(cat("my crypto feed") === "Bots y Automatizacion") // 'feed' substring
+    assert(cat("RoBot Web App") === "Bots y Automatizacion")  // bot before platform
+    assert(cat("dlvrXit") === "Bots y Automatizacion") // unescaped '.' wildcard, as in ref
+    assert(cat("something else") === "Otras Apps")
+  }
+
+  test("mention extraction: reference regex, @ stripped, underscores kept") {
+    val out = Seq("hi @alice and @bob_99! not-an@ mention @C3PO")
+      .toDF("t").select(extractMentions($"t")).as[Seq[String]].head()
+    // '@' followed by space matches nothing; group 1 strips the '@'
+    assert(out === Seq("alice", "bob_99", "C3PO"))
+  }
 }
