@@ -71,8 +71,31 @@ object Sinks {
     }
   }
 
-  /** foreachBatch adapter for an IndexSink. Keeps the reference's
-    * driver-side collect semantics for parity (documented bottleneck). */
+  /** K3 DEFAULT (scale path): executor-side indexing. Each partition
+    * ships its rows to the index from the task that holds them
+    * (foreachPartition) — the fix for the reference's worst scale bug
+    * (elk_sender.py:107-128 collect()s every micro-batch to the driver
+    * and POSTs per document; throughput caps at one driver's NIC).
+    * `sinkFactory` is evaluated per partition ON THE EXECUTOR —
+    * implementations build their client/connection pool there instead
+    * of serializing live driver state. */
+  def indexSinkPartitions(sinkFactory: () => IndexSink, index: String)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val cols = batch.columns
+    batch.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val sink = sinkFactory()
+        sink.indexDocs(index, rows.map { r =>
+          cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap
+        })
+      }
+    }
+  }
+
+  /** K3 parity opt-in: foreachBatch adapter keeping the reference's
+    * driver-side collect semantics bug-for-bug (the documented
+    * bottleneck). Use [[indexSinkPartitions]] unless replicating the
+    * reference's behavior exactly. */
   def indexSinkBatch(sink: IndexSink, index: String)
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val cols = batch.columns

@@ -229,6 +229,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.docs.head._2("alert_type") === "error")
   }
 
+  test("K3 scale path: executor-side index sink ships docs inside tasks (no driver collect)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Sinks
+    ExecutorSinkProbe.reset()
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val q = Sinks.foreachBatchSink(
+      StreamOps.errorAlerts(events).drop("ts"),
+      Sinks.indexSinkPartitions(() => new ExecutorProbeSink, "alerts"))
+      .start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 5, "error", 1.0),
+        json(2, "2024-01-01 10:00:01", 6, "error", 1.0),
+        json(3, "2024-01-01 10:00:02", 7, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val docs = ExecutorSinkProbe.docs.asScala.toSeq
+    assert(docs.map(_._2("user_id").asInstanceOf[Long]).sorted === Seq(5L, 6L))
+    assert(docs.forall(_._1 === "alerts"))
+    // every indexDocs call ran inside a Spark task (TaskContext present)
+    // — the proof there was no driver-side collect
+    val parts = ExecutorSinkProbe.partitions.asScala.toSeq
+    assert(parts.nonEmpty && parts.forall(_ >= 0))
+  }
+
+  test("Tweet schema module: 15-field envelope decodes and types (SURVEY §1.2)") {
+    import graft.streaming.Tweet
+    val raw = Seq(
+      """{"crypto_type":"bitcoin","user_name":"alice","user_location":"Lima",
+        |"user_description":"d","user_created":"2020-01-01","user_followers":42,
+        |"user_friends":7,"user_favourites":3,"user_verified":true,
+        |"date":"2021-02-03","text":"to the moon","hashtags":"['BTC']",
+        |"source":"Twitter Web App","is_retweet":false,
+        |"timestamp":"2024-01-01 10:00:00"}""".stripMargin.replace("\n", ""))
+      .toDF("value")
+    val decoded = StreamOps.decodeJsonEnvelope(raw, Tweet.schema)
+    // field list matches the reference StructType 1:1 (job1_bots.py:108-125)
+    assert(decoded.columns.toSeq === Seq(
+      "crypto_type", "user_name", "user_location", "user_description",
+      "user_created", "user_followers", "user_friends", "user_favourites",
+      "user_verified", "date", "text", "hashtags", "source", "is_retweet",
+      "timestamp"))
+    val t = decoded.as[Tweet].head()
+    assert(t.crypto_type === "bitcoin" && t.user_followers === Some(42)
+      && t.user_verified === Some(true) && t.is_retweet === Some(false)
+      && t.text === "to the moon")
+    assert(Tweet.csvColumns.length === 13) // headerless producer CSV order
+  }
+
   test("differential: finalized streaming windows equal the batch formulation") {
     val rows = Seq(
       json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
@@ -343,5 +395,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(u.length === 2)
     assert(u(0).getString(1) === "x" && u(0).isNullAt(2))
     assert(u(1).isNullAt(1) && u(1).getDouble(2) === 9.5)
+  }
+}
+
+/** Static landing zone for executor-side sink writes (local-mode tests
+  * share one JVM). Records the TaskContext partition id per indexDocs
+  * call to prove docs were shipped inside tasks, not via driver
+  * collect (-1 would mean no task context = driver side). */
+object ExecutorSinkProbe {
+  val docs =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, Any])]
+  val partitions = new java.util.concurrent.ConcurrentLinkedQueue[Integer]
+  def reset(): Unit = { docs.clear(); partitions.clear() }
+}
+
+class ExecutorProbeSink extends graft.streaming.Sinks.IndexSink
+    with Serializable {
+  override def ensureIndex(name: String,
+      mapping: Map[String, String]): Unit = ()
+  override def indexDocs(index: String,
+      batch: Iterator[Map[String, Any]]): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    ExecutorSinkProbe.partitions.add(if (tc == null) -1 else tc.partitionId())
+    batch.foreach(d => ExecutorSinkProbe.docs.add(index -> d))
   }
 }
