@@ -650,5 +650,35 @@ object Oracles {
         |SELECT mention, count(*) AS mention_count,
         |count(DISTINCT doc_id) AS n_docs
         |FROM m WHERE mention != ''
-        |GROUP BY mention ORDER BY mention""".stripMargin)
+        |GROUP BY mention ORDER BY mention""".stripMargin,
+
+    // Mirrors the deterministic two-batch replay of the chained
+    // topology (see Queries.q52ChainedMetrics): every alert-bearing
+    // 5-min/1-min sliding window whose end <= wm = max(ts) - 2 min.
+    // The hf detector's per-(60s window, user) alerts carry
+    // window_time = end - 1µs; their stage-1 finalization bound is
+    // implied by the stage-2 bound.
+    "q52_chained_metrics" ->
+      """WITH ev AS (SELECT ts, user_id, event_type, value FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 2 MINUTE AS w FROM ev),
+        |hf AS (SELECT time_bucket(INTERVAL '60 seconds', ts)
+        |    + INTERVAL 60 SECOND - INTERVAL 1 MICROSECOND AS t,
+        |  'high_frequency' AS alert_type
+        |  FROM ev GROUP BY time_bucket(INTERVAL '60 seconds', ts), user_id
+        |  HAVING count(*) >= 3),
+        |hv AS (SELECT ts AS t, 'high_value' AS alert_type FROM ev
+        |  WHERE event_type = 'purchase' AND value >= 150.0),
+        |er AS (SELECT ts AS t, 'error' AS alert_type FROM ev
+        |  WHERE event_type = 'error'),
+        |al AS (SELECT * FROM hf UNION ALL SELECT * FROM hv
+        |  UNION ALL SELECT * FROM er),
+        |sw AS (SELECT time_bucket(INTERVAL '1 minute', t)
+        |    - k.k * INTERVAL '1 minute' AS ws, alert_type
+        |  FROM al CROSS JOIN (SELECT unnest(range(5)) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |strftime(ws + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |alert_type, count(*) AS n_alerts
+        |FROM sw WHERE ws + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+        |GROUP BY ws, alert_type
+        |ORDER BY window_start, alert_type""".stripMargin)
 }

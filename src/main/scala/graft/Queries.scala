@@ -808,6 +808,64 @@ object Queries {
       .orderBy(col("mention"))
   }
 
+  /** T9 with an ORACLE ROW: the chained stateful streaming topology
+    * (stateful hf detector ∪ stateless alerts → second windowed agg,
+    * append mode) replayed batch-deterministically through the REAL
+    * streaming engine and checked against a DuckDB window oracle.
+    *
+    * Determinism construction: the whole events table lands as ONE
+    * parquet file, plus a second "clock" file holding a single
+    * alert-free view event at the same max timestamp; with
+    * maxFilesPerTrigger=1 the file source runs exactly two micro-
+    * batches in mtime order. Append emission in batch 2 then uses the
+    * batch-1 watermark wm = max(ts) - 2 min for every stage (stage-1
+    * finalized windows flow through stage 2 in the same batch —
+    * Spark ≥3.4 watermark propagation), so the emitted set is exactly
+    * "sliding windows with end <= wm" — a pure SQL predicate.
+    * (A single AvailableNow pass emits nothing: the final watermark
+    * is computed after the last batch — see JobsSpec's backfill test.)
+    */
+  def q52ChainedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = events(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q52_")
+      .toFile.getAbsolutePath
+    def parquetFiles(): Set[java.io.File] =
+      new java.io.File(s"$tmp/all").listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSet
+    ev.coalesce(1).write.parquet(s"$tmp/all")
+    val dataFiles = parquetFiles()
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, maxTs, -1L, "view", 0.0, "{}")),
+      ev.schema)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/all")
+    val clockFiles = parquetFiles() -- dataFiles
+    // one file per micro-batch, mtimes force (data, clock) order
+    val t0 = System.currentTimeMillis()
+    dataFiles.foreach(_.setLastModified(t0 - 120000))
+    clockFiles.foreach(_.setLastModified(t0 - 60000))
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/all")
+    val metrics = graft.streaming.StreamOps.chainedAlertMetrics(stream)
+      .select(
+        fmtTs(col("window_start")).as("window_start"),
+        fmtTs(col("window_end")).as("window_end"),
+        col("alert_type"), col("n_alerts"))
+    val q = metrics.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .orderBy(col("window_start"), col("alert_type"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -861,5 +919,6 @@ object Queries {
     "q48_location_clean" -> (q48LocationClean _),
     "q49_spam_profile" -> (q49SpamProfile _),
     "q50_device_profile" -> (q50DeviceProfile _),
-    "q51_mentions" -> (q51Mentions _))
+    "q51_mentions" -> (q51Mentions _),
+    "q52_chained_metrics" -> (q52ChainedMetrics _))
 }
