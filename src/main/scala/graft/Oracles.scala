@@ -680,5 +680,18 @@ object Oracles {
         |alert_type, count(*) AS n_alerts
         |FROM sw WHERE ws + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
         |GROUP BY ws, alert_type
-        |ORDER BY window_start, alert_type""".stripMargin)
+        |ORDER BY window_start, alert_type""".stripMargin,
+
+    "q53_set_ops" ->
+      """WITH u AS (
+        |SELECT 'purchase_and_signup' AS cohort, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'signup')
+        |UNION ALL
+        |SELECT 'view_never_error' AS cohort, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error'))
+        |SELECT cohort, user_id FROM u ORDER BY cohort, user_id""".stripMargin)
 }

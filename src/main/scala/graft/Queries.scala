@@ -866,6 +866,20 @@ object Queries {
       .orderBy(col("window_start"), col("alert_type"))
   }
 
+  /** U3: intersect / except (absent in the reference; completes the
+    * §2.6 set-operation family). Both are DISTINCT-semantics set ops —
+    * one shuffle on the full row as key, the scalable cohort shape. */
+  def q53SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def users(t: String) =
+      ev.where(col("event_type") === t).select(col("user_id"))
+    val both = users("purchase").intersect(users("signup"))
+      .select(lit("purchase_and_signup").as("cohort"), col("user_id"))
+    val clean = users("view").except(users("error"))
+      .select(lit("view_never_error").as("cohort"), col("user_id"))
+    both.unionByName(clean).orderBy(col("cohort"), col("user_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -920,5 +934,6 @@ object Queries {
     "q49_spam_profile" -> (q49SpamProfile _),
     "q50_device_profile" -> (q50DeviceProfile _),
     "q51_mentions" -> (q51Mentions _),
-    "q52_chained_metrics" -> (q52ChainedMetrics _))
+    "q52_chained_metrics" -> (q52ChainedMetrics _),
+    "q53_set_ops" -> (q53SetOps _))
 }

@@ -105,6 +105,11 @@ class OperatorsSpec extends AnyFunSuite {
     val c2 = Similarity.fitCentroids(emb, k = 4, iters = 2).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(c1 === c2) // bit-identical across runs
+    // fixed-point long accumulation makes the mean order-independent:
+    // a different partitioning must produce bit-identical centroids
+    val c3 = Similarity.fitCentroids(emb.repartition(7), k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 === c3)
     val cents = Similarity.fitCentroids(emb, 4, 2)
       .select($"cent_id".as("id"), $"cent_v".as("vec"))
     val queries = emb.where($"id" < 4)
