@@ -693,5 +693,23 @@ object Oracles {
         |  SELECT user_id FROM events WHERE event_type = 'view'
         |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'error'))
-        |SELECT cohort, user_id FROM u ORDER BY cohort, user_id""".stripMargin)
+        |SELECT cohort, user_id FROM u ORDER BY cohort, user_id""".stripMargin,
+
+    "q54_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, e, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+        |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin)
 }

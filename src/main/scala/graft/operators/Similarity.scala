@@ -95,6 +95,26 @@ object Similarity {
     cents
   }
 
+  /** Nearest-`keep` centroid buckets per vector: broadcast the (small)
+    * centroid set, score, keep the top `keep` with a deterministic
+    * centroid-id tie-break. `side` is (id, vec); output is
+    * (idName, v array<double>, cent_id) — one row per probe. */
+  def nearestCentroids(side: DataFrame, centroids: DataFrame,
+      idName: String, keep: Int): DataFrame = {
+    val cents = centroids.select(col("id").as("cent_id"),
+      col("vec").cast("array<double>").as("cent_v"))
+    val v = side.select(col("id").as(idName),
+      col("vec").cast("array<double>").as("v"))
+    val w = Window.partitionBy(col(idName))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    v.join(broadcast(cents))
+      .select(col(idName), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") <= keep)
+      .drop("cscore", "crank")
+  }
+
   /** IVF-style bucketed ANN: corpus vectors are assigned to their
     * nearest centroid (by dot product, deterministic tie-break on
     * centroid id); each query probes its `nprobe` nearest centroid
@@ -102,26 +122,9 @@ object Similarity {
     * (id, vec) — at scale they come from a sampled k-means fit. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
-
-    def nearestCentroids(side: DataFrame, idName: String,
-        keep: Int): DataFrame = {
-      val cents = centroids.select(col("id").as("cent_id"),
-        col("vec").cast("array<double>").as("cent_v"))
-      val v = side.select(col("id").as(idName),
-        col("vec").cast("array<double>").as("v"))
-      val w = Window.partitionBy(col(idName))
-        .orderBy(col("cscore").desc, col("cent_id"))
-      v.join(broadcast(cents))
-        .select(col(idName), col("v"), col("cent_id"),
-          round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .drop("cscore", "crank")
-    }
-
-    val assigned = nearestCentroids(corpus, "neighbor_id", 1)
+    val assigned = nearestCentroids(corpus, centroids, "neighbor_id", 1)
       .withColumnRenamed("v", "cv")
-    val probed = nearestCentroids(queries, "query_id", nprobe)
+    val probed = nearestCentroids(queries, centroids, "query_id", nprobe)
       .withColumnRenamed("v", "qv")
 
     val w = Window.partitionBy(col("query_id"))
@@ -133,5 +136,30 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine similar-pair mining, IVF-bucketed: every vector
+    * is assigned to its `nprobe` nearest centroid buckets and ONLY
+    * same-bucket pairs are scored — a bucketed self-join keyed by
+    * cent_id, never the O(n²) cross product. Multi-probe raises recall
+    * at Voronoi boundaries for ~nprobe× candidates (not ×n). Vectors
+    * ride the bucket join (constant row width — they must be present
+    * where scoring happens); the pair dedup shuffles only
+    * (id_a, id_b, sim) after the threshold cut. Similarity is rounded
+    * to 4 dp BEFORE thresholding for cross-engine stability. */
+  def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    val assigned = Caches.persistTracked(
+      nearestCentroids(corpus, centroids, "id", nprobe))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("cent_id"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("cent_id"))
+    a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }
