@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{HammingDist, MinhashSig, SimHashBits, Tokenize, WordShingles}
+import graft.expressions.{CosineSim, HammingDist, MinhashSig, SimHashBits, Tokenize, WordShingles}
 
 /** SQL-surface registration: exposes the native expressions to
   * `spark.sql(...)` users, so the engine's text primitives are usable
@@ -23,5 +23,7 @@ object GraftFunctions {
       exprs => SimHashBits(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hamming_dist",
       exprs => HammingDist(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -26,15 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays (HOF reference
+    * formulation; [[cosine]] uses the native kernel instead). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
+  /** Cosine similarity — native codegen'd expression
+    * ([[graft.expressions.CosineSim]]); arithmetic is the same
+    * sequential fold as `dot/(l2norm*l2norm)`, bit-identical results,
+    * but one compiled pass instead of interpreted HOF chains (the HOF
+    * form re-walks both arrays per element and dominated q54's
+    * pair-scoring cost). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    graft.expressions.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec array<float|double>). Self-matches

@@ -281,6 +281,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(Tweet.csvColumns.length === 13) // headerless producer CSV order
   }
 
+  test("Tweet alert detectors: SQ2-SQ4 + viral/VIP semantics, injected clock") {
+    import graft.streaming.{Tweet, TweetAlerts}
+    def mk(name: String, friends: Int, followers: Int, desc: String,
+        created: String, verified: Boolean, retweet: Boolean,
+        text: String): Tweet =
+      Tweet("bitcoin", name, "loc", desc, created, Some(followers),
+        Some(friends), Some(1), Some(verified), "2021-01-01", text, "[]",
+        "src", Some(retweet), "2024-01-01 10:00:00")
+    val tweets = TweetAlerts.promoted(Seq(
+      mk("bot1", 5000, 50, "desc long enough", "2023-12-20 00:00:00",
+        verified = false, retweet = false, "hello"),
+      mk("norm", 100, 5000, "a proper description", "2020-01-01 00:00:00",
+        verified = false, retweet = false, "hello"),
+      mk("emptyd", 10, 10, "", "2020-01-01 00:00:00",
+        verified = false, retweet = false, "hi"),
+      mk("nulld", 10, 10, null, "2020-01-01 00:00:00",
+        verified = false, retweet = false, "hi"),
+      mk("viral", 10, 10, "proper description", "2020-01-01 00:00:00",
+        verified = false, retweet = true, "boom"),
+      mk("rt", 10, 10, "proper description", "2020-01-01 00:00:00",
+        verified = false, retweet = false, "RT @x yes"),
+      mk("vip1", 10, 60000, "proper description", "2020-01-01 00:00:00",
+        verified = false, retweet = false, "hi"),
+      mk("vip2", 10, 20000, "proper description", "2020-01-01 00:00:00",
+        verified = true, retweet = false, "hi"),
+      mk("vip3", 10, 20000, "proper description", "2020-01-01 00:00:00",
+        verified = false, retweet = false, "hi")).toDF())
+
+    val imb = TweetAlerts.imbalanceAlerts(tweets).collect()
+    assert(imb.map(_.getAs[String]("user_name")).toSeq === Seq("bot1"))
+    assert(imb.head.getAs[String]("alert_reason") ===
+      "Relación extraña friends/followers para bot1 (friends: 5000, followers: 50)")
+
+    // null description passes via the isNull branch, reason length 0
+    val empt = TweetAlerts.emptyDescriptionAlerts(tweets)
+      .collect().map(_.getAs[String]("user_name")).toSet
+    assert(empt === Set("emptyd", "nulld"))
+
+    // injected clock (T10): deterministic account age
+    val newAcc = TweetAlerts.newAccountAlerts(tweets,
+      to_date(lit("2024-01-01"))).collect()
+    assert(newAcc.map(_.getAs[String]("user_name")).toSeq === Seq("bot1"))
+    assert(newAcc.head.getAs[String]("alert_reason") ===
+      "Cuenta nueva (12 días) - bot1")
+
+    val viral = TweetAlerts.viralAlerts(tweets)
+      .collect().map(_.getAs[String]("user_name")).toSet
+    assert(viral === Set("viral", "rt")) // is_retweet OR "RT @" substring
+
+    // VIP ladder: verified beats the 50k tier, order matters
+    val vip = TweetAlerts.vipAlerts(tweets).collect()
+      .map(r => r.getAs[String]("user_name") ->
+        r.getAs[String]("alert_priority")).toMap
+    assert(vip === Map("vip1" -> "HIGH", "vip2" -> "CRITICAL",
+      "vip3" -> "MEDIUM"))
+  }
+
   test("differential: finalized streaming windows equal the batch formulation") {
     val rows = Seq(
       json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
