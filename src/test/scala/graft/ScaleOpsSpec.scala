@@ -51,4 +51,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       Seq("the fast", "fast key", "key the")) // distinct, first-occurrence
     assert(r.getString(2).length === 64)
   }
+
+  test("native expressions run under forced whole-stage codegen (no fallback)") {
+    import graft.expressions.{TextExpressions => TE, VectorExpressions => VE}
+    // CODEGEN_ONLY + fallback=false: a doGenCode failure throws instead
+    // of silently dropping the projection to interpreted mode
+    val conf = spark.conf
+    val oldFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val oldFallback = conf.get("spark.sql.codegen.fallback", "true")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val row = Seq(("a b c a", Array(1.0, 0.0), Array(0.6, 0.8)))
+        .toDF("text", "va", "vb")
+        .select(
+          TE.tokenize($"text").as("toks"),
+          TE.wordShingles($"text", 2).as("sh"),
+          TE.simhashBits(TE.tokenize($"text")).as("bits"),
+          VE.cosineSim($"va", $"vb").as("cos"))
+        .select(size($"toks"), size(TE.minhashSig($"sh", 2)),
+          TE.hammingDist($"bits", $"bits"), $"cos")
+        .head()
+      assert(row.getInt(0) === 4)
+      assert(row.getInt(1) === 2)
+      assert(row.getInt(2) === 0)
+      assert(math.abs(row.getDouble(3) - 0.6) < 1e-12)
+    } finally {
+      conf.set("spark.sql.codegen.factoryMode", oldFactory)
+      conf.set("spark.sql.codegen.fallback", oldFallback)
+    }
+  }
 }
