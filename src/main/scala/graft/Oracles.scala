@@ -711,5 +711,38 @@ object Oracles {
         |FROM assigned a JOIN assigned b
         |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays BOTH Lloyd iterations of the deterministic k-means fit:
+    // init = 4 lowest-id vectors; assignment = 6-dp-rounded cosine
+    // argmax with centroid-id tie-break; mean = fixed-point long sum
+    // (order-independent in any engine). 64 = fixture embedding dim.
+    "q55_kmeans_fit" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |c0 AS (SELECT id AS cent_id, vv AS cv FROM v ORDER BY id LIMIT 4),
+        |a1 AS (SELECT id, vv, cent_id FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM v CROSS JOIN c0 c) WHERE rk = 1),
+        |m1 AS (SELECT cent_id, CAST(p.pos AS INT) AS pos,
+        |  CAST(sum(CAST(round(vv[CAST(p.pos AS INT)+1]*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS m
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        |  GROUP BY cent_id, p.pos),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cent_id),
+        |a2 AS (SELECT id, vv, cent_id FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM v CROSS JOIN c1 c) WHERE rk = 1),
+        |m2 AS (SELECT cent_id, CAST(p.pos AS INT) AS pos,
+        |  CAST(sum(CAST(round(vv[CAST(p.pos AS INT)+1]*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS m
+        |  FROM a2 CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        |  GROUP BY cent_id, p.pos)
+        |SELECT cent_id, pos, round(m, 6) AS m FROM m2
+        |ORDER BY cent_id, pos""".stripMargin)
 }

@@ -902,6 +902,22 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The deterministic k-means fit EXPOSED to the oracle: 2 Lloyd
+    * iterations, k=4, init = the 4 lowest-id vectors, output = the
+    * exploded centroid coordinates. Because every arithmetic step is
+    * engine-portable (fixed-point long mean, 6-dp-rounded cosine
+    * assignment with centroid-id tie-break), even the ITERATIVE fit
+    * is differential-checkable — the DuckDB oracle replays both
+    * iterations in SQL. */
+  def q55KmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.fitCentroids(emb, k = 4, iters = 2)
+      .select(col("cent_id"), posexplode(col("cent_v")))
+      .select(col("cent_id"), col("pos"), round(col("col"), 6).as("m"))
+      .orderBy(col("cent_id"), col("pos"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -958,5 +974,6 @@ object Queries {
     "q51_mentions" -> (q51Mentions _),
     "q52_chained_metrics" -> (q52ChainedMetrics _),
     "q53_set_ops" -> (q53SetOps _),
-    "q54_embed_neardup" -> (q54EmbedNearDup _))
+    "q54_embed_neardup" -> (q54EmbedNearDup _),
+    "q55_kmeans_fit" -> (q55KmeansFit _))
 }
