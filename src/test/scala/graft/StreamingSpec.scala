@@ -338,6 +338,29 @@ class StreamingSpec extends AnyFunSuite {
       "vip3" -> "MEDIUM"))
   }
 
+  test("S8 replay source: bounded fixture streams out in order at the configured rate") {
+    import graft.streaming.Replay
+    val fixture = Seq(
+      (3L, "c"), (1L, "a"), (2L, "b"), (5L, "e"), (4L, "d"))
+      .toDF("event_id", "payload")
+    val stream = Replay.rateLimited(spark, fixture, "event_id",
+      rowsPerSecond = 1000)
+    val q = stream.writeStream.format("memory").queryName("replay_t")
+      .outputMode("append").start()
+    try {
+      // rate is wall-clock: poll until all 5 ticks have fired
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("replay_t").count() < 5
+          && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+    } finally q.stop()
+    val out = spark.table("replay_t").orderBy($"event_id").collect()
+    assert(out.length === 5)
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b", "c", "d", "e"))
+  }
+
   test("differential: finalized streaming windows equal the batch formulation") {
     val rows = Seq(
       json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
