@@ -115,4 +115,63 @@ object TweetAlerts {
     tweets
       .withColumn("timestamp", to_timestamp(col("timestamp")))
       .withColumn("user_created_dt", to_timestamp(col("user_created")))
+
+  /** SQ1: high-frequency posting detector — 60 s tumbling count per
+    * (user_name, crypto_type) with the reference's alert shape
+    * (job1_bots.py:144-184). The reference's `first()` carries are
+    * replaced by deterministic `min()` (A6 rule); the output
+    * `timestamp` is `window_time` (not the reference's bare
+    * window.end) so the alert stream keeps its event-time metadata
+    * and can chain into the SQ5 metrics agg (T9). */
+  def highFrequencyTweetAlerts(tweets: DataFrame,
+      threshold: Long = 3): DataFrame =
+    tweets
+      .groupBy(window(col("timestamp"), "60 seconds"),
+        col("user_name"), col("crypto_type"))
+      .agg(
+        count(lit(1)).as("tweet_count"),
+        min(col("user_followers")).as("user_followers"),
+        min(col("user_friends")).as("user_friends"),
+        min(col("user_verified")).as("user_verified"),
+        min(col("text")).as("text"))
+      .where(col("tweet_count") >= threshold)
+      .withColumn("alert_type", lit("HIGH_FREQUENCY_POSTING"))
+      .withColumn("alert_priority", lit("HIGH"))
+      .withColumn("alert_reason", concat(
+        lit("Usuario posteando mucho: "), col("user_name"), lit(" -> "),
+        col("tweet_count").cast("string"), lit(" tweets en 60s")))
+      .withColumn("timestamp", window_time(col("window")))
+      .select(col("crypto_type"), col("alert_type"), col("alert_priority"),
+        col("alert_reason"), col("user_name"), col("user_followers"),
+        col("user_friends"), col("user_verified"), col("text"),
+        col("timestamp"))
+
+  /** The reference's job1 topology END-TO-END (SQ1-SQ5): decode the
+    * 15-field envelope → promote event time → ONE source watermark →
+    * stateful SQ1 ∪ stateless SQ2-SQ4 via unionByName (U2) → 5 m/1 m
+    * sliding windowed metrics (SQ5: count + HLL++ distinct users),
+    * append mode — the chained-stateful T9 shape in the Tweet domain
+    * (job1_bots.py:310-333, 345-418). `now` is the injected clock for
+    * the SQ4 account-age detector (T10). */
+  def botDetectionMetrics(raw: DataFrame,
+      now: Column = current_date()): DataFrame = {
+    val tweets = promoted(
+      StreamOps.decodeJsonEnvelope(raw, Tweet.schema))
+    val src = tweets.withWatermark("timestamp", StreamOps.WatermarkDelay)
+    val alerts = StreamOps.alertUnion(Seq(
+      highFrequencyTweetAlerts(src),
+      imbalanceAlerts(src),
+      emptyDescriptionAlerts(src),
+      newAccountAlerts(src, now)))
+    alerts
+      .groupBy(window(col("timestamp"), "5 minutes", "1 minute"),
+        col("alert_type"))
+      .agg(
+        count(lit(1)).as("total_alerts"),
+        approx_count_distinct(col("user_name")).as("unique_users"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("alert_type"), col("total_alerts"), col("unique_users"))
+  }
 }

@@ -17,14 +17,19 @@ class DeterminismSpec extends AnyFunSuite {
     "q15_top_users_pct",    // window rank + pct
     "q22_jaccard_pairs",    // self-join pipeline
     "q25_ann_bruteforce",   // float math, rounded pre-rank
-    "q39_running_revenue")  // running frames
+    "q39_running_revenue",  // running frames
+    "q48_location_clean",   // dual cleaner pipelines
+    "q54_embed_neardup",    // bucketed pair mining, native cosine
+    "q55_kmeans_fit")       // iterative fit, fixed-point mean
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       val a = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      graft.operators.Caches.releaseAll()
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       val b = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      graft.operators.Caches.releaseAll()
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       assert(a === b)
     }

@@ -361,6 +361,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq === Seq("a", "b", "c", "d", "e"))
   }
 
+  private def tj(name: String, ts: String, friends: Int, followers: Int,
+      desc: String, created: String): String =
+    s"""{"crypto_type":"bitcoin","user_name":"$name","user_location":"x",
+       |"user_description":"$desc","user_created":"$created",
+       |"user_followers":$followers,"user_friends":$friends,
+       |"user_favourites":1,"user_verified":false,"date":"2021-01-01",
+       |"text":"hello","hashtags":"[]","source":"src","is_retweet":false,
+       |"timestamp":"$ts"}""".stripMargin.replace("\n", "")
+
+  test("job1 topology end-to-end: SQ1-SQ5 chained stateful in the Tweet domain") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.TweetAlerts
+    val input = MemoryStream[String]
+    val out = TweetAlerts.botDetectionMetrics(input.toDF(),
+      to_date(lit("2024-01-01")))
+    val q = out.writeStream.format("memory").queryName("bot_t")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        // burst: 3 tweets inside one 60 s window → SQ1 fires
+        tj("burst", "2024-01-01 10:00:05", 100, 5000,
+          "a proper description", "2020-01-01 00:00:00"),
+        tj("burst", "2024-01-01 10:00:15", 100, 5000,
+          "a proper description", "2020-01-01 00:00:00"),
+        tj("burst", "2024-01-01 10:00:25", 100, 5000,
+          "a proper description", "2020-01-01 00:00:00"),
+        tj("bot1", "2024-01-01 10:00:30", 5000, 50,
+          "a proper description", "2020-01-01 00:00:00"),
+        tj("emptyd", "2024-01-01 10:00:35", 100, 5000,
+          "", "2020-01-01 00:00:00"),
+        tj("newbie", "2024-01-01 10:00:40", 100, 5000,
+          "a proper description", "2023-12-25 00:00:00")))
+      q.processAllAvailable()
+      // alert-free clock tweets advance BOTH stateful stages' watermarks
+      input.addData(Seq(tj("norm", "2024-01-01 10:30:00", 100, 5000,
+        "a proper description", "2020-01-01 00:00:00")))
+      q.processAllAvailable()
+      input.addData(Seq(tj("norm2", "2024-01-01 11:00:00", 100, 5000,
+        "a proper description", "2020-01-01 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byType = spark.table("bot_t").groupBy($"alert_type")
+      .agg(sum($"total_alerts").as("n")).as[(String, Long)]
+      .collect().toMap
+    // one alert each, landing in 5 sliding (5m/1m) windows
+    assert(byType === Map(
+      "HIGH_FREQUENCY_POSTING" -> 5L,
+      "FRIENDS_FOLLOWERS_IMBALANCE" -> 5L,
+      "EMPTY_PROFILE" -> 5L,
+      "NEW_ACCOUNT_SUSPICIOUS" -> 5L))
+  }
+
   test("differential: finalized streaming windows equal the batch formulation") {
     val rows = Seq(
       json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
