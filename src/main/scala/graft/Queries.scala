@@ -68,21 +68,31 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** 3-way join with broadcast dim (customer): revenue per segment.
-    * Fact side streams; only orders→lineitem shuffles on the join key. */
+    *
+    * Aggregation is PUSHED BELOW the join: lineitem pre-aggregates to
+    * one row per orderkey (integer-cents partials — long addition, so
+    * re-summing per segment is bit-identical to the flat sum), which
+    * (a) shrinks the join input from #lines to #orders and (b) turns
+    * `countDistinct(o_orderkey)` into a plain `count` — no two-phase
+    * distinct expand. Catalyst does not do this rewrite itself; it is
+    * the classic partial-agg-below-join shape that matters at 100 TB
+    * where lineitem is the dominant table. */
   def q02RevenueBySegment(spark: SparkSession, dir: String): DataFrame = {
     val tb = t(spark, dir)
     val c = tb.customer.select(col("c_custkey"), col("c_mktsegment"))
     val o = tb.orders.select(col("o_orderkey"), col("o_custkey"))
-    val l = tb.lineitem
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val perOrder = tb.lineitem
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc"))
+      .groupBy(col("l_orderkey"))
+      .agg(centsSum(col("disc")).as("cents"), count(lit(1)).as("lines"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        money(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"),
-        count(lit(1)).as("n_lines"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        (sum(col("cents")) / 100.0).as("revenue"),
+        sum(col("lines")).as("n_lines"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
   }
 

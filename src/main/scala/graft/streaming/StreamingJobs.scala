@@ -42,6 +42,32 @@ object StreamingJobs {
         s"$outDir/metrics", s"$outDir/chk/metrics", trigger).start())
   }
 
+  /** The TWEET-domain jobs from the raw 15-field envelope: job1's
+    * chained bot-detection metrics (SQ1-SQ5), job5's viral/VIP alert
+    * stream (SQ14), and job3's sentiment metrics (SQ10-SQ11) — each
+    * query with its own source plan and checkpoint (T11/T12). */
+  def startTweetPipelines(spark: SparkSession, raw: () => DataFrame,
+      outDir: String, trigger: String = "60 seconds")
+      : Seq[StreamingQuery] = {
+    def tweetsOf(df: DataFrame) =
+      TweetAlerts.promoted(StreamOps.decodeJsonEnvelope(df, Tweet.schema))
+    val bot = TweetAlerts.botDetectionMetrics(raw())
+    val viralVip = StreamOps.alertUnion(Seq(
+      TweetAlerts.viralAlerts(tweetsOf(raw())),
+      TweetAlerts.vipAlerts(tweetsOf(raw()))))
+    val sentiment = TweetAlerts.sentimentMetrics(
+      TweetAlerts.sentimentAlerts(
+        tweetsOf(raw())
+          .withWatermark("timestamp", StreamOps.WatermarkDelay)))
+    Seq(
+      Sinks.parquetAppend(bot,
+        s"$outDir/bot_metrics", s"$outDir/chk/bot_metrics", trigger).start(),
+      Sinks.parquetAppend(viralVip,
+        s"$outDir/viral_vip", s"$outDir/chk/viral_vip", trigger).start(),
+      Sinks.parquetAppend(sentiment,
+        s"$outDir/sentiment", s"$outDir/chk/sentiment", trigger).start())
+  }
+
   /** job4-analog (session tracking): session-window metrics. */
   def startSessions(spark: SparkSession, events: DataFrame,
       outDir: String, trigger: String = "60 seconds")

@@ -146,6 +146,43 @@ object TweetAlerts {
         col("user_friends"), col("user_verified"), col("text"),
         col("timestamp"))
 
+  /** SQ10: per-tweet sentiment classification — the reference's UDF
+    * (job3_sentiment.py:154-243) as the pure-Column
+    * `TextFunctions.sentimentStruct`, in the reference's alert
+    * projection (job3_sentiment.py:245-272). `alert_reason` (a string
+    * the UDF composes for display) is omitted; all scoring fields are
+    * carried. */
+  def sentimentAlerts(tweets: DataFrame): DataFrame =
+    tweets
+      .withColumn("sent",
+        graft.functions.TextFunctions.sentimentStruct(col("text")))
+      .select(
+        col("crypto_type"),
+        col("sent.sentiment_type").as("sentiment_type"),
+        col("sent.alert_priority").as("alert_priority"),
+        col("user_name"), col("user_followers"), col("user_verified"),
+        col("text"), col("timestamp"),
+        col("sent.score").as("sentiment_score"),
+        col("sent.pos_emoji_count").as("pos_emoji_count"),
+        col("sent.neg_emoji_count").as("neg_emoji_count"))
+
+  /** SQ11: 5 m/1 m sentiment metrics incl. avg(sentiment_score)
+    * (job3_sentiment.py:316-340). Input must carry the source
+    * watermark. */
+  def sentimentMetrics(alerts: DataFrame): DataFrame =
+    alerts
+      .groupBy(window(col("timestamp"), "5 minutes", "1 minute"),
+        col("crypto_type"), col("sentiment_type"), col("alert_priority"))
+      .agg(
+        count(lit(1)).as("total_alerts"),
+        approx_count_distinct(col("user_name")).as("unique_users"),
+        avg(col("sentiment_score")).as("avg_score"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("crypto_type"), col("sentiment_type"), col("alert_priority"),
+        col("total_alerts"), col("unique_users"), col("avg_score"))
+
   /** The reference's job1 topology END-TO-END (SQ1-SQ5): decode the
     * 15-field envelope → promote event time → ONE source watermark →
     * stateful SQ1 ∪ stateless SQ2-SQ4 via unionByName (U2) → 5 m/1 m

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.sum
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.batch.BatchJobs
@@ -47,6 +48,56 @@ class JobsSpec extends AnyFunSuite {
     assert(metrics.count() === 10) // 2 alerts x 5 sliding windows each
     assert(new java.io.File(s"$dir/chk/alerts/offsets").exists)
     assert(new java.io.File(s"$dir/chk/metrics/offsets").exists)
+  }
+
+  private def tweet(name: String, ts: String, friends: Int,
+      followers: Int, retweet: Boolean, text: String): String =
+    s"""{"crypto_type":"bitcoin","user_name":"$name","user_location":"x",
+       |"user_description":"a proper description","user_created":"2020-01-01 00:00:00",
+       |"user_followers":$followers,"user_friends":$friends,
+       |"user_favourites":1,"user_verified":false,"date":"2021-01-01",
+       |"text":"$text","hashtags":"[]","source":"src","is_retweet":$retweet,
+       |"timestamp":"$ts"}""".stripMargin.replace("\n", "")
+
+  test("tweet pipelines fan out: bot metrics (SQ1-SQ5), viral/VIP, sentiment metrics") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingJobs
+    val dir = java.nio.file.Files.createTempDirectory("graftjob3").toString
+    val inputs = scala.collection.mutable.ArrayBuffer[MemoryStream[String]]()
+    def raw(): org.apache.spark.sql.DataFrame = {
+      val in = MemoryStream[String]
+      inputs += in
+      in.toDF()
+    }
+    def addData(rows: Seq[String]): Unit = inputs.foreach(_.addData(rows))
+    val qs = StreamingJobs.startTweetPipelines(spark, raw _, dir, "1 seconds")
+    try {
+      addData(Seq(
+        tweet("burst", "2024-01-01 10:00:05", 100, 5000, retweet = false, "fast"),
+        tweet("burst", "2024-01-01 10:00:15", 100, 5000, retweet = false, "fast"),
+        tweet("burst", "2024-01-01 10:00:25", 100, 5000, retweet = false, "fast"),
+        tweet("viraluser", "2024-01-01 10:00:30", 100, 200, retweet = true, "boom"),
+        tweet("vipuser", "2024-01-01 10:00:35", 100, 60000, retweet = false, "slow")))
+      qs.foreach(_.processAllAvailable())
+      addData(Seq(tweet("norm", "2024-01-01 10:30:00", 100, 5000,
+        retweet = false, "meh")))
+      qs.foreach(_.processAllAvailable())
+      addData(Seq(tweet("norm2", "2024-01-01 11:00:00", 100, 5000,
+        retweet = false, "meh")))
+      qs.foreach(_.processAllAvailable())
+    } finally qs.foreach(_.stop())
+    val bot = spark.read.parquet(s"$dir/bot_metrics")
+    assert(bot.where($"alert_type" === "HIGH_FREQUENCY_POSTING")
+      .agg(sum($"total_alerts")).head().getLong(0) === 5L) // 5 sliding windows
+    val vv = spark.read.parquet(s"$dir/viral_vip")
+    val byType = vv.groupBy($"alert_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("VIRAL_TWEET" -> 1L, "HIGH_REACH_USER" -> 1L))
+    val sent = spark.read.parquet(s"$dir/sentiment")
+    // 'fast' scores positive, 'slow' negative — both reach the metrics
+    val types = sent.select($"sentiment_type").as[String].collect().toSet
+    assert(types.contains("positive") && types.contains("negative"))
+    assert(new java.io.File(s"$dir/chk/bot_metrics/offsets").exists)
   }
 
   test("sessions and dedup job topologies run over a memory source") {
