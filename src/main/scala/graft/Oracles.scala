@@ -39,6 +39,37 @@ object Oracles {
   private def centsAvg(x: String): String =
     s"round(${cents(x)}/count(*), 4)"
 
+  /** Rolling-hash winnowing mirror (w=8, t=4, base 131, mod 2^31-1) of
+    * `TextKernels.winnowFingerprints`, row-based: one row per codepoint,
+    * window hash = sum of c*131^(7-j) mod M (every intermediate fits a
+    * BIGINT), sliding 4-min, distinct per doc. Ends with CTE `fps`
+    * (doc_id, fp); `d` (doc_id, text) stays visible for verification
+    * joins. */
+  private val WINNOW_CTES = {
+    val M = 2147483647L
+    val pows = Iterator.iterate(1L)(p => p * 131 % M).take(8).toSeq
+    val pwVals = (0 until 8)
+      .map(j => s"($j, CAST(${pows(7 - j)} AS BIGINT))").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |chars AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS p, text FROM d),
+       |c2 AS (SELECT doc_id, CAST(p AS INT) AS p,
+       |  CAST(unicode(text[CAST(p AS INT)]) AS BIGINT) AS c FROM chars),
+       |pw AS (SELECT * FROM (VALUES $pwVals) AS t(j, m)),
+       |win AS (
+       |  SELECT a.doc_id, a.p AS wp,
+       |    CAST(sum((b.c * o.m) % 2147483647) % 2147483647 AS BIGINT) AS h
+       |  FROM c2 a JOIN c2 b ON b.doc_id = a.doc_id AND b.p - a.p BETWEEN 0 AND 7
+       |  JOIN pw o ON o.j = b.p - a.p
+       |  GROUP BY a.doc_id, a.p HAVING count(*) = 8),
+       |mins AS (
+       |  SELECT doc_id, wp,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY wp
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    max(wp) OVER (PARTITION BY doc_id) AS mx
+       |  FROM win),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM mins WHERE wp <= mx - 3)""".stripMargin
+  }
+
   /** Shared shingle CTE body (word 3-grams, distinct, non-empty). */
   private val SHINGLE_CTES =
     s"""WITH tok AS (SELECT doc_id, $TOKS AS tk FROM documents),
@@ -744,5 +775,80 @@ object Oracles {
         |  FROM a2 CROSS JOIN (SELECT unnest(range(64)) AS pos) p
         |  GROUP BY cent_id, p.pos)
         |SELECT cent_id, pos, round(m, 6) AS m FROM m2
-        |ORDER BY cent_id, pos""".stripMargin)
+        |ORDER BY cent_id, pos""".stripMargin,
+
+    "q56_winnow_shared" ->
+      s"""$WINNOW_CTES
+         |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp
+         |HAVING count(*) >= 2
+         |ORDER BY n_docs DESC, fp LIMIT 20""".stripMargin,
+
+    "q57_token_cost" ->
+      s"""WITH d AS (SELECT lang,
+         |CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS bpe,
+         |CAST(len($TOKS) AS BIGINT) AS ws FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+         |CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |round(avg(bpe), 2) AS avg_bpe_per_doc,
+         |round(CAST(sum(bpe) AS DOUBLE)/sum(ws), 4) AS fertility
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q58_editdist_pairs" ->
+      s"""$WINNOW_CTES,
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 5),
+         |fk AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep k ON f.fp = k.fp),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared_fp
+         |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |v AS (SELECT c.id_a, c.id_b, CAST(c.n_shared_fp AS BIGINT) AS n_shared_fp,
+         |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
+         |  greatest(length(x.text), length(y.text)) AS mx
+         |FROM cand c JOIN d x ON c.id_a = x.doc_id JOIN d y ON c.id_b = y.doc_id)
+         |SELECT id_a, id_b, n_shared_fp, lev,
+         |round(CAST(lev AS DOUBLE)/mx, 4) AS lev_ratio
+         |FROM v WHERE lev <= CAST(floor(0.1 * mx) AS BIGINT)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q59_split_assign" ->
+      s"""WITH d AS (SELECT
+         |CASE WHEN substr(md5('split-seed|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
+         |     WHEN substr(md5('split-seed|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
+         |     ELSE 'test' END AS split,
+         |CAST(len($TOKS) AS BIGINT) AS ws FROM documents),
+         |g AS (SELECT split, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS n_tokens
+         |FROM d GROUP BY split)
+         |SELECT split, n_docs, n_tokens,
+         |round(CAST(n_docs AS DOUBLE)/sum(n_docs) OVER (), 4) AS doc_share
+         |FROM g ORDER BY split""".stripMargin,
+
+    "q60_contamination" ->
+      s"""$SHINGLE_CTES,
+         |post AS (SELECT doc_id, unnest(sh) AS shingle FROM ss),
+         |bench AS (SELECT doc_id AS bench_id, shingle FROM post WHERE doc_id % 50 = 0),
+         |train AS (SELECT doc_id AS train_id, shingle FROM post WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT train_id, bench_id, count(*) AS shared
+         |  FROM train JOIN bench USING (shingle) GROUP BY 1, 2)
+         |SELECT train_id,
+         |CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+         |max(shared) AS max_shared,
+         |CAST(sum(shared) AS BIGINT) AS total_shared
+         |FROM hits GROUP BY train_id HAVING max(shared) >= 2
+         |ORDER BY train_id""".stripMargin,
+
+    "q61_bloom_semi" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         |${cents("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM lineitem WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 490000.0)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q62_grouping_sets" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+         |coalesce(day_name, 'ALL') AS day_name, count(*) AS n,
+         |${cents("value")} AS total_value
+         |FROM (SELECT event_type, dayname(ts) AS day_name, value FROM events)
+         |GROUP BY GROUPING SETS ((event_type, day_name), (event_type), (day_name))
+         |ORDER BY 1, 2""".stripMargin)
 }

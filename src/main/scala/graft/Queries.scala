@@ -928,6 +928,125 @@ object Queries {
       .orderBy(col("cent_id"), col("pos"))
   }
 
+  /** Winnowed rolling-hash fingerprint profile (SIGMOD'03 winnowing,
+    * native [[graft.expressions.WinnowFingerprints]] — Rabin-Karp
+    * base-131 mod 2^31-1 over 8-codepoint windows, min of each 4-hash
+    * run): the 8-char fragments selected into the most documents'
+    * sketches. The corpus-wide shared-fragment census a fuzzy-dedup
+    * pass starts from. */
+  def q56WinnowShared(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(explode(graft.expressions.TextExpressions
+        .winnowFingerprints(col("text"), 8, 4)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("fp"))
+      .limit(20)
+
+  /** BPE-ish token-cost profile per language: pre-tokenizer match
+    * counts (the standard corpus-cost proxy) vs whitespace word counts,
+    * with the bpe/word "fertility" ratio. */
+  def q57TokenCost(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("lang"),
+        bpeTokenCount(col("text")).cast("long").as("bpe"),
+        wordCount(col("text")).cast("long").as("ws"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("ws")).as("ws_tokens"),
+        round(avg(col("bpe")), 2).as("avg_bpe_per_doc"),
+        round(sum(col("bpe")) / sum(col("ws")), 4).as("fertility"))
+      .orderBy(col("lang"))
+
+  /** Fuzzy near-dup pairs: winnow-fingerprint blocking + Levenshtein
+    * verification ([[Dedup.editDistancePairs]], the MOSS shape). */
+  def q58EditDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(t(spark, dir).documents, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Reproducible train/val/test split assignment: md5-keyed hash
+    * buckets (first two hex chars → 256 buckets; f0/f8 cuts give a
+    * 93.75/3.125/3.125 split), with per-split document and token
+    * volume and corpus share. Deterministic in any engine — the split
+    * a doc lands in never depends on partitioning or ordering. */
+  def q59SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(
+      md5(concat_ws("|", lit("split-seed"), col("doc_id"))), 1, 2)
+    val split = when(bucket < "f0", "train")
+      .when(bucket < "f8", "val")
+      .otherwise("test")
+    val perSplit = t(spark, dir).documents
+      .select(split.as("split"), wordCount(col("text")).cast("long").as("ws"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"))
+    perSplit
+      .withColumn("doc_share",
+        round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 4))
+      .orderBy(col("split"))
+  }
+
+  /** Benchmark-contamination check: training docs sharing word-3-gram
+    * shingles with the held-out benchmark slice (doc_id % 50 == 0).
+    * Posting-list join benchmark×train (never all-pairs; the benchmark
+    * side is small by construction, the train side streams). */
+  def q60Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(t(spark, dir).documents, "doc_id", "text", 3)
+    val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = post.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val train = post.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    train.join(bench, Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("train_id"))
+      .agg(
+        countDistinct(col("bench_id")).as("n_bench_docs"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("total_shared"))
+      .where(col("max_shared") >= 2)
+      .orderBy(col("train_id"))
+  }
+
+  /** Bloom-pruned semi join ([[operators.Bloom]]): lineitems of
+    * top-priced orders (~2% of orders), revenue per return flag. The
+    * bloom sketch prunes the fact scan before the shuffle; the exact
+    * semi join removes false positives, so the result is identical to
+    * the plain semi join the oracle runs. */
+  def q61BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    val topOrders = tt.orders.where(col("o_totalprice") > 490000.0)
+    operators.Bloom.bloomPrunedSemiJoin(
+        tt.lineitem, topOrders, "l_orderkey", "o_orderkey",
+        expectedItems = 10000L)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** GROUPING SETS aggregation (completes the cube/rollup family with
+    * the explicit-set form): (type, day), (type), (day) — but NOT the
+    * grand total, which only the explicit form can express. */
+  def q62GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day_name", date_format(col("ts"), "EEEE"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day_name")),
+          Seq(col("event_type")), Seq(col("day_name"))),
+        col("event_type"), col("day_name"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day_name"), lit("ALL")).as("day_name"),
+        col("n"), col("total_value"))
+      .orderBy(col("event_type"), col("day_name"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -985,5 +1104,12 @@ object Queries {
     "q52_chained_metrics" -> (q52ChainedMetrics _),
     "q53_set_ops" -> (q53SetOps _),
     "q54_embed_neardup" -> (q54EmbedNearDup _),
-    "q55_kmeans_fit" -> (q55KmeansFit _))
+    "q55_kmeans_fit" -> (q55KmeansFit _),
+    "q56_winnow_shared" -> (q56WinnowShared _),
+    "q57_token_cost" -> (q57TokenCost _),
+    "q58_editdist_pairs" -> (q58EditDistancePairs _),
+    "q59_split_assign" -> (q59SplitAssign _),
+    "q60_contamination" -> (q60Contamination _),
+    "q61_bloom_semi" -> (q61BloomSemi _),
+    "q62_grouping_sets" -> (q62GroupingSets _))
 }

@@ -125,6 +125,69 @@ object TextKernels {
     UTF8String.fromString(new String(out))
   }
 
+  /** Winnowed rolling-hash document fingerprint (the winnowing
+    * algorithm of Schleimer/Wilkerson/Aiken, SIGMOD'03, used by MOSS):
+    * Rabin-Karp polynomial hashes of every `w`-codepoint window
+    * (base 131, mod 2^31-1 — both small enough that every intermediate
+    * fits a 64-bit long in ANY engine, which is what makes the DuckDB
+    * oracle possible), then the min of each run of `t` consecutive
+    * window hashes, deduplicated and sorted ascending.
+    *
+    * Single O(n) pass: h' = ((h - c_out*B^(w-1))*B + c_in) mod M, with
+    * the subtraction kept non-negative. Iterates by codepoint so
+    * supplementary-plane characters hash as one unit (like DuckDB's
+    * per-codepoint string indexing).
+    *
+    * Documents shorter than w codepoints, or with fewer than t
+    * windows, have an empty sketch.
+    */
+  def winnowFingerprints(input: UTF8String, w: Int, t: Int): ArrayData = {
+    val s = input.toString
+    val n0 = s.codePointCount(0, s.length)
+    if (n0 < w || n0 - w + 1 < t)
+      return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Long](n0)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      cps(k) = c.toLong
+      k += 1
+      i += Character.charCount(c)
+    }
+    val M = 2147483647L // 2^31 - 1
+    val B = 131L
+    var top = 1L // B^(w-1) mod M
+    var j = 0
+    while (j < w - 1) { top = top * B % M; j += 1 }
+    val nw = n0 - w + 1
+    val hs = new Array[Long](nw)
+    var h = 0L
+    j = 0
+    while (j < w) { h = (h * B + cps(j)) % M; j += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nw) {
+      h = ((h - cps(i - 1) * top % M + M) % M * B + cps(i + w - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]
+    i = 0
+    while (i + t <= nw) {
+      var m = hs(i)
+      var q = 1
+      while (q < t) { if (hs(i + q) < m) m = hs(i + q); q += 1 }
+      set.add(m)
+      i += 1
+    }
+    val arr = new Array[Any](set.size)
+    val it = set.iterator
+    k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Codepoint positions differing between two strings of equal
     * numChars. Iterates by codepoint, not UTF-16 unit: the caller's
     * guard compares numChars (codepoints), so supplementary-plane
@@ -227,6 +290,27 @@ case class SimHashBits(child: Expression)
     copy(child = c)
 }
 
+/** Winnowed rolling-hash fingerprint sketch of a text column —
+  * sorted distinct array<long>. See [[TextKernels.winnowFingerprints]]. */
+case class WinnowFingerprints(child: Expression, w: Int, t: Int)
+    extends UnaryExpression {
+  require(w >= 2, "rolling window must be >= 2 codepoints")
+  require(t >= 1, "winnow window must be >= 1 hashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFingerprints(input.asInstanceOf[UTF8String], w, t)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.winnowFingerprints($c, $w, $t)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 /** Hamming distance between two equal-length strings (bit strings in
   * the SimHash pipeline); null when lengths differ. */
 case class HammingDist(left: Expression, right: Expression)
@@ -277,4 +361,8 @@ object TextExpressions {
   /** SimHash-64 bit string of a token-array column (native). */
   def simhashBits(tokens: Column): Column =
     ColumnBridge.column(SimHashBits(ColumnBridge.expression(tokens)))
+
+  /** Winnowed rolling-hash fingerprint sketch (native). */
+  def winnowFingerprints(text: Column, w: Int, t: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), w, t))
 }

@@ -26,6 +26,22 @@ object TextFunctions {
 
   def wordCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the lookahead-free
+    * subset so the SAME pattern runs identically under java.util.regex
+    * (Spark) and RE2 (DuckDB oracle): an optional leading space glued to
+    * a letter run / digit run / punctuation run, else a whitespace run.
+    * Token counts from this pattern approximate BPE token costs (each
+    * match is one-or-more BPE tokens; the match count is the standard
+    * lower-bound proxy used for corpus cost estimation). */
+  val BpeTokenPattern: String = """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+
+  /** BPE-ish token pieces of raw text (pre-tokenizer matches). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  /** BPE-ish token count — the corpus-cost proxy. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Count of tokens that appear in `words` (codegen'd; no UDF). */
   def keywordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words.map(lit))))

@@ -148,6 +148,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Fuzzy near-dup pairs: winnowed rolling-hash fingerprint blocking
+    * + edit-distance verification (the MOSS shape: candidates = docs
+    * sharing >= `minSharedFp` selective winnow fingerprints, verified
+    * by relative Levenshtein distance).
+    *
+    * Shuffle shape mirrors [[minhashLshPairs]]: only slim (doc_id, fp)
+    * rows ride the blocking self-join; fingerprints with document
+    * frequency > `maxDf` are dropped (stop-fragments — common
+    * substrings shared by half the corpus carry no near-dup signal and
+    * would quadratically blow up the join), and the full texts are
+    * fetched BY ID only for the surviving candidate set. Verification
+    * is `levenshtein(a,b) <= floor(maxLevRatio * max(len))` — O(len²)
+    * per pair but the candidate set is tiny; at scale swap in Spark's
+    * threshold-bounded `levenshtein(l, r, k)` (O(len·k) banded DP) once
+    * an absolute bound is acceptable.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, t: Int = 4, maxDf: Long = 5L, minSharedFp: Long = 2L,
+      maxLevRatio: Double = 0.1): DataFrame = {
+    val base = Caches.persistTracked(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("txt"), length(col(textCol)).as("len")))
+    val fps = base.select(col("doc_id"),
+      explode(graft.expressions.TextExpressions
+        .winnowFingerprints(col("txt"), w, t)).as("fp"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val filtered = Caches.persistTracked(fps.join(keep, Seq("fp")))
+    val cand = filtered.select(col("doc_id").as("id_a"), col("fp"))
+      .join(filtered.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where(col("n_shared_fp") >= minSharedFp)
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("txt").as("ta"),
+        col("len").as("la")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("txt").as("tb"),
+        col("len").as("lb")), Seq("id_b"))
+      .withColumn("mx", greatest(col("la"), col("lb")))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .where(col("lev") <= floor(col("mx") * maxLevRatio).cast("long"))
+      .withColumn("lev_ratio", round(col("lev") / col("mx"), 4))
+      .select(col("id_a"), col("id_b"), col("n_shared_fp"), col("lev"),
+        col("lev_ratio"))
+  }
+
   /** Banded-LSH candidate pairs + exact-Jaccard verification.
     * numHashes = bands * rowsPerBand. Emits (id_a < id_b, jaccard)
     * for verified pairs with jaccard >= threshold.

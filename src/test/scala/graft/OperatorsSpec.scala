@@ -66,6 +66,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints: distinct sorted sketch, matches a hand-rolled reference") {
+    import graft.expressions.TextExpressions.winnowFingerprints
+    val M = 2147483647L; val B = 131L
+    def ref(s: String, w: Int, t: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      if (cps.length < w) return Seq.empty
+      val hs = (0 to cps.length - w).map { i =>
+        cps.slice(i, i + w).foldLeft(0L)((a, c) => (a * B + c) % M)
+      }
+      if (hs.length < t) return Seq.empty
+      (0 to hs.length - t).map(i => hs.slice(i, i + t).min)
+        .distinct.sorted
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short", "exactly8", "exactly8ch", "",
+      "non-bmp 𝄞 music 𝄞 clef repeats here")
+    val got = samples.toDF("text")
+      .select(winnowFingerprints($"text", 8, 4)).as[Seq[Long]].collect()
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g === ref(s, 8, 4), s"sketch mismatch for '$s'")
+    }
+  }
+
+  test("editDistancePairs: finds planted near-dup, skips unrelated; lev bound holds") {
+    // 60+-char docs so 8-char windows/winnowing have material to select
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the afternoon sun"
+    val mutated = base.replace("lazy", "idle") // small edit
+    val other = "entirely different content about distributed query " +
+      "engines shuffling partitioned columnar data across executors"
+    val d = Seq((1L, base), (2L, mutated), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, "doc_id", "text",
+        maxDf = 4L, minSharedFp = 2L, maxLevRatio = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out.contains((1L, 2L))) // near dup survives verification
+    assert(out((1L, 4L)) === 0L)   // exact dup, lev 0
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // every emitted lev respects the relative bound
+    out.foreach { case (_, lev) => assert(lev <= (base.length * 0.1).toLong) }
+  }
+
   // ---- Similarity ----
 
   private lazy val vecs = Seq(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Skew
+import graft.operators.{Bloom, Skew}
 import graft.sources.Writers
 
 /** Scale-shape checks: salted join equivalence, bucketed-table join
@@ -52,6 +52,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getString(2).length === 64)
   }
 
+  test("bloom-pruned semi join returns exactly the plain semi join's rows") {
+    val big = Seq.tabulate(1000)(i => (i.toLong % 250, i)).toDF("k", "v")
+    val small = Seq(3L, 17L, 99L, 4096L).toDF("sk")
+    val plain = big.join(small, big("k") === small("sk"), "left_semi")
+      .as[(Long, Int)].collect().toSet
+    val pruned = Bloom.bloomPrunedSemiJoin(big, small, "k", "sk", 100L)
+      .as[(Long, Int)].collect().toSet
+    assert(pruned === plain)
+    assert(plain.size === 12) // 3 matching keys × 4 copies each
+    // the sketch itself never false-negatives a present key
+    val sketch = Bloom.bloomOf(small, "sk", 100L)
+    val probed = small.where(Bloom.mightContain(sketch, $"sk")).count()
+    assert(probed === 4)
+  }
+
   test("native expressions run under forced whole-stage codegen (no fallback)") {
     import graft.expressions.{TextExpressions => TE, VectorExpressions => VE}
     // CODEGEN_ONLY + fallback=false: a doGenCode failure throws instead
@@ -70,12 +85,14 @@ class ScaleOpsSpec extends AnyFunSuite {
           TE.simhashBits(TE.tokenize($"text")).as("bits"),
           VE.cosineSim($"va", $"vb").as("cos"))
         .select(size($"toks"), size(TE.minhashSig($"sh", 2)),
-          TE.hammingDist($"bits", $"bits"), $"cos")
+          TE.hammingDist($"bits", $"bits"), $"cos",
+          size(TE.winnowFingerprints(lit("a b c a b c a b c a b c"), 8, 4)))
         .head()
       assert(row.getInt(0) === 4)
       assert(row.getInt(1) === 2)
       assert(row.getInt(2) === 0)
       assert(math.abs(row.getDouble(3) - 0.6) < 1e-12)
+      assert(row.getInt(4) > 0)
     } finally {
       conf.set("spark.sql.codegen.factoryMode", oldFactory)
       conf.set("spark.sql.codegen.fallback", oldFallback)

@@ -19,6 +19,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(evalTokens("one") === Seq("one"))
   }
 
+  test("bpeTokens: space-glued runs, punctuation runs, whitespace runs") {
+    def toks(s: String): Seq[String] =
+      Seq(s).toDF("text").select(bpeTokens($"text")).as[Seq[String]].head()
+    assert(toks("Hello world") === Seq("Hello", " world"))
+    assert(toks("a1b") === Seq("a", "1", "b"))
+    assert(toks("don't stop") === Seq("don", "'", "t", " stop"))
+    assert(toks("x  y") === Seq("x", "  ", "y")) // double space: one greedy ws run
+    assert(toks("42!!") === Seq("42", "!!"))
+    assert(toks("") === Seq.empty)
+  }
+
   test("native tokenize matches the Column HOF formulation") {
     val texts = Seq("The  Fast\tkey ", "", " a  b c ", "x", "A a A b",
       "multi   space\t\ttabs").toDF("text")
