@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -50,6 +51,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1) ===
       Seq("the fast", "fast key", "key the")) // distinct, first-occurrence
     assert(r.getString(2).length === 64)
+  }
+
+  test("skew workload: salting spreads the hot key across shuffle partitions") {
+    // hot-key workload: 90% of the big side is key 7 (the shape AQE
+    // can't split in a shuffled-hash build side)
+    val big = Seq.tabulate(2000)(i =>
+      (if (i % 10 == 0) i.toLong % 50 else 7L, i)).toDF("k", "v")
+    val small = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+
+    // plain shuffle join: every hot-key output row lands in ONE
+    // hash(k) partition; salted: hot key spans min(factor, partitions)
+    def hotPartitions(df: DataFrame): Long = df
+      .where($"k" === 7L)
+      .select(spark_partition_id().as("p")).distinct().count()
+
+    val plain = big.repartition(8, $"k")
+    val salted = big
+      .withColumn("_salt", pmod(hash($"v"), lit(8)))
+      .repartition(8, $"k", $"_salt")
+    assert(hotPartitions(plain) === 1L)
+    assert(hotPartitions(salted) > 1L)
+
+    // and the full salted join still returns exactly the plain rows
+    val plainRows = big.join(small, Seq("k"))
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    val saltedRows = Skew.saltedJoin(big, small, "k", factor = 8,
+        saltSource = Seq("v"))
+      .select("k", "v", "name").as[(Long, Int, String)].collect().toSet
+    assert(saltedRows === plainRows)
   }
 
   test("bloom-pruned semi join returns exactly the plain semi join's rows") {

@@ -144,6 +144,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(byType("high_frequency") === 5L)
   }
 
+  test("RocksDB state store: chained stateful topology, identical results to default provider") {
+    import graft.streaming.StateStores
+    import scala.jdk.CollectionConverters._
+    implicit val ctx = spark.sqlContext
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:05", 1, "view", 1.0),
+      json(2, "2024-01-01 10:00:15", 1, "view", 1.0),
+      json(3, "2024-01-01 10:00:25", 1, "view", 1.0),
+      json(4, "2024-01-01 10:00:30", 2, "error", 1.0),
+      json(5, "2024-01-01 10:00:40", 3, "purchase", 400.0))
+    val w2 = Seq(json(9, "2024-01-01 10:30:00", 9, "view", 1.0))
+    val w3 = Seq(json(10, "2024-01-01 11:00:00", 9, "view", 1.0))
+    val baseline = runStream("rocks_base_t", Seq(w1, w2, w3))(
+      StreamOps.chainedAlertMetrics(_))
+      .collect().map(_.toSeq).toSet
+    StateStores.useRocksDb(spark)
+    try {
+      val input = MemoryStream[String]
+      val events = StreamOps.withEventTime(
+        StreamOps.decodeJsonEnvelope(input.toDF()))
+      val q = StreamOps.chainedAlertMetrics(events).writeStream
+        .format("memory").queryName("rocks_t").outputMode("append").start()
+      try {
+        Seq(w1, w2, w3).foreach { b => input.addData(b); q.processAllAvailable() }
+        // proof the query really ran on RocksDB stores, not the default
+        val metrics = q.lastProgress.stateOperators
+        assert(metrics.nonEmpty)
+        assert(metrics.forall(_.customMetrics.keySet.asScala
+          .exists(_.startsWith("rocksdb"))),
+          "state operators expose no rocksdb metrics — wrong provider?")
+      } finally q.stop()
+      val rocks = spark.table("rocks_t").collect().map(_.toSeq).toSet
+      assert(rocks === baseline)
+      assert(rocks.nonEmpty)
+    } finally StateStores.useDefault(spark)
+  }
+
   test("session windows: 30-min gap splits sessions, append after watermark") {
     val w1 = Seq(
       json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
