@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{CosineSim, HammingDist, MinhashSig, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
+
+/** `spark.sql.extensions` entry point — the zero-code-change way to
+  * get the engine's native SQL surface (SURVEY §7.3's preferred
+  * registration path):
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Unlike [[GraftFunctions.register]] (imperative, per-session, temp
+  * functions), extension-injected functions are part of the session's
+  * catalog from construction — present in every derived `newSession()`
+  * and usable from pure-SQL tooling that never touches Scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("tokenize"),
+      info("tokenize", "tokenize(text) - lowercased whitespace tokens"),
+      exprs => Tokenize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-grams"),
+      exprs => WordShingles(exprs.head, intArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - portable MinHash signature"),
+      exprs => MinhashSig(exprs.head, intArg(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("simhash_bits"),
+      info("simhash_bits", "simhash_bits(tokens) - 64-bit SimHash bit string"),
+      exprs => SimHashBits(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("hamming_dist"),
+      info("hamming_dist", "hamming_dist(a, b) - codepoint Hamming distance"),
+      exprs => HammingDist(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine of two double arrays"),
+      exprs => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, w, t) - winnowed rolling-hash sketch"),
+      exprs => WinnowFingerprints(exprs.head,
+        intArg(exprs(1)), intArg(exprs(2)))))
+  }
+}

@@ -850,5 +850,58 @@ object Oracles {
          |${cents("value")} AS total_value
          |FROM (SELECT event_type, dayname(ts) AS day_name, value FROM events)
          |GROUP BY GROUPING SETS ((event_type, day_name), (event_type), (day_name))
-         |ORDER BY 1, 2""".stripMargin)
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Replays the SAMPLED k-means fit (25% md5 sample, init = 4
+    // lowest-id sampled vectors, one Lloyd iteration with the same
+    // fixed-point mean as q55) and then the q41-shaped IVF probe of
+    // the FULL corpus against the fitted centroids.
+    "q63_sampled_fit" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |s AS (SELECT id, vv FROM v
+        |  WHERE substr(md5('fit-seed|' || CAST(id AS VARCHAR)), 1, 1) < '4'),
+        |c0 AS (SELECT id AS cent_id, vv AS cv FROM s ORDER BY id LIMIT 4),
+        |a1 AS (SELECT id, vv, cent_id FROM (
+        |  SELECT s.id, s.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY s.id ORDER BY
+        |    round(list_dot_product(s.vv, c.cv)
+        |     /(sqrt(list_dot_product(s.vv, s.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM s CROSS JOIN c0 c) WHERE rk = 1),
+        |m1 AS (SELECT cent_id, CAST(p.pos AS INT) AS pos,
+        |  CAST(sum(CAST(round(vv[CAST(p.pos AS INT)+1]*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS m
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        |  GROUP BY cent_id, p.pos),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cent_id),
+        |assigned AS (SELECT id AS neighbor_id, vv AS cvv, cent_id FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS crank
+        |  FROM v CROSS JOIN c1 c) WHERE crank = 1),
+        |probed AS (SELECT id AS query_id, vv AS qv, cent_id FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS crank
+        |  FROM v CROSS JOIN c1 c WHERE v.id < 8) WHERE crank <= 2),
+        |sc AS (SELECT DISTINCT p.query_id, a.neighbor_id,
+        |  round(list_dot_product(p.qv, a.cvv)
+        |   /(sqrt(list_dot_product(p.qv, p.qv))*sqrt(list_dot_product(a.cvv, a.cvv))), 4) AS sim
+        |FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
+        |WHERE p.query_id <> a.neighbor_id)
+        |SELECT query_id, "rank", neighbor_id, sim FROM (
+        |SELECT query_id, neighbor_id, sim,
+        |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
+        |FROM sc) WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q64_shard_assign" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS ws FROM documents),
+         |sh AS (SELECT ws, CAST(ntile(8) OVER (
+         |  ORDER BY md5('shard-seed|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS shard
+         |FROM d)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS n_tokens
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)
 }

@@ -1047,6 +1047,43 @@ object Queries {
         col("n"), col("total_value"))
       .orderBy(col("event_type"), col("day_name"))
 
+  /** The 100 TB IVF shape end-to-end: centroids fitted on a
+    * DETERMINISTIC hash sample (md5 first hex < '4' → 25% of vectors;
+    * reproducible in any engine, unlike rand()), one Lloyd iteration,
+    * then the full corpus is only touched by the final bucket
+    * assignment + probe — the sampled-fit path
+    * [[Similarity.fitCentroids]]'s doc promises. Oracle replays the
+    * sampled fit AND the probe in SQL. */
+  def q63SampledFit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sample = emb.where(
+      substring(md5(concat_ws("|", lit("fit-seed"), col("id"))), 1, 1) < "4")
+    val cents = Similarity.fitCentroids(sample, k = 4, iters = 1)
+      .select(col("cent_id").as("id"), col("cent_v").as("vec"))
+    val queries = emb.where(col("id") < 8)
+    Similarity.ivfTopK(queries, emb, cents, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Balanced output sharding for training-data export: ntile over a
+    * deterministic keyed-hash order gives shards of equal size (vs
+    * q59's hash buckets, which are only balanced in expectation).
+    * The global sort is one total-order shuffle — at 100 TB this is
+    * `repartitionByRange` on the same hash key; ntile here keeps the
+    * shard id oracle-checkable. */
+  def q64ShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(
+      md5(concat_ws("|", lit("shard-seed"), col("doc_id"))), col("doc_id"))
+    t(spark, dir).documents
+      .select(col("doc_id"), wordCount(col("text")).cast("long").as("ws"))
+      .withColumn("shard", ntile(8).over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1111,5 +1148,7 @@ object Queries {
     "q59_split_assign" -> (q59SplitAssign _),
     "q60_contamination" -> (q60Contamination _),
     "q61_bloom_semi" -> (q61BloomSemi _),
-    "q62_grouping_sets" -> (q62GroupingSets _))
+    "q62_grouping_sets" -> (q62GroupingSets _),
+    "q63_sampled_fit" -> (q63SampledFit _),
+    "q64_shard_assign" -> (q64ShardAssign _))
 }

@@ -97,6 +97,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(probed === 4)
   }
 
+  test("GraftExtensions injects the native SQL surface at session construction") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists first
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // reuses the live SparkContext; extensions apply to the NEW
+      // session. (`spark.sql.extensions=graft.GraftExtensions` is the
+      // spark-submit equivalent — a STATIC conf, so in-JVM with a
+      // shared context the builder hook is the testable path.)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT size(winnow_fingerprints('a b c a b c a b c', 8, 4)) AS n,
+          |tokenize('X y') AS t""".stripMargin).head()
+      assert(r.getInt(0) > 0)
+      assert(r.getSeq[String](1) === Seq("x", "y"))
+      // derived sessions inherit the surface (temp functions would not)
+      assert(s2.newSession()
+        .sql("SELECT hamming_dist('ab', 'ac')").head().getInt(0) === 1)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      default.foreach(SparkSession.setDefaultSession)
+      active.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("native expressions run under forced whole-stage codegen (no fallback)") {
     import graft.expressions.{TextExpressions => TE, VectorExpressions => VE}
     // CODEGEN_ONLY + fallback=false: a doGenCode failure throws instead
