@@ -903,5 +903,15 @@ object Oracles {
          |  ORDER BY md5('shard-seed|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS shard
          |FROM d)
          |SELECT shard, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS n_tokens
-         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q65_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |round(CAST(sum(CAST(round(val*10000) AS BIGINT)) AS DOUBLE)/10000.0/count(*), 4) AS avg_val,
+        |round(min(val), 4) AS min_val, round(max(val), 4) AS max_val
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1084,6 +1084,29 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** Unpivot/melt — the inverse of A8's pivot, completing the reshape
+    * family: lineitem measures to long form, then per-(flag, measure)
+    * stats. Spark's native `unpivot` is a single Expand (one pass, no
+    * re-scans); the oracle uses the portable UNION ALL formulation.
+    * The mean goes through 1e-4-quantum fixed-point longs (same
+    * determinism rule as money). */
+  def q65Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("val") * 10000).cast("long")).cast("double")
+          / 10000.0 / count(lit(1)), 4).as("avg_val"),
+        round(min(col("val")), 4).as("min_val"),
+        round(max(col("val")), 4).as("max_val"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1150,5 +1173,6 @@ object Queries {
     "q61_bloom_semi" -> (q61BloomSemi _),
     "q62_grouping_sets" -> (q62GroupingSets _),
     "q63_sampled_fit" -> (q63SampledFit _),
-    "q64_shard_assign" -> (q64ShardAssign _))
+    "q64_shard_assign" -> (q64ShardAssign _),
+    "q65_unpivot" -> (q65Unpivot _))
 }

@@ -66,19 +66,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  /** Direct (non-rolling) reference for the winnowing kernel. */
+  private def winnowRef(s: String, w: Int, t: Int): Seq[Long] = {
+    val M = 2147483647L; val B = 131L
+    val cps = s.codePoints().toArray.map(_.toLong)
+    if (cps.length < w) return Seq.empty
+    val hs = (0 to cps.length - w).map { i =>
+      cps.slice(i, i + w).foldLeft(0L)((a, c) => (a * B + c) % M)
+    }
+    if (hs.length < t) return Seq.empty
+    (0 to hs.length - t).map(i => hs.slice(i, i + t).min)
+      .distinct.sorted
+  }
+
   test("winnowFingerprints: distinct sorted sketch, matches a hand-rolled reference") {
     import graft.expressions.TextExpressions.winnowFingerprints
-    val M = 2147483647L; val B = 131L
-    def ref(s: String, w: Int, t: Int): Seq[Long] = {
-      val cps = s.codePoints().toArray.map(_.toLong)
-      if (cps.length < w) return Seq.empty
-      val hs = (0 to cps.length - w).map { i =>
-        cps.slice(i, i + w).foldLeft(0L)((a, c) => (a * B + c) % M)
-      }
-      if (hs.length < t) return Seq.empty
-      (0 to hs.length - t).map(i => hs.slice(i, i + t).min)
-        .distinct.sorted
-    }
+    def ref(s: String, w: Int, t: Int): Seq[Long] = winnowRef(s, w, t)
     val samples = Seq(
       "the quick brown fox jumps over the lazy dog",
       "short", "exactly8", "exactly8ch", "",
@@ -87,6 +90,26 @@ class OperatorsSpec extends AnyFunSuite {
       .select(winnowFingerprints($"text", 8, 4)).as[Seq[Long]].collect()
     samples.zip(got).foreach { case (s, g) =>
       assert(g === ref(s, 8, 4), s"sketch mismatch for '$s'")
+    }
+  }
+
+  test("winnowFingerprints: rolling kernel == direct reference on random unicode (property)") {
+    import graft.expressions.TextExpressions.winnowFingerprints
+    import org.scalacheck.Gen
+    // mixes ASCII, spaces, accents, and supplementary-plane codepoints
+    val char: Gen[String] = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "ß", "中"),
+      1 -> Gen.oneOf("𝄞", "🚀"))
+    val str = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, char).map(_.mkString))
+    val samples = Gen.listOfN(80, str).sample.getOrElse(List("fallback"))
+    val got = samples.toDF("text")
+      .select(winnowFingerprints($"text", 8, 4)).as[Seq[Long]].collect()
+    samples.zip(got).foreach { case (s, g) =>
+      assert(g === winnowRef(s, 8, 4),
+        s"rolling/direct mismatch for ${s.take(40)}")
     }
   }
 

@@ -219,6 +219,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("transformWithState dedup (v2 state API, RocksDB): same semantics as v1") {
+    import graft.streaming.StateStores
+    implicit val ctx = spark.sqlContext
+    StateStores.useRocksDb(spark)
+    try {
+      val input = MemoryStream[String]
+      val events = StreamOps.withEventTime(
+        StreamOps.decodeJsonEnvelope(input.toDF()))
+      val q = StreamOps.dedupStreamTws(
+          StreamOps.watermarked(events.toDF()), spark)
+        .writeStream
+        .format("memory").queryName("dedup_tws_t").outputMode("append").start()
+      try {
+        input.addData(Seq(
+          json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+          json(1, "2024-01-01 10:00:01", 1, "view", 1.0), // dup in batch
+          json(2, "2024-01-01 10:00:02", 1, "click", 2.0)))
+        q.processAllAvailable()
+        input.addData(Seq(
+          json(1, "2024-01-01 10:01:00", 1, "view", 1.0), // dup across batches
+          json(3, "2024-01-01 10:01:01", 1, "view", 3.0),
+          json(2, "2024-01-01 10:01:02", 2, "view", 9.0))) // other user's id 2
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("dedup_tws_t")
+        .select($"event_id", $"user_id").as[(Long, Long)].collect().sorted
+      // ids dedup PER USER: user 1 keeps {1,2,3}; user 2's id 2 is separate
+      assert(rows.toSeq === Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 1L)))
+    } finally StateStores.useDefault(spark)
+  }
+
   test("K1: checkpointed parquet append sink writes finalized windows") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graftk1").toString
