@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval().asInstanceOf[Number].intValue()
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // O(n·k) banded rewrite of levenshtein-threshold predicates
+    ext.injectOptimizerRule(_ => graft.plans.BoundLevenshteinRule)
     ext.injectFunction((FunctionIdentifier("tokenize"),
       info("tokenize", "tokenize(text) - lowercased whitespace tokens"),
       exprs => Tokenize(exprs.head)))

@@ -119,6 +119,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       // derived sessions inherit the surface (temp functions would not)
       assert(s2.newSession()
         .sql("SELECT hamming_dist('ab', 'ac')").head().getInt(0) === 1)
+
+      // injected optimizer rule: levenshtein(a,b) <= k rewrites to the
+      // banded O(n·k) threshold form, results unchanged. (A parquet
+      // scan — a literal relation would be constant-folded away.)
+      import s2.implicits._
+      val probe = lit("key agg row scan slow fast")
+      val docs = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val filtered = docs.where(levenshtein($"text", probe) <= 20)
+      val plan = filtered.queryExecution.optimizedPlan.toString
+      assert(plan.matches("(?s).*levenshtein\\([^)]*Some\\(20\\)\\) >= 0.*"),
+        s"bounded levenshtein should appear in the plan:\n$plan")
+      // same rows as the unbounded predicate on the rule-free session
+      val expected = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(levenshtein(col("text"), probe) <= 20).count()
+      assert(filtered.count() === expected)
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       default.foreach(SparkSession.setDefaultSession)
