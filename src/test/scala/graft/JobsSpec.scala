@@ -177,6 +177,48 @@ class JobsSpec extends AnyFunSuite {
     assert(out.head().getAs[Long]("n_alerts") === 2L)
   }
 
+  test("S8 replay end-to-end latency: per-trigger metrics from the progress log") {
+    import graft.streaming.Replay
+    import org.apache.spark.sql.functions.{col, to_json, struct}
+    // producer role: a 60-row JSON fixture replayed at 120 rows/s into
+    // the decode -> alert-filter pipeline (the reference's job5 alert
+    // path runs at a 10 s trigger; here 1 s for test wall-clock)
+    val fixture = (1L to 60L).map(i =>
+      (i, s"2024-01-01 10:00:${(i % 60).formatted("%02d")}",
+        i % 7, if (i % 3 == 0) "error" else "view", i * 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // "json" not "value": the rate source's tick column is also named
+    // value and would make the replay join ambiguous
+    val jsonFixture = fixture
+      .select(col("event_id"),
+        to_json(struct(fixture.columns.map(col): _*)).as("json"))
+    val raw = Replay.rateLimited(spark, jsonFixture, "event_id",
+      rowsPerSecond = 30).select(col("json").as("value"))
+    val alerts = StreamOps.errorAlerts(StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(raw)))
+    val q = alerts.writeStream.format("memory").queryName("latency_t")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 seconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("latency_t").count() < 20
+          && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    assert(spark.table("latency_t").count() === 20) // every 3rd of 60
+    // per-trigger latency numbers come straight off the progress log
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.nonEmpty, "no data-bearing micro-batches recorded")
+    val durs = batches.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
+    assert(durs.nonEmpty && durs.forall(_ >= 0))
+    val sorted = durs.sorted
+    info(s"micro-batches=${batches.length} " +
+      s"triggerExecution p50=${sorted(sorted.length / 2)}ms " +
+      s"max=${sorted.last}ms " +
+      f"rows/s=${batches.map(_.processedRowsPerSecond).max}%.0f")
+  }
+
   test("batch job bundle writes csv + parquet report tree") {
     val dir = java.nio.file.Files.createTempDirectory("graftbatch").toString
     BatchJobs.run(spark, "/root/testdata/sf0.001", dir, "terms")
