@@ -34,6 +34,21 @@ object Oracles {
   private val TOKS =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
 
+  // PII patterns interpolated from the single source of truth (they
+  // live in the java.util.regex ∩ RE2 subset, so the same string runs
+  // in both engines; SQL single-quoted strings pass `\` through).
+  private val PII_EMAIL = graft.functions.TextFunctions.EmailPattern
+  private val PII_URL = graft.functions.TextFunctions.UrlPattern
+  private val PII_DIGITS = graft.functions.TextFunctions.LongDigitPattern
+
+  /** Mirror of Queries.saltedPiiText — the deterministic PII salt.
+    * Single-line: it is interpolated into stripMargin blocks, which
+    * would otherwise eat the leading `|` of a line-initial `||`. */
+  private val SALTED_PII =
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' see https://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/page' ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' ref ' || lpad(CAST(doc_id AS VARCHAR), 8, '0') ELSE '' END"
+
   private def cents(x: String): String =
     s"CAST(sum(CAST(round(($x)*100) AS BIGINT)) AS DOUBLE)/100.0"
   private def centsAvg(x: String): String =
@@ -913,5 +928,73 @@ object Oracles {
         |SELECT l_returnflag, measure, count(*) AS n,
         |round(CAST(sum(CAST(round(val*10000) AS BIGINT)) AS DOUBLE)/10000.0/count(*), 4) AS avg_val,
         |round(min(val), 4) AS min_val, round(max(val), 4) AS max_val
-        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q66_repetition_quality" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOKS AS tk FROM documents),
+         |m AS (SELECT doc_id, lang, len(tk) AS ws,
+         |  len(list_distinct(tk)) AS nd, tk FROM d WHERE len(tk) >= 2),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |  i -> array_to_string(tk[i:i+1], ' '))) AS bg FROM m),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |tb AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id),
+         |f AS (SELECT m.lang,
+         |  CAST(floor(tb.top_bg * 2.0 * 1000000.0 / m.ws) AS BIGINT) AS top_fp,
+         |  CAST(floor((m.ws - m.nd) * 1000000.0 / m.ws) AS BIGINT) AS dup_fp
+         |FROM m JOIN tb ON m.doc_id = tb.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |CAST(sum(CASE WHEN top_fp >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_bigram,
+         |CAST(sum(CASE WHEN dup_fp >= 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup,
+         |round(CAST(sum(top_fp) AS DOUBLE)/count(*)/1000000.0, 4) AS avg_top_bigram_frac,
+         |round(CAST(sum(dup_fp) AS DOUBLE)/count(*)/1000000.0, 4) AS avg_dup_word_frac
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q67_redact_profile" ->
+      s"""WITH s AS (SELECT lang, $SALTED_PII AS salted FROM documents),
+         |r AS (SELECT lang, salted,
+         |  regexp_replace(regexp_replace(regexp_replace(salted,
+         |    '$PII_EMAIL', '<EMAIL>', 'g'),
+         |    '$PII_URL', '<URL>', 'g'),
+         |    '$PII_DIGITS', '<NUM>', 'g') AS clean FROM s)
+         |SELECT lang, count(*) AS n_docs,
+         |CAST(sum(len(regexp_extract_all(salted, '$PII_EMAIL'))) AS BIGINT) AS n_emails,
+         |CAST(sum(len(regexp_extract_all(salted, '$PII_URL'))) AS BIGINT) AS n_urls,
+         |CAST(sum(len(regexp_extract_all(salted, '$PII_DIGITS'))) AS BIGINT) AS n_digit_runs,
+         |CAST(sum(length(salted) - length(clean)) AS BIGINT) AS chars_removed
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q68_domain_profile" ->
+      s"""WITH s AS (SELECT doc_id, $SALTED_PII AS salted FROM documents),
+         |e AS (SELECT doc_id, unnest(regexp_extract_all(salted,
+         |  'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM s)
+         |SELECT domain, count(*) AS n_refs,
+         |count(DISTINCT doc_id) AS n_docs
+         |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q69_pack_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS ws,
+        |  md5('pack-seed|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT substr(h, 1, 1) AS bucket, ws,
+        |  CAST(sum(ws) OVER (PARTITION BY substr(h, 1, 1)
+        |    ORDER BY h, doc_id) AS BIGINT) AS cum FROM d)
+        |SELECT bucket, CAST(floor((cum - ws) / 4000.0) AS INT) AS shard,
+        |count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY bucket, shard""".stripMargin,
+
+    "q70_overlap_pairs" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fp a JOIN fp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, na, nb, shared, make_overlap AS overlap FROM (
+         |SELECT id_a, id_b, CAST(na AS INT) AS na, CAST(nb AS INT) AS nb,
+         |CAST(shared AS BIGINT) AS shared,
+         |round(CAST(shared AS DOUBLE)/least(na, nb), 4) AS make_overlap FROM pairs)
+         |WHERE make_overlap >= 0.5 ORDER BY id_a, id_b""".stripMargin)
 }

@@ -1107,6 +1107,131 @@ object Queries {
         round(max(col("val")), 4).as("max_val"))
       .orderBy(col("l_returnflag"), col("measure"))
 
+  /** Gopher/C4-style repetition quality filters per language: the
+    * top-bigram fraction (share of words covered by the most frequent
+    * word bigram) and the duplicate-word fraction (1 − distinct/total).
+    * Per-doc fractions go through 1e6-quantum fixed-point (floor) so
+    * flag cuts and averages are bit-identical across engines.
+    * Scale shape: explode → two keyed aggregations, no self-join; the
+    * per-doc bigram mode is a (doc, bigram) groupBy — AQE-balanced,
+    * never a driver-side histogram. */
+  def q66RepetitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      .withColumn("ws", size(col("tk")))
+      .withColumn("nd", size(array_distinct(col("tk"))))
+      .where(col("ws") >= 2)
+    val topBg = d
+      .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bg"))
+    d.join(topBg, Seq("doc_id"))
+      .select(col("lang"),
+        floor(col("top_bg") * 2.0 * 1000000.0 / col("ws")).as("top_fp"),
+        floor((col("ws") - col("nd")) * 1000000.0 / col("ws")).as("dup_fp"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("top_fp") >= 200000, 1L).otherwise(0L))
+          .as("n_flag_bigram"),
+        sum(when(col("dup_fp") >= 300000, 1L).otherwise(0L))
+          .as("n_flag_dup"),
+        round(sum(col("top_fp")).cast("double") / count(lit(1)) / 1000000.0, 4)
+          .as("avg_top_bigram_frac"),
+        round(sum(col("dup_fp")).cast("double") / count(lit(1)) / 1000000.0, 4)
+          .as("avg_dup_word_frac"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic PII-bearing variant of the corpus: the synthetic
+    * documents carry no emails/URLs/numbers, so PII spans are salted in
+    * as a pure function of doc_id (no randomness, no external data) —
+    * both engines derive the identical corpus and the redaction paths
+    * get exercised for real. */
+  private def saltedPiiText: Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" see https://www.site"),
+          pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.org/page"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" ref "),
+          lpad(col("doc_id").cast("string"), 8, "0"))).otherwise(lit("")))
+
+  /** PII scrubbing profile per language ([[redactPii]]): match counts
+    * per pattern class and total characters removed. Map-only pass —
+    * the 100 TB shape is scan → regex → partial agg, one shuffle of
+    * 5 tiny rows. */
+  def q67RedactProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("lang"), saltedPiiText.as("salted"))
+      .select(col("lang"), col("salted"),
+        redactPii(col("salted")).as("clean"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("salted"), lit(EmailPattern)).cast("long"))
+          .as("n_emails"),
+        sum(regexp_count(col("salted"), lit(UrlPattern)).cast("long"))
+          .as("n_urls"),
+        sum(regexp_count(col("salted"), lit(LongDigitPattern)).cast("long"))
+          .as("n_digit_runs"),
+        sum((length(col("salted")) - length(col("clean"))).cast("long"))
+          .as("chars_removed"))
+      .orderBy(col("lang"))
+
+  /** Link-domain profile: extract every URL host from the (salted)
+    * corpus, count references and distinct referring docs per domain.
+    * regexp_extract_all → explode → one keyed aggregation. */
+  def q68DomainProfile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(saltedPiiText,
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("domain"))
+
+  /** Token-budget sequence packing for training shards: docs are
+    * ordered by a deterministic keyed hash WITHIN 16 coarse hash
+    * buckets (first md5 hex char), a running token sum packs each
+    * bucket greedily into 4000-token shards (a doc belongs to the
+    * shard where it STARTS). Output: per-(bucket, shard) fill.
+    *
+    * Scale shape: the running sum is a window PARTITIONED by bucket —
+    * 16-way (or 4096-way) parallel, never the single-reducer global
+    * cumsum a naive packer uses. q64's ntile balances counts; this
+    * balances token budget, which is what sequence packing needs. */
+  def q69PackShards(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat_ws("|", lit("pack-seed"), col("doc_id")))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    t(spark, dir).documents
+      .select(col("doc_id"), wordCount(col("text")).cast("long").as("ws"),
+        h.as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 1))
+      .withColumn("cum", sum(col("ws")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("ws")).cast("double") / 4000.0).cast("int"))
+      .groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"))
+      .orderBy(col("bucket"), col("shard"))
+  }
+
+  /** Containment near-dup pairs ([[Dedup.overlapPairs]]): overlap
+    * coefficient |A∩B|/min(|A|,|B|) ≥ 0.5 — catches short docs embedded
+    * in long ones, which Jaccard dilutes. Same inverted-index +
+    * stop-shingle machinery as q22. */
+  def q70OverlapPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.overlapPairs(t(spark, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1174,5 +1299,10 @@ object Queries {
     "q62_grouping_sets" -> (q62GroupingSets _),
     "q63_sampled_fit" -> (q63SampledFit _),
     "q64_shard_assign" -> (q64ShardAssign _),
-    "q65_unpivot" -> (q65Unpivot _))
+    "q65_unpivot" -> (q65Unpivot _),
+    "q66_repetition_quality" -> (q66RepetitionQuality _),
+    "q67_redact_profile" -> (q67RedactProfile _),
+    "q68_domain_profile" -> (q68DomainProfile _),
+    "q69_pack_shards" -> (q69PackShards _),
+    "q70_overlap_pairs" -> (q70OverlapPairs _))
 }

@@ -246,4 +246,27 @@ object TextFunctions {
     * engines — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
+
+  // ---- PII-style redaction (training-data scrubbing) ----
+
+  /** Redaction patterns, shared with the oracle SQL. Written in the
+    * java.util.regex ∩ RE2 subset (explicit char classes, no
+    * lookaround, no `\b`/`\S` shorthands whose semantics drift between
+    * engines). Order matters: emails are redacted before URLs before
+    * digit runs, so a pattern never matches inside an earlier
+    * placeholder. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val UrlPattern: String = "https?://[A-Za-z0-9./_-]+"
+  val LongDigitPattern: String = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+  /** Scrub PII-shaped spans from text: emails → `<EMAIL>`, URLs →
+    * `<URL>`, 6+-digit runs (phone/account numbers) → `<NUM>`. Pure
+    * codegen'd Column algebra — at 100 TB this is a map-only pass with
+    * no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      LongDigitPattern, "<NUM>")
 }

@@ -67,7 +67,36 @@ object Dedup {
     * inverted-index trick — keeps the join output near-linear.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Long = 1000L): DataFrame = {
+      n: Int, threshold: Double, maxDf: Long = 1000L): DataFrame =
+    candidatePairCounts(docs, idCol, textCol, n, maxDf)
+      .withColumn("jaccard",
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+
+  /** Candidate pairs scored by the overlap coefficient
+    * |A∩B| / min(|A|,|B|) — the containment metric that catches a short
+    * document embedded inside a longer one, which Jaccard dilutes
+    * (a 10-shingle doc fully contained in a 200-shingle doc has
+    * jaccard 0.05 but overlap 1.0). Same inverted-index candidate
+    * machinery and scale shape as [[jaccardPairs]]. */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Long = 1000L): DataFrame =
+    candidatePairCounts(docs, idCol, textCol, n, maxDf)
+      .withColumn("overlap",
+        round(col("shared").cast("double")
+          / least(col("na"), col("nb")), 4))
+      .where(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        col("shared"), col("overlap"))
+
+  /** Shared inverted-index candidate stage: pairs (a < b) meeting on at
+    * least one shingle, with both set sizes and the exact intersection
+    * count. Never materializes the O(n²) cross product; `maxDf` drops
+    * stop-shingles so a hot shingle in f docs can't emit f² rows. */
+  private def candidatePairCounts(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDf: Long): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
     val posting = sets
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
@@ -86,11 +115,6 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        round(col("shared").cast("double")
-          / (col("na") + col("nb") - col("shared")), 4))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
   }
 
   /** Portable MinHash signature: for seed s, the signature element is

@@ -42,6 +42,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j12 === 1.0)
   }
 
+  test("overlap pairs score full containment 1.0 where jaccard dilutes") {
+    val contained = Seq(
+      (1L, "alpha beta gamma delta"),                              // 2 shingles
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau"),         // superset
+      (3L, "unrelated words entirely different from these others")
+    ).toDF("doc_id", "text")
+    val out = Dedup.overlapPairs(contained, "doc_id", "text", n = 3,
+      threshold = 0.5).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getDouble(5) === 1.0) // both doc-1 shingles inside doc-2
+    // the same pair under jaccard: 2 shared / (2 + 17 - 2) ≈ 0.12 —
+    // below any sensible threshold; containment is the right metric
+    val j = Dedup.jaccardPairs(contained, "doc_id", "text", 3, 0.2).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -111,4 +111,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(2).getInt(0) === 0)
     assert(out(3).isNullAt(0)) // unequal codepoint lengths → null
   }
+  test("redactPii: emails, urls, long digit runs; shorter spans kept") {
+    val out = Seq(
+      "mail me at jo.an+x@ex-1.example.com today",
+      "docs at https://docs.example.org/a_b/c-d and more",
+      "card 12345678 pin 12345 ok",
+      "plain text with no pii at all"
+    ).toDF("text").select(redactPii($"text")).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> today")
+    assert(out(1) === "docs at <URL> and more")
+    assert(out(2) === "card <NUM> pin 12345 ok") // 5 digits kept
+    assert(out(3) === "plain text with no pii at all")
+  }
 }
