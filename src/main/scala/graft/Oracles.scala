@@ -996,5 +996,66 @@ object Oracles {
          |SELECT id_a, id_b, CAST(na AS INT) AS na, CAST(nb AS INT) AS nb,
          |CAST(shared AS BIGINT) AS shared,
          |round(CAST(shared AS DOUBLE)/least(na, nb), 4) AS make_overlap FROM pairs)
-         |WHERE make_overlap >= 0.5 ORDER BY id_a, id_b""".stripMargin)
+         |WHERE make_overlap >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // q22's pair mining, then connected components as a recursive
+    // transitive closure (min reachable id per node == the fixpoint
+    // label Spark's min-label propagation converges to).
+    "q71_dedup_clusters" ->
+      s"""${SHINGLE_CTES.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fpp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fpp a JOIN fpp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4),
+         |jp AS (SELECT id_a, id_b FROM pairs
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, count(*) AS n_members, max(doc_id) AS max_member
+         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q72_incremental_ingest" ->
+      s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+         |inf AS (SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fp FROM inc),
+         |cfp AS (SELECT DISTINCT md5(array_to_string($TOKS, ' ')) AS fp FROM corp),
+         |ex AS (SELECT doc_id FROM inf WHERE fp IN (SELECT fp FROM cfp)),
+         |${subsetPosting("inc", "inpost", "in_id", "na")},
+         |${subsetPosting("corp", "corppost", "corp_id", "nb")},
+         |keep AS (SELECT shingle FROM corppost GROUP BY shingle HAVING count(*) <= 1000),
+         |cand AS (SELECT in_id, corp_id, na, nb, count(*) AS shared
+         |  FROM inpost JOIN (SELECT c.* FROM corppost c JOIN keep k ON c.shingle = k.shingle) cp
+         |  ON inpost.shingle = cp.shingle GROUP BY 1, 2, 3, 4),
+         |near AS (SELECT DISTINCT in_id AS doc_id FROM cand
+         |  WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5),
+         |cls AS (SELECT i.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS decision
+         |  FROM inc i LEFT JOIN ex e ON i.doc_id = e.doc_id
+         |  LEFT JOIN near n ON i.doc_id = n.doc_id)
+         |SELECT decision, count(*) AS n_docs,
+         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM cls GROUP BY decision ORDER BY decision""".stripMargin)
+
+  /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
+    * (single-line: interpolated into stripMargin blocks). */
+  private def subsetPosting(src: String, out: String, idAlias: String,
+      szAlias: String): String =
+    s"${out}_tk AS (SELECT doc_id, " +
+      TOKS.replace("text", s"$src.text") +
+      s" AS tk FROM $src), " +
+      s"${out}_sh AS (SELECT doc_id, sh, len(sh) AS n_sh FROM (" +
+      s"SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_transform(range(1, len(tk)-1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh " +
+      s"FROM ${out}_tk) WHERE len(sh) > 0), " +
+      s"$out AS (SELECT doc_id AS $idAlias, n_sh AS $szAlias, unnest(sh) AS shingle FROM ${out}_sh)"
 }

@@ -1232,6 +1232,69 @@ object Queries {
         n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup cluster collapse ([[Dedup.connectedComponents]]): q22's
+    * jaccard pairs → connected components by min-label propagation →
+    * per-cluster membership. A~B and B~C collapse into one cluster with
+    * the min doc id as survivor even when A~C was never an emitted
+    * pair — the transitive step every dedup pipeline needs between
+    * pair mining and row dropping. */
+  def q71DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(spark, dir).documents,
+      "doc_id", "text", n = 3, threshold = 0.2)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Incremental-ingest dedup: the `doc_id % 10 == 7` slice plays the
+    * incoming batch, the rest the already-indexed corpus. Each incoming
+    * doc is classified `exact_dup` (fingerprint already indexed — one
+    * semi join on md5), else `near_dup` (jaccard ≥ 0.5 against a corpus
+    * doc via the incoming×corpus shingle posting join — never all-pairs,
+    * corpus side carries the `maxDf` stop-shingle guard), else `new`.
+    * At 100 TB the corpus fingerprint set and posting list are the
+    * persistent index; only the (small) incoming batch is scanned fresh
+    * — the join fans out by shingle, not by corpus size. */
+  def q72IncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+    val incoming = d.where(pmod(col("doc_id"), lit(10)) === 7)
+    val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+    val exactIds = incoming
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(corpus.select(fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "leftsemi")
+      .select(col("doc_id"), lit(true).as("ex"))
+    val inPost = Dedup.shingleSets(incoming, "doc_id", "text", 3)
+      .select(col("doc_id").as("in_id"), col("n_sh").as("na"),
+        explode(col("sh")).as("shingle"))
+    val corpPost = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+      .select(col("doc_id").as("corp_id"), col("n_sh").as("nb"),
+        explode(col("sh")).as("shingle"))
+    val keep = corpPost.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= 1000)
+      .select(col("shingle"))
+    val nearIds = inPost
+      .join(corpPost.join(keep, Seq("shingle")), Seq("shingle"))
+      .groupBy(col("in_id"), col("corp_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select(col("in_id").as("doc_id")).distinct()
+      .withColumn("nr", lit(true))
+    incoming.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex"), "exact_dup")
+          .when(col("nr"), "near_dup")
+          .otherwise("new").as("decision"))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("decision"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1304,5 +1367,7 @@ object Queries {
     "q67_redact_profile" -> (q67RedactProfile _),
     "q68_domain_profile" -> (q68DomainProfile _),
     "q69_pack_shards" -> (q69PackShards _),
-    "q70_overlap_pairs" -> (q70OverlapPairs _))
+    "q70_overlap_pairs" -> (q70OverlapPairs _),
+    "q71_dedup_clusters" -> (q71DedupClusters _),
+    "q72_incremental_ingest" -> (q72IncrementalIngest _))
 }

@@ -117,6 +117,54 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Collapse near-dup pairs into clusters: connected components by
+    * iterative min-label propagation — each node repeatedly takes the
+    * minimum of its own label and its neighbors' labels until fixpoint,
+    * which assigns every component its minimum doc id (the survivor the
+    * pipeline keeps). This is the standard follow-up to pair mining:
+    * A~B and B~C must collapse to ONE cluster even when A~C was never
+    * emitted as a pair.
+    *
+    * Scale shape: each iteration is one join + one keyed min — all
+    * shuffles on the node id, no driver-side graph. Convergence needs
+    * O(component diameter) rounds; near-dup clusters are shallow
+    * (diameter ≤ a handful), and `maxIters` bounds the worst case.
+    * Each round's labels are materialized (tracked in [[Caches]]) to
+    * cut the iterative lineage, the same discipline as
+    * [[Similarity.fitCentroids]]. The fixpoint label (min id in the
+    * component) is unique, so the result is deterministic regardless
+    * of iteration order or partitioning.
+    *
+    * Input: pair frame with `id_a`/`id_b` columns (a < b). Output:
+    * (doc_id, cluster_id) for every doc appearing in at least one
+    * pair; singletons are implicitly their own cluster. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = Caches.persistTracked(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = Caches.persistTracked(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("nlabel")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val next = Caches.persistTracked(
+        labels.join(neighborMin, Seq("doc_id"))
+          .select(col("doc_id"),
+            least(col("cluster_id"), col("nmin")).as("cluster_id"),
+            (col("nmin") < col("cluster_id")).as("changed")))
+      converged = next.where(col("changed")).limit(1).count() == 0L
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      iter += 1
+    }
+    labels
+  }
+
   /** Portable MinHash signature: for seed s, the signature element is
     * the lexicographic MIN of md5(s || '|' || shingle) — identical in
     * any engine with md5, no Murmur dependency. Backed by the native

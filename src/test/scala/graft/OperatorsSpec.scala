@@ -61,6 +61,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("connected components collapse pair chains transitively") {
+    // path 1-2-3-4-5 (diameter 4, needs >1 propagation round) and a
+    // separate pair 10-11; (1,5) is never an input pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
