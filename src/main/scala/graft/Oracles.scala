@@ -1044,7 +1044,35 @@ object Oracles {
          |  LEFT JOIN near n ON i.doc_id = n.doc_id)
          |SELECT decision, count(*) AS n_docs,
          |min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM cls GROUP BY decision ORDER BY decision""".stripMargin)
+         |FROM cls GROUP BY decision ORDER BY decision""".stripMargin,
+
+    // Batch gaps-and-islands sessionization == Spark session_window
+    // semantics: merge while diff < gap (an event AT prev_ts+gap is
+    // outside the [start, end) window → break on >=); session end =
+    // last event + gap; only sessions the 2-min watermark finalized
+    // (end <= max(ts) - 2min) are emitted in append mode. The staged
+    // clock row (user_id -1, ts = max) never emits: its end is past
+    // the watermark by construction.
+    "q73_session_replay" ->
+      """WITH ev AS (SELECT ts, user_id, value FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 2 MINUTE AS w FROM ev),
+        |l AS (SELECT user_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM ev),
+        |x AS (SELECT user_id, ts, value,
+        |  CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 10 MINUTE
+        |       THEN 1 ELSE 0 END AS brk FROM l),
+        |g AS (SELECT user_id, ts, value, sum(brk) OVER (
+        |  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM x),
+        |s AS (SELECT user_id, min(ts) AS ss,
+        |  max(ts) + INTERVAL 10 MINUTE AS se, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM g GROUP BY user_id, sid)
+        |SELECT strftime(ss, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |strftime(se, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |user_id, n_events, total_value
+        |FROM s, wm WHERE se <= w
+        |ORDER BY session_start, user_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

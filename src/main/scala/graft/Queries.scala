@@ -835,14 +835,18 @@ object Queries {
     * (A single AvailableNow pass emits nothing: the final watermark
     * is computed after the last batch — see JobsSpec's backfill test.)
     */
-  def q52ChainedMetrics(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  /** Stage the deterministic two-file replay input for batch-replayable
+    * streaming queries: one data file with the full events table, one
+    * "clock" file whose single row carries max(ts) so the watermark
+    * advances past every finalizable window on the second micro-batch.
+    * Built once per (tag, sf-dir) and reused across runs/samples — in
+    * production the files already exist; landing them is scaffolding,
+    * not the measured operator. Returns the glob base directory. */
+  private def stagedReplay(spark: SparkSession, dir: String,
+      tag: String): java.io.File = {
     val ev = events(spark, dir)
-    // The two-file input is deterministic per sf-dir — build it once
-    // and reuse across runs/samples (in production the files already
-    // exist; landing them is scaffolding, not the measured operator).
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_q52_in_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      s"graft_${tag}_in_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     val dataDir = new java.io.File(base, "data")
     val clockDir = new java.io.File(base, "clock")
     def ready(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists
@@ -863,6 +867,13 @@ object Queries {
       stamp(dataDir, t0 - 120000)
       stamp(clockDir, t0 - 60000)
     }
+    base
+  }
+
+  def q52ChainedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = events(spark, dir)
+    val base = stagedReplay(spark, dir, "q52")
     val tmp = java.nio.file.Files.createTempDirectory("graft_q52_")
       .toFile.getAbsolutePath
     val stream = spark.readStream
@@ -1295,6 +1306,42 @@ object Queries {
       .orderBy(col("decision"))
   }
 
+  /** T4 session windows, oracle-checked: the events table replayed as
+    * an AvailableNow stream (data file, then a clock file that pushes
+    * the watermark past every closable session), through
+    * [[graft.streaming.StreamOps.sessionRollup]] — per-user sessions
+    * closing after 10 min of event-time inactivity, exact counts,
+    * integer-cents totals. The DuckDB oracle recomputes the identical
+    * sessions with batch gaps-and-islands (lag + running break sum) and
+    * keeps only sessions the 2-min watermark would have finalized —
+    * proving the streaming session semantics, not just testing them. */
+  def q73SessionReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = events(spark, dir)
+    val base = stagedReplay(spark, dir, "q73")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q73_")
+      .toFile.getAbsolutePath
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.getAbsolutePath + "/*")
+    val sessions = graft.streaming.StreamOps.sessionRollup(
+        graft.streaming.StreamOps.watermarked(stream), "10 minutes")
+      .select(
+        fmtTs(col("session_start")).as("session_start"),
+        fmtTs(col("session_end")).as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+    val q = sessions.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .orderBy(col("session_start"), col("user_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1369,5 +1416,6 @@ object Queries {
     "q69_pack_shards" -> (q69PackShards _),
     "q70_overlap_pairs" -> (q70OverlapPairs _),
     "q71_dedup_clusters" -> (q71DedupClusters _),
-    "q72_incremental_ingest" -> (q72IncrementalIngest _))
+    "q72_incremental_ingest" -> (q72IncrementalIngest _),
+    "q73_session_replay" -> (q73SessionReplay _))
 }

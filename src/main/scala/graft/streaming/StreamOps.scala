@@ -146,6 +146,24 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("approx_types"))
 
+  /** Deterministic session rollup (the oracle-checkable T4 variant —
+    * [[sessionMetrics]] keeps reference parity with its approx
+    * distinct): per-user sessions closing after `gap` of event-time
+    * inactivity, with exact counts and integer-cents value totals so a
+    * replay of the stream hash-matches a batch gaps-and-islands
+    * sessionization in any engine. */
+  def sessionRollup(events: DataFrame, gap: String = "10 minutes")
+      : DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Custom keyed state (SURVEY §2.11 beyond-parity): exactly-once-ish
     * stream dedup — drops events whose event_id was already seen for
     * the user. State is the seen-id set per user, expired one hour of
