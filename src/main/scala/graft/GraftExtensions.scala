@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // O(n·k) banded rewrite of levenshtein-threshold predicates
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshteinRule)
+    // whole-operator extension: as-of join logical node → merge exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("tokenize"),
       info("tokenize", "tokenize(text) - lowercased whitespace tokens"),
       exprs => Tokenize(exprs.head)))

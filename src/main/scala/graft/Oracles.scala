@@ -1072,7 +1072,16 @@ object Oracles {
         |strftime(se, '%Y-%m-%d %H:%M:%S') AS session_end,
         |user_id, n_events, total_value
         |FROM s, wm WHERE se <= w
-        |ORDER BY session_start, user_id""".stripMargin)
+        |ORDER BY session_start, user_id""".stripMargin,
+
+    // identical to q26 — the Spark side differs (custom physical
+    // operator vs union-and-carry), the semantics must not
+    "q74_asof_exec" ->
+      """SELECT p.event_id, p.user_id, s.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

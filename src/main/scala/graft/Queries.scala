@@ -1342,6 +1342,22 @@ object Queries {
       .orderBy(col("session_start"), col("user_id"))
   }
 
+  /** q26's as-of join on the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]] via [[Analytics.asofJoinExec]]) —
+    * same DuckDB ASOF oracle, so the custom LogicalPlan → Strategy →
+    * SparkPlan path is hash-verified end-to-end, not just unit-tested. */
+  def q74AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Analytics.asofJoinExec(purchases, signups, "user_id", "ts", "ts",
+        Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("asof_event_id"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1417,5 +1433,6 @@ object Queries {
     "q70_overlap_pairs" -> (q70OverlapPairs _),
     "q71_dedup_clusters" -> (q71DedupClusters _),
     "q72_incremental_ingest" -> (q72IncrementalIngest _),
-    "q73_session_replay" -> (q73SessionReplay _))
+    "q73_session_replay" -> (q73SessionReplay _),
+    "q74_asof_exec" -> (q74AsofExec _))
 }

@@ -67,4 +67,35 @@ object Analytics {
       asofCols.map(c => col("_carry").getField(c).as(s"asof_$c"))
     carried.select(outCols: _*)
   }
+
+  /** As-of join on the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]]) — identical semantics and output
+    * schema to [[asofJoin]] (inclusive <=, max-payload tie-break at
+    * equal timestamps, nulls when no prior right row), but planned as
+    * one co-partitioned sort-merge pass instead of union + window
+    * carry. Registers [[graft.plans.AsOfJoinStrategy]] on the session
+    * if `GraftExtensions` didn't already inject it. */
+  def asofJoinExec(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      asofCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val spark = left.sparkSession
+    PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // prune + rename the right side up front (the custom node is
+    // opaque to column pruning, so the projection must be below it);
+    // payload columns get their output names before the join
+    val rSel = right.select(
+      Seq(col(key).as("_rk"), col(rightTime).as("_rt")) ++
+        asofCols.map(c => col(c).as(s"asof_$c")): _*)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(rSel)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"missing column $n"))
+    val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      Seq(attr(lPlan, key)), Seq(attr(rPlan, "_rk")),
+      attr(lPlan, leftTime), attr(rPlan, "_rt"),
+      asofCols.map(c => attr(rPlan, s"asof_$c")))
+    PlanBridge.ofRows(spark, plan).drop("_rk", "_rt")
+  }
 }

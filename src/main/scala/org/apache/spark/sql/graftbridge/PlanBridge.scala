@@ -1,0 +1,33 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Bridge into the `private[sql]` plan↔Dataset converters for custom
+  * logical operators ([[graft.plans.AsOfJoinPlan]]): Spark exposes no
+  * public "DataFrame from LogicalPlan" since the classic/connect API
+  * split — this is the same call every internal relation builder uses.
+  * Lives under `org.apache.spark.sql` purely for access scope, like
+  * [[ColumnBridge]]. */
+object PlanBridge {
+
+  /** Wrap a (resolved) logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed plan beneath a DataFrame (resolved attributes with
+    * stable expression ids — safe to reference from a parent node). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Idempotently add an extra planner strategy to a live session —
+    * the registration path for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
+}
