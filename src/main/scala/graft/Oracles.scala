@@ -1081,6 +1081,28 @@ object Oracles {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q75_scd2_join" ->
+      s"""WITH iv AS (SELECT event_id AS interval_id, user_id,
+         |  ts AS valid_from,
+         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         |FROM events WHERE event_type = 'signup'),
+         |p AS (SELECT user_id, ts, value FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT interval_id, count(*) AS n_purchases,
+         |${cents("value")} AS revenue
+         |FROM p JOIN iv ON p.user_id = iv.user_id
+         |  AND p.ts >= iv.valid_from
+         |  AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    // identical to q26/q74 — broadcast-regime implementation
+    "q76_asof_broadcast" ->
+      """SELECT p.event_id, p.user_id, s.event_id AS asof_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`

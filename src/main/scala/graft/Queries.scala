@@ -1358,6 +1358,48 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** SCD2-style temporal-validity join: signup events become validity
+    * intervals per user ([ts, next-signup ts) via lead()), purchases
+    * join the interval covering their timestamp. The plan is an
+    * equi-join on user_id with the range as a cheap residual — the q32
+    * shape, never a cartesian. Output: per-interval purchase rollup. */
+  def q75Scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val intervals = ev.where(col("event_type") === "signup")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        col("ts").as("valid_from"), col("valid_to"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    purchases.join(intervals,
+        purchases("user_id") === intervals("user_id") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_purchases"), money(col("value")).as("revenue"))
+      .orderBy(col("interval_id"))
+  }
+
+  /** q26's as-of join in the BROADCAST regime
+    * ([[Analytics.asofJoinBroadcast]]): the signup dimension collapses
+    * to one sorted array per user and rides a broadcast hash join — no
+    * shuffle of the purchase stream at all. Third implementation of
+    * the same oracle semantics (carry q26, merge exec q74), one per
+    * scale regime. */
+  def q76AsofBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Analytics.asofJoinBroadcast(purchases, signups, "user_id", "ts", "ts",
+        Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("asof_event_id"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1434,5 +1476,7 @@ object Queries {
     "q71_dedup_clusters" -> (q71DedupClusters _),
     "q72_incremental_ingest" -> (q72IncrementalIngest _),
     "q73_session_replay" -> (q73SessionReplay _),
-    "q74_asof_exec" -> (q74AsofExec _))
+    "q74_asof_exec" -> (q74AsofExec _),
+    "q75_scd2_join" -> (q75Scd2Join _),
+    "q76_asof_broadcast" -> (q76AsofBroadcast _))
 }

@@ -98,4 +98,30 @@ object Analytics {
       asofCols.map(c => attr(rPlan, s"asof_$c")))
     PlanBridge.ofRows(spark, plan).drop("_rk", "_rt")
   }
+
+  /** As-of join for a SMALL right side (a dimension): the right rows
+    * collapse to one sorted (time, payload-struct) array per key, the
+    * join is a plain broadcast hash join on the key, and the as-of
+    * lookup is `element_at(filter(arr, t <= leftTime), -1)` — the last
+    * qualifying element of the sorted array. No shuffle of the left
+    * side at all (vs one per side for [[asofJoinExec]]) — the right
+    * regime when the right side fits in a broadcast, exactly like
+    * choosing BroadcastHashJoin over SortMergeJoin. Same semantics as
+    * [[asofJoin]]/[[asofJoinExec]]: inclusive <=, max payload at equal
+    * timestamps (sort_array puts it last), nulls when no prior row. */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      asofCols: Seq[String]): DataFrame = {
+    val dim = right.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(
+        col(rightTime).as("_t") +: asofCols.map(col): _*))).as("_arr"))
+    val lCols = left.columns.map(col)
+    // ANSI-safe: element_at(-1) throws on an empty array, so gate on
+    // size (null _arr from a left-join miss yields null size → null)
+    val priors = filter(col("_arr"), x => x.getField("_t") <= col(leftTime))
+    val hit = when(size(priors) > 0, element_at(priors, -1))
+    left.join(broadcast(dim), Seq(key), "left")
+      .select(lCols ++
+        asofCols.map(c => hit.getField(c).as(s"asof_$c")): _*)
+  }
 }

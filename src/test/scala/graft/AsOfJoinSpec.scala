@@ -69,6 +69,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(exec.count() === purchases.count()) // left-outer row parity
   }
 
+  test("asof broadcast ≡ exec ≡ carry; plans as a broadcast hash join") {
+    val ev = Queries.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = ev.where($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val bc = Analytics.asofJoinBroadcast(purchases, signups,
+      "user_id", "ts", "ts", Seq("event_id"))
+    val exec = Analytics.asofJoinExec(purchases, signups,
+      "user_id", "ts", "ts", Seq("event_id"))
+    assert(bc.columns.toSeq === exec.columns.toSeq)
+    assert(bc.exceptAll(exec).isEmpty && exec.exceptAll(bc).isEmpty)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the whole point: no shuffle of the left (big) side
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("asof exec plans as one merge over co-partitioned sorted children") {
     val ev = Queries.events(spark, "/root/testdata/sf0.001")
     val l = ev.where($"event_type" === "purchase")
