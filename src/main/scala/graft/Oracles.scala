@@ -1103,7 +1103,34 @@ object Oracles {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q77_window_family" ->
+      """SELECT user_id, event_id, value,
+        |CAST(rank() OVER w AS INT) AS rnk,
+        |CAST(dense_rank() OVER w AS INT) AS drnk,
+        |round(percent_rank() OVER w, 6) AS prnk,
+        |round(cume_dist() OVER w, 6) AS cd,
+        |nth_value(value, 2) OVER (PARTITION BY user_id
+        |  ORDER BY value DESC, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS second_highest
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)
+        |ORDER BY user_id, rnk, event_id""".stripMargin,
+
+    // the corruption rule is structural (event_id % 13 → truncated
+    // JSON), so the oracle derives the quarantine side without a
+    // permissive parser; valid rows parse with DuckDB's json extension
+    "q78_json_quarantine" ->
+      """WITH d AS (SELECT event_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k
+        |FROM events)
+        |SELECT CASE WHEN k IS NULL THEN 'quarantine' ELSE 'ok' END AS decision,
+        |count(*) AS n_rows,
+        |CAST(sum(coalesce(k, 0)) AS BIGINT) AS k_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -1400,6 +1400,53 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Completes the §2.8 window family: rank, dense_rank, percent_rank,
+    * cume_dist (over value DESC — ties share ranks, so no tie-break
+    * column is needed for determinism) and nth_value over the full
+    * frame (2nd-highest per user; the (value, event_id) ordering makes
+    * the nth row unique). percent_rank/cume_dist are exact rationals —
+    * round(6) is bit-stable in both engines. */
+  def q77WindowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc)
+    val full = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, dir)
+      .where(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rnk", rank().over(byValue))
+      .withColumn("drnk", dense_rank().over(byValue))
+      .withColumn("prnk", round(percent_rank().over(byValue), 6))
+      .withColumn("cd", round(cume_dist().over(byValue), 6))
+      .withColumn("second_highest", nth_value(col("value"), 2).over(full))
+      .orderBy(col("user_id"), col("rnk"), col("event_id"))
+  }
+
+  /** Corrupt-record quarantine: the events props JSON with a
+    * deterministic corruption salt (event_id % 13 → truncated JSON),
+    * parsed PERMISSIVE via from_json — unparseable rows route to the
+    * quarantine side, parsed rows keep their extracted payload. The
+    * standard bad-record pattern for 100 TB ingest: one map-only pass,
+    * the quarantine split is a column, not a second scan. */
+  def q78JsonQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val salted = when(pmod(col("event_id"), lit(13)) === 0,
+      concat(lit("{"), col("props"))).otherwise(col("props"))
+    val parsed = from_json(salted,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType))))
+    events(spark, dir)
+      .select(col("event_id"), parsed.getField("k").as("k"))
+      .select(
+        when(col("k").isNull, "quarantine").otherwise("ok").as("decision"),
+        col("k"))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("k"), lit(0)).cast("long")).as("k_total"))
+      .orderBy(col("decision"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1478,5 +1525,7 @@ object Queries {
     "q73_session_replay" -> (q73SessionReplay _),
     "q74_asof_exec" -> (q74AsofExec _),
     "q75_scd2_join" -> (q75Scd2Join _),
-    "q76_asof_broadcast" -> (q76AsofBroadcast _))
+    "q76_asof_broadcast" -> (q76AsofBroadcast _),
+    "q77_window_family" -> (q77WindowFamily _),
+    "q78_json_quarantine" -> (q78JsonQuarantine _))
 }
