@@ -146,6 +146,20 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("approx_types"))
 
+  /** Per-micro-batch observability: named metrics evaluated inline on
+    * the streaming plan (`Dataset.observe` — an accumulator pass, no
+    * extra shuffle or scan) that surface in every
+    * `StreamingQueryProgress.observedMetrics(name)`. The monitoring
+    * contract a production topology needs: per-trigger row count,
+    * value total, and max observed event time (watermark lag =
+    * wall-clock − max_event_time). */
+  def observed(events: DataFrame, name: String = "graft_metrics")
+      : DataFrame =
+    events.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(col("value")).as("value_total"),
+      max(col("ts")).as("max_event_time"))
+
   /** Deterministic session rollup (the oracle-checkable T4 variant —
     * [[sessionMetrics]] keeps reference parity with its approx
     * distinct): per-user sessions closing after `gap` of event-time

@@ -53,6 +53,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.exists(r => (0 until 5).forall(r.isNullAt)))
   }
 
+  test("observe: per-batch metrics surface in streaming progress") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val q = StreamOps.observed(events).writeStream
+      .format("memory").queryName("obs").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 7, "purchase", 40.0),
+        json(2, "2024-01-01 10:00:30", 8, "view", 2.5)))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_metrics"))).last
+      assert(m.getAs[Long]("n_rows") === 2L)
+      assert(m.getAs[Double]("value_total") === 42.5)
+      assert(m.getAs[java.sql.Timestamp]("max_event_time").toString
+        .startsWith("2024-01-01 10:00:30"))
+    } finally q.stop()
+  }
+
   test("append mode: windows emit only after watermark passes window end") {
     val w1 = Seq(
       json(1, "2024-01-01 10:00:10", 1, "error", 1.0),
