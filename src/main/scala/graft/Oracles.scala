@@ -1130,7 +1130,33 @@ object Oracles {
         |SELECT CASE WHEN k IS NULL THEN 'quarantine' ELSE 'ok' END AS decision,
         |count(*) AS n_rows,
         |CAST(sum(coalesce(k, 0)) AS BIGINT) AS k_total
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q79_agg_family" ->
+      """SELECT event_type, count(*) AS n,
+        |count(*) FILTER (WHERE value > 100.0) AS n_high,
+        |bool_and(value >= 0.0) AS all_nonneg,
+        |bool_or(value > 190.0) AS any_extreme,
+        |round(median(value), 4) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q80_forward_fill" ->
+      s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |  ${cents("value")} AS revenue
+         |FROM events WHERE user_id < 5 AND event_type = 'purchase'
+         |GROUP BY 1, 2),
+         |spine AS (SELECT user_id,
+         |  unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         |FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |      FROM daily GROUP BY user_id)),
+         |j AS (SELECT s.user_id, s.day, d.revenue FROM spine s
+         |  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+         |last_value(revenue IGNORE NULLS) OVER (PARTITION BY user_id
+         |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |  AS filled_revenue,
+         |revenue IS NOT NULL AS is_observed
+         |FROM j ORDER BY user_id, day""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

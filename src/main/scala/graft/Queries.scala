@@ -1447,6 +1447,48 @@ object Queries {
       .orderBy(col("decision"))
   }
 
+  /** Modern aggregate family (completes §2.5 breadth): count_if,
+    * bool_and/bool_or, exact interpolated median. value is a parquet
+    * double, so median's (a+b)/2 interpolation is bit-identical across
+    * engines; round(4) guards the display. */
+  def q79AggFamily(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("value") > 100.0).as("n_high"),
+        bool_and(col("value") >= 0.0).as("all_nonneg"),
+        bool_or(col("value") > 190.0).as("any_extreme"),
+        round(median(col("value")), 4).as("median_value"))
+      .orderBy(col("event_type"))
+
+  /** Per-user daily gap fill + forward fill: build each user's full
+    * day spine (sequence + explode — generate_series in the oracle),
+    * left-join observed daily revenue, then carry the last non-null
+    * value forward (window last(ignoreNulls)). The standard
+    * time-series featurization pattern; one window per user, keyed
+    * shuffles only, spine generation is column algebra (no driver
+    * loop). Users 0-4 keep the result compact. */
+  def q80ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .where(col("user_id") < 5 && col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(money(col("value")).as("revenue"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_revenue",
+        last(col("revenue"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("revenue").isNotNull)
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("filled_revenue"), col("is_observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1527,5 +1569,7 @@ object Queries {
     "q75_scd2_join" -> (q75Scd2Join _),
     "q76_asof_broadcast" -> (q76AsofBroadcast _),
     "q77_window_family" -> (q77WindowFamily _),
-    "q78_json_quarantine" -> (q78JsonQuarantine _))
+    "q78_json_quarantine" -> (q78JsonQuarantine _),
+    "q79_agg_family" -> (q79AggFamily _),
+    "q80_forward_fill" -> (q80ForwardFill _))
 }
