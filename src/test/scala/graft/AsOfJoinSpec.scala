@@ -87,6 +87,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("property: exec ≡ carry ≡ broadcast ≡ in-memory reference on random data") {
+    import org.scalacheck.Gen
+    // tiny key space + coarse timestamps force key collisions and
+    // equal-timestamp ties — the corners where the three
+    // implementations could diverge
+    val row: Gen[(Long, Long, Timestamp)] = for {
+      key <- Gen.chooseNum(0L, 4L)
+      sec <- Gen.chooseNum(0L, 19L)
+      id <- Gen.chooseNum(0L, 999L)
+    } yield (id, key, new Timestamp(1700000000000L + sec * 1000))
+    val lRows = Gen.listOfN(60, row).sample.get
+      .zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) }
+    val rRows = Gen.listOfN(40, row).sample.get
+      .zipWithIndex.map { case ((_, k, t), i) => (1000L + i, k, t) }
+    val l = lRows.toDF("event_id", "user_id", "ts")
+    val r = rRows.toDF("event_id", "user_id", "ts")
+    // in-memory reference: max (ts, payload) among right rows with
+    // same key and ts <= left ts
+    val expected = lRows.map { case (id, k, t) =>
+      val prior = rRows.filter(x => x._2 == k && !x._3.after(t))
+      id -> (if (prior.isEmpty) None
+             else Some(prior.map(x => (x._3.getTime, x._1)).max._2))
+    }.toMap
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_event_id").collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    val carry = run(Analytics.asofJoin(l, r, "user_id", "ts", "ts", Seq("event_id")))
+    val exec = run(Analytics.asofJoinExec(l, r, "user_id", "ts", "ts", Seq("event_id")))
+    val bc = run(Analytics.asofJoinBroadcast(l, r, "user_id", "ts", "ts", Seq("event_id")))
+    assert(carry === expected)
+    assert(exec === expected)
+    assert(bc === expected)
+  }
+
   test("asof exec plans as one merge over co-partitioned sorted children") {
     val ev = Queries.events(spark, "/root/testdata/sf0.001")
     val l = ev.where($"event_type" === "purchase")
