@@ -1156,7 +1156,33 @@ object Oracles {
          |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |  AS filled_revenue,
          |revenue IS NOT NULL AS is_observed
-         |FROM j ORDER BY user_id, day""".stripMargin)
+         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // q54's pair mining + recursive-CTE closure (same pattern as q71)
+    "q81_embed_clusters" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, e, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+        |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_members, max(doc_id) AS max_member
+        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

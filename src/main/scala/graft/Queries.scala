@@ -1489,6 +1489,23 @@ object Queries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Embedding near-dup CLUSTERS: q54's cosine pair mining composed
+    * with [[Dedup.connectedComponents]] — the end-to-end shape of
+    * embedding-level dedup (mine pairs in IVF buckets, collapse the
+    * pair graph, keep one doc per cluster). Oracle replays the pair
+    * SQL and closes it with a recursive CTE. */
+  def q81EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 100 === 0)
+    val pairs = Similarity.cosineNearDupPairs(emb, centroids,
+      threshold = 0.35, nprobe = 2)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1571,5 +1588,6 @@ object Queries {
     "q77_window_family" -> (q77WindowFamily _),
     "q78_json_quarantine" -> (q78JsonQuarantine _),
     "q79_agg_family" -> (q79AggFamily _),
-    "q80_forward_fill" -> (q80ForwardFill _))
+    "q80_forward_fill" -> (q80ForwardFill _),
+    "q81_embed_clusters" -> (q81EmbedClusters _))
 }
