@@ -53,6 +53,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.exists(r => (0 until 5).forall(r.isNullAt)))
   }
 
+  test("stream-static as-of enrichment: broadcast variant joins a static dim per batch") {
+    // the broadcast as-of is the only streamable variant: the right
+    // side collapses to a static keyed array dim, so the streaming
+    // left needs no shuffle, no watermark, no state
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    val dim = Seq(
+      (100L, 7L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (101L, 7L, Timestamp.valueOf("2024-01-01 10:00:10")))
+      .toDF("event_id", "user_id", "ts")
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+      .select($"event_id", $"user_id", $"ts")
+    val q = graft.operators.Analytics.asofJoinBroadcast(
+        events, dim, "user_id", "ts", "ts", Seq("event_id"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 7, "purchase", 1.0), // before 101
+        json(2, "2024-01-01 10:01:00", 7, "purchase", 1.0), // after 101
+        json(3, "2024-01-01 10:00:00", 9, "purchase", 1.0))) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> -1L))
+    } finally q.stop()
+  }
+
   test("observe: per-batch metrics surface in streaming progress") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
