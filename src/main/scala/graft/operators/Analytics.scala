@@ -79,6 +79,7 @@ object Analytics {
       leftTime: String, rightTime: String,
       asofCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge
+    require(asofCols.nonEmpty, "asofCols must name at least one column")
     val spark = left.sparkSession
     PlanBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     // prune + rename the right side up front (the custom node is
@@ -112,6 +113,9 @@ object Analytics {
   def asofJoinBroadcast(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       asofCols: Seq[String]): DataFrame = {
+    require(asofCols.nonEmpty, "asofCols must name at least one column")
+    require(!left.columns.contains("_arr"),
+      "left side must not carry a column named _arr (internal)")
     val dim = right.groupBy(col(key))
       .agg(sort_array(collect_list(struct(
         col(rightTime).as("_t") +: asofCols.map(col): _*))).as("_arr"))

@@ -139,6 +139,11 @@ object Dedup {
     * (doc_id, cluster_id) for every doc appearing in at least one
     * pair; singletons are implicitly their own cluster. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // a component of diameter d needs ~d rounds; if maxIters is hit
+    // before the fixpoint, labels are a valid PARTIAL merge (every
+    // label is some component member's id, clusters may be split) —
+    // raise maxIters for deep graphs, near-dup graphs are shallow
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     val edges = Caches.persistTracked(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
