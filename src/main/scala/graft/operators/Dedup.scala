@@ -144,9 +144,15 @@ object Dedup {
     // label is some component member's id, clusters may be split) —
     // raise maxIters for deep graphs, near-dup graphs are shallow
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    // materialize the pair source ONCE before mirroring it — the edge
+    // union references `pairs` twice, and an un-materialized upstream
+    // (e.g. a whole LSH or cosine pair-mining pipeline) would run
+    // twice otherwise
+    val p = Caches.persistTracked(
+      pairs.select(col("id_a"), col("id_b")))
     val edges = Caches.persistTracked(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // Every round MUST truncate lineage, not merely cache: round N's
     // logical plan references round N-1's twice (once via the join,
     // once via the neighbor aggregation), so without truncation the
