@@ -72,6 +72,32 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components ≡ union-find on random graphs (property)") {
+    import org.scalacheck.Gen
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (trial <- 1 to 3) {
+      val edges = Gen.listOfN(25, edgeGen).sample.get.distinct
+      // in-memory union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial, edges $edges")
+    }
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
