@@ -38,6 +38,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE bkt_a"); spark.sql("DROP TABLE bkt_b")
   }
 
+  test("range-clustered write: disjoint per-file key ranges, tight stats") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val dir = java.nio.file.Files.createTempDirectory("graftrange").toString
+    val df = Seq.tabulate(1000)(i => ((i * 7919) % 1000).toLong -> s"v$i")
+      .toDF("k", "v")
+    Writers.rangeClusteredParquet(df, s"$dir/out", Seq("k"), nFiles = 4)
+    val perFile = spark.read.parquet(s"$dir/out")
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin(col("k")).as("lo"), fmax(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length === 4)
+    // ranges must be disjoint and ordered: file N's max < file N+1's min
+    perFile.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: ${perFile.toSeq}")
+    }
+    assert(spark.read.parquet(s"$dir/out").count() === 1000)
+  }
+
   test("native functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Seq((1L, "The Fast key the fast")).toDF("id", "text")
