@@ -1182,7 +1182,79 @@ object Oracles {
         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
         |SELECT cluster_id, count(*) AS n_members, max(doc_id) AS max_member
-        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q82_iqr_outliers" ->
+      """WITH f AS (SELECT event_type,
+        |  quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |round(f.q1, 4) AS q1, round(f.q3, 4) AS q3,
+        |CAST(sum(CASE WHEN e.value < f.q1 - 1.5*(f.q3 - f.q1)
+        |  OR e.value > f.q3 + 1.5*(f.q3 - f.q1) THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_outliers
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY e.event_type, f.q1, f.q3
+        |ORDER BY e.event_type""".stripMargin,
+
+    "q83_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |o AS (SELECT DISTINCT ev.user_id, fw.cohort_wk,
+        |  CAST(floor(date_diff('day', fw.cohort_wk, ev.wk) / 7.0) AS BIGINT)
+        |    AS week_offset
+        |FROM ev JOIN fw ON ev.user_id = fw.user_id)
+        |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week, week_offset,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM o GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q84_session_funnel" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |FROM events),
+        |x AS (SELECT user_id, ts, event_type,
+        |  CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) >= 1800 THEN 1 ELSE 0 END AS brk,
+        |  event_id FROM l),
+        |g AS (SELECT user_id, ts, event_type, sum(brk) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |s AS (SELECT user_id, sid,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+        |FROM g GROUP BY user_id, sid),
+        |st AS (SELECT CASE WHEN first_view IS NULL THEN 'no_view'
+        |  WHEN first_buy IS NULL THEN 'view_only'
+        |  WHEN first_view < first_buy THEN 'converted'
+        |  ELSE 'buy_first' END AS funnel_stage FROM s)
+        |SELECT funnel_stage, count(*) AS n_sessions
+        |FROM st GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin,
+
+    "q85_survivor_merge" ->
+      s"""${SHINGLE_CTES.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fpp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fpp a JOIN fpp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4),
+         |jp AS (SELECT id_a, id_b FROM prs
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT lab.cluster_id, count(*) AS n_members,
+         |CAST(max(length(documents.text)) AS BIGINT) AS best_text_len,
+         |array_to_string(list_sort(list(DISTINCT documents.source)), ',')
+         |  AS merged_sources
+         |FROM lab JOIN documents ON lab.doc_id = documents.doc_id
+         |GROUP BY lab.cluster_id ORDER BY lab.cluster_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -1506,6 +1506,100 @@ object Queries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Robust-stats outlier profile: per event type, exact quartiles,
+    * IQR, and the count of rows outside the 1.5×IQR Tukey fences —
+    * computed in ONE pass over the data plus a broadcast of the tiny
+    * per-type fence table (never a second full-table shuffle). */
+  def q82IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val fences = ev.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"), col("q1"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("q1")), 4).as("q1"),
+        round(first(col("q3")), 4).as("q3"),
+        sum(when(col("value") < col("q1") - lit(1.5) * col("iqr")
+          || col("value") > col("q3") + lit(1.5) * col("iqr"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Retention cohorts: users grouped by first-activity week, counted
+    * by distinct activity week offset — the classic triangle matrix.
+    * Two keyed aggregations + one join on user_id; no self-join of the
+    * full event stream. */
+  def q83RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWk = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    ev.join(firstWk, Seq("user_id"))
+      .select(col("user_id"), col("cohort_wk"),
+        floor(datediff(col("wk"), col("cohort_wk")) / 7).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Sessionized conversion funnel: within each q31-style activity
+    * session (30-min gap), did a view precede a purchase? Stages
+    * counted per session; conversion = sessions where the first view
+    * is strictly before the first purchase. Window sessionization +
+    * one aggregation — the funnel never joins the event stream to
+    * itself. */
+  def q84SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessioned = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull
+          || col("ts").cast("long") - col("prev_ts").cast("long") >= 1800,
+          1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_buy"))
+      .select(
+        when(col("first_view").isNull, "no_view")
+          .when(col("first_buy").isNull, "view_only")
+          .when(col("first_view") < col("first_buy"), "converted")
+          .otherwise("buy_first").as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("funnel_stage"))
+  }
+
+  /** Dedup survivorship ("golden record"): q22 pairs → q71 clusters →
+    * one merged record per cluster — the survivor keeps the minimum id,
+    * the longest text length wins the content slot, and the member
+    * sources merge into a sorted distinct list. Completes the dedup
+    * pipeline: mine → collapse → merge. */
+  def q85SurvivorMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
+    Dedup.connectedComponents(pairs)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(length(col("text"))).cast("long").as("best_text_len"),
+        array_join(array_sort(collect_set(col("source"))), ",")
+          .as("merged_sources"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1589,5 +1683,9 @@ object Queries {
     "q78_json_quarantine" -> (q78JsonQuarantine _),
     "q79_agg_family" -> (q79AggFamily _),
     "q80_forward_fill" -> (q80ForwardFill _),
-    "q81_embed_clusters" -> (q81EmbedClusters _))
+    "q81_embed_clusters" -> (q81EmbedClusters _),
+    "q82_iqr_outliers" -> (q82IqrOutliers _),
+    "q83_retention_cohorts" -> (q83RetentionCohorts _),
+    "q84_session_funnel" -> (q84SessionFunnel _),
+    "q85_survivor_merge" -> (q85SurvivorMerge _))
 }
