@@ -1254,7 +1254,30 @@ object Oracles {
          |array_to_string(list_sort(list(DISTINCT documents.source)), ',')
          |  AS merged_sources
          |FROM lab JOIN documents ON lab.doc_id = documents.doc_id
-         |GROUP BY lab.cluster_id ORDER BY lab.cluster_id""".stripMargin)
+         |GROUP BY lab.cluster_id ORDER BY lab.cluster_id""".stripMargin,
+
+    "q86_star_join" ->
+      s"""SELECT n_name, count(*) AS n_lines,
+         |${cents("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q87_sql_subqueries" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+        |  AS total_balance
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

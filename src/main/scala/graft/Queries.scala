@@ -1600,6 +1600,52 @@ object Queries {
       .orderBy(col("cluster_id"))
   }
 
+  /** TPC-H Q5-shaped star join — the 5-table relational depth marker:
+    * region → nation → customer → orders → lineitem, revenue per
+    * nation for one region and a date slice. The two tiny dims ride
+    * broadcasts; the orders date filter is pushed to the scan; AQE
+    * re-plans the two big joins. */
+  def q86StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    tt.lineitem
+      .join(tt.orders.where(col("o_orderdate") >= "1996-01-01"
+        && col("o_orderdate") < "1998-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tt.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tt.region.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        money(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** The SQL-string surface (every other catalog query is built with
+    * the DataFrame API): TPC-H Q22-shaped correlated subqueries — a
+    * scalar subquery (above-average balance) and a correlated NOT
+    * EXISTS (never ordered), decorrelated by Catalyst into the
+    * aggregate + anti-join plan a hand-built DataFrame would produce. */
+  def q87SqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    tt.customer.createOrReplaceTempView("v_customer")
+    tt.orders.createOrReplaceTempView("v_orders")
+    spark.sql("""
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_balance
+      FROM v_customer c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM v_customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM v_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1687,5 +1733,7 @@ object Queries {
     "q82_iqr_outliers" -> (q82IqrOutliers _),
     "q83_retention_cohorts" -> (q83RetentionCohorts _),
     "q84_session_funnel" -> (q84SessionFunnel _),
-    "q85_survivor_merge" -> (q85SurvivorMerge _))
+    "q85_survivor_merge" -> (q85SurvivorMerge _),
+    "q86_star_join" -> (q86StarJoin _),
+    "q87_sql_subqueries" -> (q87SqlSubqueries _))
 }
