@@ -1507,9 +1507,10 @@ object Queries {
   }
 
   /** Robust-stats outlier profile: per event type, exact quartiles,
-    * IQR, and the count of rows outside the 1.5×IQR Tukey fences —
-    * computed in ONE pass over the data plus a broadcast of the tiny
-    * per-type fence table (never a second full-table shuffle). */
+    * IQR, and the count of rows outside the 1.5×IQR Tukey fences. Two
+    * scans (quartiles need the full distribution before fences can be
+    * tested) but the second is a map-only pass against the BROADCAST
+    * fence table — the big side is never shuffled twice. */
   def q82IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select(col("event_type"), col("value"))
     val fences = ev.groupBy(col("event_type"))
