@@ -1277,7 +1277,30 @@ object Oracles {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the guess CTEs mirror q19's (already hash-verified); q88 reports
+    // the full lang × guess matrix, not just the diagonal
+    "q88_lang_confusion" ->
+      s"""WITH d AS (SELECT lang, $TOKS AS toks FROM documents),
+         |m AS (SELECT lang,
+         |len(list_filter(toks, x -> list_contains(['the','a','fast','slow'], x))) AS s_en,
+         |len(list_filter(toks, x -> list_contains(['key','order','table'], x))) AS s_es,
+         |len(list_filter(toks, x -> list_contains(['scan','merge','part'], x))) AS s_de,
+         |len(list_filter(toks, x -> list_contains(['window','small','hash'], x))) AS s_fr,
+         |len(list_filter(toks, x -> list_contains(['join','batch','stream'], x))) AS s_zh
+         |FROM d),
+         |q AS (SELECT lang,
+         |CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_zh)=0 THEN 'unknown'
+         | WHEN s_en>=s_es AND s_en>=s_de AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+         | WHEN s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+         | WHEN s_de>=s_fr AND s_de>=s_zh THEN 'de'
+         | WHEN s_fr>=s_zh THEN 'fr' ELSE 'zh' END AS guess
+         |FROM m),
+         |c AS (SELECT lang, guess, count(*) AS n FROM q GROUP BY 1, 2)
+         |SELECT lang, guess, n,
+         |round(CAST(n AS DOUBLE)/sum(n) OVER (PARTITION BY lang), 4) AS share
+         |FROM c ORDER BY lang, guess""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -1647,6 +1647,21 @@ object Queries {
       ORDER BY c_mktsegment""")
   }
 
+  /** Language-ID confusion matrix: labeled lang × [[langGuess]]
+    * prediction with per-label share — the standard classifier-eval
+    * artifact, here evaluating the n-gram-keyword heuristic against
+    * the corpus labels (q19 reports only the diagonal). */
+  def q88LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir).documents
+      .select(col("lang"), langGuess(tokens(col("text"))).as("guess"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("lang"))), 4))
+      .orderBy(col("lang"), col("guess"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1736,5 +1751,6 @@ object Queries {
     "q84_session_funnel" -> (q84SessionFunnel _),
     "q85_survivor_merge" -> (q85SurvivorMerge _),
     "q86_star_join" -> (q86StarJoin _),
-    "q87_sql_subqueries" -> (q87SqlSubqueries _))
+    "q87_sql_subqueries" -> (q87SqlSubqueries _),
+    "q88_lang_confusion" -> (q88LangConfusion _))
 }
