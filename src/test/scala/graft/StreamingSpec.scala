@@ -84,6 +84,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Kafka-shaped envelope: BINARY value column decodes through the S1 chain") {
+    // the connector isn't in this image, but its output contract is a
+    // fixed schema (key/value binary, topic, partition, offset); this
+    // feeds that exact shape through decodeJsonEnvelope + withEventTime,
+    // so the only untested piece of KafkaSource.events is the .load()
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long)]
+    val kafkaShaped = input.toDF()
+      .toDF("key", "value", "topic", "partition", "offset")
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(kafkaShaped))
+    val q = events.writeStream.format("memory").queryName("kafka_shape")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (Array[Byte](1), json(7, "2024-01-01 10:00:00", 3, "purchase", 9.5)
+          .getBytes("UTF-8"), "bitcoin-tweets", 0, 42L)))
+      q.processAllAvailable()
+      val r = spark.table("kafka_shape").head()
+      assert(r.getLong(0) === 7L)
+      assert(r.getAs[java.sql.Timestamp]("ts").toString
+        .startsWith("2024-01-01 10:00:00"))
+      assert(r.getAs[String]("event_type") === "purchase")
+    } finally q.stop()
+  }
+
   test("observe: per-batch metrics surface in streaming progress") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
