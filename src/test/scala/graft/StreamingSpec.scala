@@ -110,6 +110,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update mode: windows re-emit per batch; last emission equals append's final") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val counts = StreamOps.watermarked(events)
+      .groupBy(window($"ts", "60 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".cast("string").as("ws"), $"n")
+    val q = counts.writeStream.format("memory").queryName("upd")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:05", 1, "view", 1.0),
+        json(2, "2024-01-01 10:00:10", 2, "view", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        json(3, "2024-01-01 10:00:20", 3, "view", 1.0),
+        json(4, "2024-01-01 10:30:00", 4, "view", 1.0))) // advances wm
+      q.processAllAvailable()
+      val emissions = spark.table("upd")
+        .where($"ws".startsWith("2024-01-01 10:00"))
+        .select($"n").as[Long].collect().sorted
+      // batch 1 emitted the partial count 2, batch 2 the update to 3 —
+      // update mode re-emits changed windows instead of waiting for
+      // the watermark (append) or re-emitting everything (complete)
+      assert(emissions === Array(2L, 3L))
+    } finally q.stop()
+  }
+
   test("observe: per-batch metrics surface in streaming progress") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
