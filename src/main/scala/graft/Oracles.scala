@@ -1300,7 +1300,27 @@ object Oracles {
          |c AS (SELECT lang, guess, count(*) AS n FROM q GROUP BY 1, 2)
          |SELECT lang, guess, n,
          |round(CAST(n AS DOUBLE)/sum(n) OVER (PARTITION BY lang), 4) AS share
-         |FROM c ORDER BY lang, guess""".stripMargin)
+         |FROM c ORDER BY lang, guess""".stripMargin,
+
+    // 13-gram shingles: inclusive slice tk[i:i+12], i <= len-12
+    "q89_exact_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(tk) < 13 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)-11),
+         |      i -> array_to_string(tk[i:i+12], ' ')) END) AS sh FROM tok),
+         |post AS (SELECT doc_id, unnest(sh) AS g FROM sh0 WHERE len(sh) > 0),
+         |bg AS (SELECT DISTINCT g FROM post WHERE doc_id % 50 = 0),
+         |fl AS (SELECT DISTINCT p.doc_id FROM post p JOIN bg ON p.g = bg.g
+         |  WHERE p.doc_id % 50 <> 0)
+         |SELECT d.source, count(*) AS n_train,
+         |CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_contaminated,
+         |round(CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS DOUBLE)/count(*), 4) AS rate
+         |FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+         |WHERE d.doc_id % 50 <> 0
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

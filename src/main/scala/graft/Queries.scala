@@ -1662,6 +1662,34 @@ object Queries {
       .orderBy(col("lang"), col("guess"))
   }
 
+  /** GPT-3-style exact 13-gram contamination (the industry-standard
+    * parameterization; q60 is the thresholded 3-gram variant): a train
+    * doc is contaminated if it shares ANY 13-gram with the held-out
+    * slice (doc_id % 50 == 0). Posting join on the 13-gram — the bench
+    * side is tiny and the join fans out by shared-gram frequency, not
+    * corpus size. Output: per-source contamination rate. */
+  def q89ExactContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val post = Dedup.shingleSets(docs, "doc_id", "text", 13)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val benchGrams = post.where(col("doc_id") % 50 === 0)
+      .select(col("g")).distinct()
+    val flagged = post.where(col("doc_id") % 50 =!= 0)
+      .join(benchGrams, Seq("g"))
+      .select(col("doc_id")).distinct()
+      .withColumn("flagged", lit(true))
+    docs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("rate",
+        round(col("n_contaminated").cast("double") / col("n_train"), 4))
+      .orderBy(col("source"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1752,5 +1780,6 @@ object Queries {
     "q85_survivor_merge" -> (q85SurvivorMerge _),
     "q86_star_join" -> (q86StarJoin _),
     "q87_sql_subqueries" -> (q87SqlSubqueries _),
-    "q88_lang_confusion" -> (q88LangConfusion _))
+    "q88_lang_confusion" -> (q88LangConfusion _),
+    "q89_exact_contamination" -> (q89ExactContamination _))
 }
