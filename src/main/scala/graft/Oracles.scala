@@ -1320,7 +1320,26 @@ object Oracles {
          |  AS DOUBLE)/count(*), 4) AS rate
          |FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
          |WHERE d.doc_id % 50 <> 0
-         |GROUP BY d.source ORDER BY d.source""".stripMargin)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // quality formula mirrors q19's (already hash-verified)
+    "q90_corpus_health" ->
+      s"""WITH d AS (SELECT source, $TOKS AS toks,
+         |  md5(array_to_string($TOKS, ' ')) AS fp FROM documents),
+         |m AS (SELECT source, fp, len(toks) AS n,
+         |CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) AS stop_hits,
+         |CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq_cnt
+         |FROM d),
+         |q AS (SELECT source, fp, n,
+         |round((CASE WHEN n=0 THEN 0.0 ELSE uniq_cnt/n END)*0.5
+         | + (1.0-(CASE WHEN n=0 THEN 0.0 ELSE stop_hits/n END))*0.3
+         | + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4) AS quality
+         |FROM m)
+         |SELECT source, count(*) AS n_docs,
+         |CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+         |round(avg(quality), 4) AS avg_quality,
+         |round(avg(n), 2) AS avg_tokens
+         |FROM q GROUP BY source ORDER BY source""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -1690,6 +1690,25 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Per-source corpus health report — the dashboard a pipeline owner
+    * reads before training: volume, exact-dup rate, mean quality, mean
+    * token count. One scan + one keyed aggregation; the dup rate rides
+    * the same aggregation as a distinct-count of fingerprints. */
+  def q90CorpusHealth(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"),
+        fingerprint(col("text")).as("fp"),
+        qualityScore(col("toks")).as("q"),
+        size(col("toks")).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        round(avg(col("n")), 2).as("avg_tokens"))
+      .orderBy(col("source"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1781,5 +1800,6 @@ object Queries {
     "q86_star_join" -> (q86StarJoin _),
     "q87_sql_subqueries" -> (q87SqlSubqueries _),
     "q88_lang_confusion" -> (q88LangConfusion _),
-    "q89_exact_contamination" -> (q89ExactContamination _))
+    "q89_exact_contamination" -> (q89ExactContamination _),
+    "q90_corpus_health" -> (q90CorpusHealth _))
 }
