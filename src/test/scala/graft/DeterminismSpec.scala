@@ -20,7 +20,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q39_running_revenue",  // running frames
     "q48_location_clean",   // dual cleaner pipelines
     "q54_embed_neardup",    // bucketed pair mining, native cosine
-    "q55_kmeans_fit")       // iterative fit, fixed-point mean
+    "q55_kmeans_fit",       // iterative fit, fixed-point mean
+    "q66_repetition_quality", // fixed-point fractions over exploded bigrams
+    "q69_pack_shards",      // per-bucket running-sum packing
+    "q71_dedup_clusters",   // iterative fixpoint labels
+    "q74_asof_exec",        // custom physical merge operator
+    "q76_asof_broadcast",   // broadcast array lookup
+    "q85_survivor_merge")   // clusters joined back + merged sources
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
