@@ -1339,7 +1339,47 @@ object Oracles {
          |CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
          |round(avg(quality), 4) AS avg_quality,
          |round(avg(n), 2) AS avg_tokens
-         |FROM q GROUP BY source ORDER BY source""".stripMargin)
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // composes the verified q21 (exact), q22+q71 (near-dup clusters),
+    // and q19-quality rules with drop precedence
+    "q91_clean_export" ->
+      s"""${SHINGLE_CTES.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fpp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fpp a JOIN fpp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4),
+         |jp AS (SELECT id_a, id_b FROM prs
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |bse AS (SELECT doc_id, source,
+         |  md5(array_to_string($TOKS, ' ')) AS fp,
+         |  round((CASE WHEN len($TOKS)=0 THEN 0.0
+         |    ELSE CAST(len(list_distinct($TOKS)) AS DOUBLE)/len($TOKS) END)*0.5
+         |   + (1.0-(CASE WHEN len($TOKS)=0 THEN 0.0
+         |    ELSE CAST(len(list_filter($TOKS, x -> list_contains(['the','a'], x))) AS DOUBLE)/len($TOKS) END))*0.3
+         |   + least(CAST(len($TOKS) AS DOUBLE)/100.0, 1.0)*0.2, 4) AS q
+         |FROM documents),
+         |kf AS (SELECT fp, min(doc_id) AS keep_id FROM bse GROUP BY fp),
+         |dec AS (SELECT b.source,
+         |  CASE WHEN b.doc_id <> kf.keep_id THEN 'drop_exact_dup'
+         |       WHEN lab.cluster_id IS NOT NULL
+         |         AND lab.cluster_id <> b.doc_id THEN 'drop_near_dup'
+         |       WHEN b.q < 0.62 THEN 'drop_low_quality'
+         |       ELSE 'keep' END AS decision
+         |FROM bse b JOIN kf ON b.fp = kf.fp
+         |LEFT JOIN lab ON b.doc_id = lab.doc_id)
+         |SELECT source, decision, count(*) AS n
+         |FROM dec GROUP BY source, decision ORDER BY source, decision""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -1709,6 +1709,34 @@ object Queries {
         round(avg(col("n")), 2).as("avg_tokens"))
       .orderBy(col("source"))
 
+  /** The capstone pipeline query — raw corpus → training-ready keep
+    * list, one decision per doc with the precedence a real cleaning
+    * pipeline uses: exact-dup non-survivors drop first (q21 rule),
+    * then near-dup cluster non-survivors (q22 pairs → q71 components,
+    * min-id survivor), then low-quality docs (score < 0.62); the rest
+    * export. Reported per (source, decision). Every stage is an
+    * already-verified operator; this proves they COMPOSE. */
+  def q91CleanExport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val base = docs.select(col("doc_id"), col("source"),
+      fingerprint(col("text")).as("fp"),
+      qualityScore(tokens(col("text"))).as("q"))
+    val keepFp = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val clusters = Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2))
+    base.join(keepFp, Seq("fp"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("doc_id") =!= col("keep_id"), "drop_exact_dup")
+          .when(col("cluster_id").isNotNull
+            && col("cluster_id") =!= col("doc_id"), "drop_near_dup")
+          .when(col("q") < 0.62, "drop_low_quality")
+          .otherwise("keep").as("decision"))
+      .groupBy(col("source"), col("decision"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("decision"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1801,5 +1829,6 @@ object Queries {
     "q87_sql_subqueries" -> (q87SqlSubqueries _),
     "q88_lang_confusion" -> (q88LangConfusion _),
     "q89_exact_contamination" -> (q89ExactContamination _),
-    "q90_corpus_health" -> (q90CorpusHealth _))
+    "q90_corpus_health" -> (q90CorpusHealth _),
+    "q91_clean_export" -> (q91CleanExport _))
 }
