@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract, checked locally so registry wiring mistakes
+  * surface in `sbt test` instead of the round gate: every catalog
+  * query needs an oracle (q28 is the single by-design exception —
+  * HLL++ sketches have no cross-engine oracle), names follow the
+  * qNN_snake format the correctness report sorts on, and the smoke
+  * entry returns rows. */
+class ContractSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+
+  test("every query has an oracle, except q28 (by design)") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(queries -- oracles === Set("q28_approx_distinct"))
+    assert(oracles -- queries === Set.empty)
+  }
+
+  test("query names follow the sortable qNN_snake format, no duplicates") {
+    val names = SparkEntry.queries.keys.toSeq
+    names.foreach(n => assert(n.matches("q\\d{2}_[a-z0-9_]+"), n))
+    assert(names.distinct.size === names.size)
+  }
+
+  test("smoke entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
