@@ -1379,7 +1379,31 @@ object Oracles {
          |FROM bse b JOIN kf ON b.fp = kf.fp
          |LEFT JOIN lab ON b.doc_id = lab.doc_id)
          |SELECT source, decision, count(*) AS n
-         |FROM dec GROUP BY source, decision ORDER BY source, decision""".stripMargin)
+         |FROM dec GROUP BY source, decision ORDER BY source, decision""".stripMargin,
+
+    // q92 runs a DIFFERENT distributed algorithm (large-star/small-star
+    // contraction) against the SAME ground truth: the oracle is q71's
+    // transitive-closure clustering verbatim
+    "q92_star_clusters" ->
+      s"""${SHINGLE_CTES.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fpp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fpp a JOIN fpp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4),
+         |jp AS (SELECT id_a, id_b FROM pairs
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, count(*) AS n_members, max(doc_id) AS max_member
+         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

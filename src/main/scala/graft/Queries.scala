@@ -1737,6 +1737,22 @@ object Queries {
       .orderBy(col("source"), col("decision"))
   }
 
+  /** The q71 clustering computed by the OTHER fixpoint algorithm:
+    * alternating large-star/small-star contraction
+    * ([[Dedup.connectedComponentsStar]], O(log diameter) rounds —
+    * the 100 TB insurance when components are deep) instead of
+    * min-label propagation. Same pairs, same output contract, same
+    * oracle closure — a full-pipeline differential check that two
+    * independently-derived distributed CC algorithms agree. */
+  def q92StarClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(t(spark, dir).documents,
+      "doc_id", "text", n = 3, threshold = 0.2)
+    Dedup.connectedComponentsStar(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1830,5 +1846,6 @@ object Queries {
     "q88_lang_confusion" -> (q88LangConfusion _),
     "q89_exact_contamination" -> (q89ExactContamination _),
     "q90_corpus_health" -> (q90CorpusHealth _),
-    "q91_clean_export" -> (q91CleanExport _))
+    "q91_clean_export" -> (q91CleanExport _),
+    "q92_star_clusters" -> (q92StarClusters _))
 }

@@ -98,6 +98,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("star CC ≡ min-label CC on chains, forests and random graphs") {
+    // same chain + disjoint pair fixture as the min-label test
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 10L, 11L -> 10L))
+    // random graphs: both variants must agree exactly
+    import org.scalacheck.Gen
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (trial <- 1 to 3) {
+      val edges = Gen.listOfN(25, edgeGen).sample.get.distinct
+        .toDF("id_a", "id_b")
+      val a = Dedup.connectedComponents(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.connectedComponentsStar(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b, s"trial $trial")
+    }
+  }
+
+  test("star CC collapses a deep chain in O(log d) rounds (min-label would need d)") {
+    // a 512-node path has diameter 511: min-label propagation needs
+    // ~511 rounds (far past its default maxIters); star contraction
+    // must finish well inside 20 alternating rounds
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(chain, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 512)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
