@@ -1403,7 +1403,43 @@ object Oracles {
          |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
          |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT cluster_id, count(*) AS n_members, max(doc_id) AS max_member
-         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+         |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // q93: PageRank replayed move-for-move in integer arithmetic —
+    // `//` (DuckDB floor div) == Spark `div` on the non-negative
+    // values used here; CAST sums to BIGINT (DuckDB sum -> HUGEINT)
+    "q93_pagerank" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+         |fpp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fpp a JOIN fpp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4),
+         |jp AS (SELECT id_a, id_b FROM prs
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n, 1000000000000 // count(*) AS base,
+         |  (15 * (1000000000000 // count(*))) // 100 AS tele FROM deg),
+         |r0 AS (SELECT src AS id, base AS r FROM deg, nn),
+         |c1 AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
+         |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+         |r1 AS (SELECT d.src AS id, CAST(tele + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c1 c ON c.id = d.src),
+         |c2 AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
+         |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+         |r2 AS (SELECT d.src AS id, CAST(tele + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c2 c ON c.id = d.src),
+         |c3 AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
+         |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r2 r ON r.id = e.src GROUP BY e.dst),
+         |r3 AS (SELECT d.src AS id, CAST(tele + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.id = d.src)
+         |SELECT r3.id AS doc_id, d.d AS out_deg, r3.r AS rank_fp
+         |FROM r3 JOIN deg d ON d.src = r3.id
+         |ORDER BY rank_fp DESC, doc_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

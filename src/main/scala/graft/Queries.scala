@@ -1753,6 +1753,26 @@ object Queries {
       .orderBy(col("cluster_id"))
   }
 
+  /** PageRank centrality over the near-dup similarity graph
+    * ([[graft.operators.Graphs.pageRankFixed]]): q22's jaccard pairs,
+    * mirrored to a symmetric edge set, 3 damped message-passing rounds
+    * in exact fixed-point integer arithmetic. The pipeline use: rank
+    * picks the CANONICAL document of each near-dup neighborhood (the
+    * most-connected member), an alternative survivor rule to q85's
+    * min-id. Every shuffle is keyed on a node id; ranks are scaled
+    * longs so the result is bit-identical under any partitioning and
+    * replayable by an integer-division SQL oracle. */
+  def q93PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Caches.persistTracked(
+      Dedup.jaccardPairs(t(spark, dir).documents,
+        "doc_id", "text", n = 3, threshold = 0.2))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.operators.Graphs.pageRankFixed(edges, iters = 3)
+      .select(col("id").as("doc_id"), col("out_deg"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("doc_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1847,5 +1867,6 @@ object Queries {
     "q89_exact_contamination" -> (q89ExactContamination _),
     "q90_corpus_health" -> (q90CorpusHealth _),
     "q91_clean_export" -> (q91CleanExport _),
-    "q92_star_clusters" -> (q92StarClusters _))
+    "q92_star_clusters" -> (q92StarClusters _),
+    "q93_pagerank" -> (q93PageRank _))
 }

@@ -123,6 +123,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankFixed: exact match vs in-memory reference, center of a star ranks highest") {
+    import graft.operators.Graphs
+    // star center 1 ↔ {2,3,4} plus a detached pair 10 ↔ 11, mirrored
+    val undirected = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val edges = undirected ++ undirected.map(_.swap)
+    // fixed-point reference replaying the operator's integer contract
+    def ref(iters: Int): Map[Long, Long] = {
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val scale = 1000000000000L
+      val base = scale / deg.size
+      val tele = (100L - 85L) * base / 100L
+      var r = deg.keys.map(_ -> base).toMap
+      for (_ <- 1 to iters) {
+        val sums = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (s, _) => r(s) / deg(s) }.sum
+        }
+        r = deg.keys.map(k => k -> (tele + 85L * sums.getOrElse(k, 0L) / 100L)).toMap
+      }
+      r
+    }
+    val df = edges.toDF("src", "dst")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Graphs.pageRankFixed(df, iters = iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === ref(iters), s"iters=$iters")
+    }
+    // the hub accumulates its spokes' full contributions
+    val r3 = Graphs.pageRankFixed(df, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r3(1L) > r3(2L) && r3(2L) === r3(3L) && r3(3L) === r3(4L))
+    // bit-identical under a different input partitioning
+    val re = Graphs.pageRankFixed(df.repartition(7), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re === r3)
+  }
+
   test("star CC collapses a deep chain in O(log d) rounds (min-label would need d)") {
     // a 512-node path has diameter 511: min-label propagation needs
     // ~511 rounds (far past its default maxIters); star contraction
