@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *  - failures are NOT silently folded into timings: a query that
   *    throws in any sample reports -1 and lands in "failed" so the
   *    driver can tell a fast query from a broken one.
+  *  - the JSON line must stay SHORT: the driver captures only the last
+  *    ~2000 chars of output, and a line that overflows that window is
+  *    truncated at the HEAD and fails to parse (BENCH_r01/r02 both
+  *    recorded "parsed": null this way). Keys are therefore the qNN
+  *    prefix (full names in BASELINE.md and on stderr) and values are
+  *    millisecond precision.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,12 +59,28 @@ object Bench {
       (name, samples.map(_._1).min, samples.forall(_._2))
     }
     val failed = results.collect { case (name, _, false) => name }
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def short(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    // full-name per-query breakdown for humans (stderr — not part of
+    // the driver contract, never competes with the JSON line for the
+    // tail window)
+    results.foreach { case (k, v, ok) =>
+      System.err.println(s"[bench] $k ${if (ok) ms(v) else "FAILED"}")
+    }
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1) }
+      "\"" + short(k) + "\":" + (if (ok) ms(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"failed":$failedJson}""")
+    val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"failed":$failedJson}"""
+    // hard guard: the contract breaks silently if this ever outgrows
+    // the driver's tail capture
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING json line ${line.length} chars — may overflow driver tail window")
+    println(line)
     spark.stop()
   }
 }
