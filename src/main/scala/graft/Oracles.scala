@@ -1439,7 +1439,109 @@ object Oracles {
          |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.id = d.src)
          |SELECT r3.id AS doc_id, d.d AS out_deg, r3.r AS rank_fp
          |FROM r3 JOIN deg d ON d.src = r3.id
-         |ORDER BY rank_fp DESC, doc_id""".stripMargin)
+         |ORDER BY rank_fp DESC, doc_id""".stripMargin,
+
+    // q94: chunk starts are range(0, n, 48) — DuckDB range excludes n,
+    // Spark sequence(0, n-1, 48) includes values <= n-1: same set
+    "q94_chunk_windows" ->
+      s"""WITH tok AS (SELECT doc_id, source, len($TOKS) AS n FROM documents),
+         |st AS (SELECT doc_id, source, n, unnest(range(0, n, 48)) AS s
+         |  FROM tok WHERE n > 0),
+         |ch AS (SELECT doc_id, source, least(64, n - s) AS chunk_toks FROM st)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(chunk_toks) AS BIGINT) AS chunk_tokens,
+         |  round(avg(chunk_toks), 2) AS avg_chunk_toks
+         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    // q95: the draw is the first 5 md5 hex chars vs the quality
+    // threshold's zero-padded lowercase hex — pure string compare,
+    // identical in both engines
+    "q95_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id, source, len(toks) AS n,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) AS stop_hits,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq_cnt FROM d),
+         |q AS (SELECT doc_id, source, n AS ws,
+         |  round((CASE WHEN n=0 THEN 0.0 ELSE uniq_cnt/n END)*0.5
+         |   + (1.0-(CASE WHEN n=0 THEN 0.0 ELSE stop_hits/n END))*0.3
+         |   + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4) AS q FROM m),
+         |s AS (SELECT source, q, ws,
+         |  substring(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 5)
+         |    < lpad(lower(to_hex(CAST(round(q*300000) AS BIGINT))), 5, '0') AS sampled
+         |  FROM q)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN sampled THEN ws ELSE 0 END) AS BIGINT) AS sampled_tokens,
+         |  round(avg(CASE WHEN sampled THEN q END), 4) AS avg_q_sampled
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+    // q96: the 50% cutoff is integer arithmetic (2*(cum-own) < total)
+    // over window sums of exact token counts
+    "q96_topp_select" ->
+      s"""WITH d AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id, source, len(toks) AS n,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) AS stop_hits,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq_cnt FROM d),
+         |q AS (SELECT doc_id, source, n AS ws,
+         |  round((CASE WHEN n=0 THEN 0.0 ELSE uniq_cnt/n END)*0.5
+         |   + (1.0-(CASE WHEN n=0 THEN 0.0 ELSE stop_hits/n END))*0.3
+         |   + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4) AS q FROM m),
+         |w AS (SELECT source, ws,
+         |  sum(ws) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(ws) OVER (PARTITION BY source) AS total FROM q),
+         |k AS (SELECT source, ws, (cum - ws) * 2 < total AS keep FROM w)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN ws ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  round(CAST(sum(CASE WHEN keep THEN ws ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(ws) AS DOUBLE), 4) AS kept_share
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // q97: reconstruction error is fixed-point per ELEMENT
+    // (round(d*d*1e12) as BIGINT) before any sum, so list order and
+    // engine float-summation order cannot matter
+    "q97_quantize_profile" ->
+      s"""WITH emb AS (SELECT label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT label, v,
+         |  list_max(list_transform(v, x -> abs(x))) AS scale FROM emb),
+         |e AS (SELECT label, scale,
+         |  CASE WHEN scale = 0 THEN 0 ELSE CAST(list_sum(list_transform(v, x ->
+         |    CAST(round(((x - least(greatest(round(x*127/scale), -127), 127)*scale/127)
+         |      * (x - least(greatest(round(x*127/scale), -127), 127)*scale/127)) * 1e12) AS BIGINT))) AS BIGINT) END AS err_fp,
+         |  CASE WHEN scale = 0 THEN 0 ELSE CAST(len(list_filter(v, x ->
+         |    abs(least(greatest(round(x*127/scale), -127), 127)) = 127)) AS BIGINT) END AS n_sat
+         |  FROM s)
+         |SELECT label, count(*) AS n_vecs, round(avg(scale), 6) AS avg_scale,
+         |  CAST(sum(err_fp) AS BIGINT) AS total_err_fp12,
+         |  CAST(max(err_fp) AS BIGINT) AS max_err_fp12,
+         |  CAST(sum(n_sat) AS BIGINT) AS n_saturated
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    // q98: sqrt is IEEE-correctly-rounded in both engines; the share
+    // denominator is an integer sum of fixed-point weights
+    "q98_mixture_weights" ->
+      s"""WITH d AS (SELECT source, len($TOKS) AS ws FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+         |p AS (SELECT source, n_docs, n_tokens,
+         |  CAST(round(sqrt(n_tokens) * 1e6) AS BIGINT) AS p_fp FROM g),
+         |t AS (SELECT *, CAST(sum(p_fp) OVER () AS BIGINT) AS total FROM p)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(p_fp AS DOUBLE) / total, 6) AS mix_share,
+         |  CAST(round(p_fp * 10000.0 / total) AS BIGINT) AS docs_per_10k
+         |FROM t ORDER BY source""".stripMargin,
+
+    // q99: 8-token prefix fingerprint — DuckDB list[1:8] and Spark
+    // slice(arr, 1, 8) both take min(8, len) leading elements
+    "q99_cross_source_dups" ->
+      s"""WITH f AS (SELECT DISTINCT md5(array_to_string(($TOKS)[1:8], ' ')) AS fp,
+         |  source FROM documents)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(DISTINCT a.fp) AS n_shared_fps
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

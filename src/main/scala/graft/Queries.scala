@@ -1773,6 +1773,167 @@ object Queries {
       .orderBy(col("rank_fp").desc, col("doc_id"))
   }
 
+  // ---------- round-3 training-pipeline extensions ----------
+
+  /** Fixed-size token-window chunking with overlap (chunk=64 tokens,
+    * stride=48 ⇒ 16-token overlap) — the pretraining step that packs
+    * documents into model context windows. Pure column algebra: one
+    * `sequence()` per doc, one explode; the only shuffle is the final
+    * per-source rollup. At 100 TB the explode multiplies rows ~n/stride
+    * per doc BEFORE the aggregate, but chunk metadata is 3 small
+    * columns — the heavy `text` column never rides along. */
+  def q94ChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 64L
+    val stride = 48L
+    t(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        wordCount(col("text")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("s",
+        explode(sequence(lit(0L), col("n") - 1, lit(stride))))
+      .select(col("doc_id"), col("source"),
+        least(lit(chunk), col("n") - col("s")).as("chunk_toks"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_toks")).as("chunk_tokens"),
+        round(avg(col("chunk_toks")), 2).as("avg_chunk_toks"))
+      .orderBy(col("source"))
+  }
+
+  /** Quality-weighted Bernoulli sampling in pure integer arithmetic:
+    * each doc's inclusion probability is proportional to its quality
+    * score (threshold = round(q·300000) out of a 16^5 = 1048576 hash
+    * space), decided by comparing the first 5 hex chars of a seeded
+    * md5 against the threshold's zero-padded hex — engine-portable,
+    * partition-invariant, no RNG. The importance-sampling counterpart
+    * to q45's uniform stratified sample. */
+  def q95WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(tokens(col("text")))
+    val thresholdHex = lpad(lower(hex(round(q * 300000).cast("long"))), 5, "0")
+    val draw = substring(md5(concat_ws("|", lit("wsample"), col("doc_id"))), 1, 5)
+    t(spark, dir).documents
+      .select(col("source"), q.as("q"),
+        wordCount(col("text")).cast("long").as("ws"),
+        (draw < thresholdHex).as("sampled"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("ws")).otherwise(0L)).as("sampled_tokens"),
+        round(avg(when(col("sampled"), col("q"))), 4).as("avg_q_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source top-p ("nucleus") selection: order docs by quality
+    * (doc_id tie-break), keep the smallest prefix holding ≥50% of the
+    * source's token mass — the cumulative-share cutoff is integer
+    * arithmetic (2·(cum−own) < total) so the kept set is exact. The
+    * curriculum/budgeting shape: one sort shuffle on (source), one
+    * window pass, no self-join. */
+  def q96TopPSelect(spark: SparkSession, dir: String): DataFrame = {
+    val byQ = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bySrc = Window.partitionBy(col("source"))
+    t(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        qualityScore(tokens(col("text"))).as("q"),
+        wordCount(col("text")).cast("long").as("ws"))
+      .withColumn("cum", sum(col("ws")).over(byQ))
+      .withColumn("total", sum(col("ws")).over(bySrc))
+      .withColumn("keep", (col("cum") - col("ws")) * 2 < col("total"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("ws")).otherwise(0L)).as("kept_tokens"),
+        round(sum(when(col("keep"), col("ws")).otherwise(0L))
+          / sum(col("ws")).cast("double"), 4).as("kept_share"))
+      .orderBy(col("source"))
+  }
+
+  /** Symmetric int8 embedding quantization profile — the 4× storage
+    * cut a 100 TB embedding store takes before ANN. Per vector:
+    * scale = max|v|, q_i = clamp(round(v_i·127/scale), ±127); the
+    * reconstruction error Σ(v−dq)² is accumulated in FIXED-POINT
+    * (round(d²·1e12) as long) so the per-vector error is bit-identical
+    * under any element order or engine. Reported per label: mean
+    * scale, total/max error, saturation count. */
+  def q97QuantizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(col("v"), x => abs(x)))
+    def qi(x: Column) =
+      least(greatest(round(x * 127 / col("scale")), lit(-127.0)), lit(127.0))
+    def errElem(x: Column) = {
+      val d = x - qi(x) * col("scale") / 127
+      round(d * d * 1e12).cast("long")
+    }
+    t(spark, dir).embeddings
+      .select(col("label"), v.as("v"))
+      .withColumn("scale", scale)
+      .select(col("label"), col("scale"),
+        when(col("scale") === 0, 0L)
+          .otherwise(aggregate(col("v"), lit(0L), (acc, x) => acc + errElem(x)))
+          .as("err_fp"),
+        when(col("scale") === 0, 0)
+          .otherwise(size(filter(col("v"), x => abs(qi(x)) === 127.0)))
+          .cast("long").as("n_sat"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("scale")), 6).as("avg_scale"),
+        sum(col("err_fp")).as("total_err_fp12"),
+        max(col("err_fp")).as("max_err_fp12"),
+        sum(col("n_sat")).as("n_saturated"))
+      .orderBy(col("label"))
+  }
+
+  /** Temperature-balanced mixture weights (α=0.5): per-source sampling
+    * share ∝ √tokens — the standard move that keeps small sources
+    * (languages, domains) from vanishing in a weighted corpus mix.
+    * √tokens goes through fixed-point (round(√t·1e6) as long) before
+    * the normalizing sum, so the shares are exact integers divided
+    * once — no float-summation-order dependence. */
+  def q98MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(spark, dir).documents
+      .select(col("source"), wordCount(col("text")).cast("long").as("ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"))
+      .withColumn("p_fp", round(sqrt(col("n_tokens")) * 1e6).cast("long"))
+    val total = Window.partitionBy()
+    perSrc
+      .withColumn("mix_share",
+        round(col("p_fp").cast("double") / sum(col("p_fp")).over(total), 6))
+      .withColumn("docs_per_10k",
+        round(col("p_fp") * 10000.0 / sum(col("p_fp")).over(total)).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mix_share"), col("docs_per_10k"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source contamination matrix: 8-token PREFIX-fingerprint
+    * collisions between DIFFERENT sources — which feeds copy from each
+    * other, the provenance question asked before de-weighting a source.
+    * The prefix key (vs q21's whole-doc fingerprint) catches docs that
+    * share their opening — syndicated boilerplate, mirrored headers —
+    * even when tails diverge. One shuffle on the md5 key (near-unique),
+    * pairs emitted only for colliding keys — never an all-pairs join. */
+  def q99CrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val fps = t(spark, dir).documents
+      .select(md5(concat_ws(" ", slice(tokens(col("text")), 1, 8))).as("fp"),
+        col("source"))
+      .distinct()
+    val a = fps.select(col("fp"), col("source").as("source_a"))
+    val b = fps.select(col("fp"), col("source").as("source_b"))
+    a.join(b, Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("fp")).as("n_shared_fps"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1868,5 +2029,11 @@ object Queries {
     "q90_corpus_health" -> (q90CorpusHealth _),
     "q91_clean_export" -> (q91CleanExport _),
     "q92_star_clusters" -> (q92StarClusters _),
-    "q93_pagerank" -> (q93PageRank _))
+    "q93_pagerank" -> (q93PageRank _),
+    "q94_chunk_windows" -> (q94ChunkWindows _),
+    "q95_weighted_sample" -> (q95WeightedSample _),
+    "q96_topp_select" -> (q96TopPSelect _),
+    "q97_quantize_profile" -> (q97QuantizeProfile _),
+    "q98_mixture_weights" -> (q98MixtureWeights _),
+    "q99_cross_source_dups" -> (q99CrossSourceDups _))
 }
