@@ -158,15 +158,16 @@ object Dedup {
     // once via the neighbor aggregation), so without truncation the
     // plan tree doubles per round — analysis alone is O(2^rounds) and
     // OOMs the driver near ~15 rounds (observed on a 1M-node
-    // diameter-9 soak). Eager localCheckpoint replaces each round's
-    // plan with its materialized RDD (the GraphFrames discipline);
+    // diameter-9 soak). Eager truncation replaces each round's plan
+    // with its materialized RDD (the GraphFrames discipline);
     // superseded checkpoint blocks are freed by the ContextCleaner as
-    // the old frames go out of scope. On a multi-node cluster prefer
-    // reliable `checkpoint()` (executor loss invalidates local
-    // checkpoints).
+    // the old frames go out of scope. [[Lineage.truncate]] picks the
+    // regime: reliable `checkpoint()` when the session has a
+    // checkpoint dir (multi-node clusters — executor loss invalidates
+    // local checkpoints), localCheckpoint otherwise.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -179,7 +180,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), col("nmin")).as("cluster_id"),
           (col("nmin") < col("cluster_id")).as("changed"))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       converged = next.where(col("changed")).limit(1).count() == 0L
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
@@ -203,7 +204,7 @@ object Dedup {
     * component's minimum id.
     *
     * Mechanics per round (edges kept as a deduped (src, dst) set,
-    * self-loop-free; lineage truncated with eager localCheckpoint —
+    * self-loop-free; lineage truncated eagerly via [[Lineage.truncate]] —
     * same discipline and rationale as [[connectedComponents]]):
     *  - large-star: symmetrize; per node u with m = min(N(u) ∪ u),
     *    re-point every STRICTLY GREATER neighbor v > u to m.
@@ -225,7 +226,7 @@ object Dedup {
       .distinct()
     var edges = canon(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
     var n = edges.count()
     var iter = 0
     var converged = false
@@ -239,7 +240,7 @@ object Dedup {
       val ls = canon(sym.where(col("dst") > col("src"))
         .join(lsMin, Seq("src"))
         .select(col("dst").as("src"), col("m").as("dst")))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       // small-star: edges are already oriented large→small by canon();
       // per large endpoint, point it and all other small neighbors to
       // the minimum small neighbor
@@ -249,7 +250,7 @@ object Dedup {
         j.select(col("src"), col("m").as("dst"))
           .union(j.where(col("dst") =!= col("m"))
             .select(col("dst").as("src"), col("m").as("dst"))))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       val nNext = ss.count()
       converged = nNext == n &&
         ss.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() == 0L

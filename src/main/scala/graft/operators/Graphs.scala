@@ -31,9 +31,9 @@ object Graphs {
     * src) and one keyed sum (on dst) — the standard message-passing
     * round; edges and out-degrees are materialized once and reused
     * every round ([[Caches]] lifecycle). Rank lineage is truncated
-    * every 3 rounds (eager localCheckpoint; on a multi-node cluster
-    * prefer reliable `checkpoint()` — same note as
-    * [[Dedup.connectedComponents]]).
+    * every 3 rounds ([[Lineage.truncate]]: reliable `checkpoint()`
+    * when a checkpoint dir is set, localCheckpoint otherwise — same
+    * note as [[Dedup.connectedComponents]]).
     *
     * Contract: `edges` has (`src`, `dst`) columns and EVERY node
     * appears at least once as `src` (no dangling nodes) — mirror
@@ -67,7 +67,7 @@ object Graphs {
         .select(col("id"),
           (lit(teleport)
             + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
-      ranks = if (it % 3 == 0 && it < iters) next.localCheckpoint() else next
+      ranks = if (it % 3 == 0 && it < iters) next.transform(Lineage.truncate) else next
       it += 1
     }
     ranks.join(deg.select(col("src").as("id"), col("out_deg")), Seq("id"))

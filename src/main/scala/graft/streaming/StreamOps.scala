@@ -231,6 +231,35 @@ object StreamOps {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Stream-static as-of enrichment against a SLOWLY CHANGING
+    * dimension. The plain stream-static shapes ([[enriched]], or
+    * [[graft.operators.Analytics.asofJoinBroadcast]] applied to a
+    * static frame) pin the dim's file listing when the static subplan
+    * is analyzed at query start — dim rows added while the stream runs
+    * stay invisible for the life of the query. This variant
+    * re-resolves the dim through `dimProvider` inside foreachBatch —
+    * a fresh analysis + broadcast per micro-batch, the
+    * periodic-re-broadcast pattern — so every batch is as-of joined
+    * against the dim AS OF that trigger.
+    *
+    * Scale contract: the dim must stay broadcast-sized (same regime
+    * as asofJoinBroadcast — it is collapsed to one sorted array per
+    * key and broadcast); the re-list + re-broadcast cost is per
+    * TRIGGER, not per row, so a 60 s trigger amortizes it. For dims
+    * too big to broadcast, snapshot-join the stream in foreachBatch
+    * with [[graft.operators.Analytics.asofJoinExec]] instead. */
+  def asofEnrichScd(stream: DataFrame, dimProvider: () => DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      asofCols: Seq[String])(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], id: Long) =>
+        sink(graft.operators.Analytics.asofJoinBroadcast(
+          batch.toDF(), dimProvider(), key, leftTime, rightTime,
+          asofCols), id)
+    }
+
   /** Stream-stream interval join (extension surface): purchases matched
     * to the same user's views in the preceding hour. Both sides carry
     * the source watermark; the range condition bounds the view-side

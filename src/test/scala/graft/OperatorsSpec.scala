@@ -98,6 +98,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: reliable checkpoint engages when a checkpoint dir is set") {
+    // Lineage.truncate switches localCheckpoint → reliable checkpoint
+    // when the session has a checkpoint dir (the multi-node regime:
+    // executor loss invalidates local checkpoint blocks mid-fixpoint)
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "fixture expects no ambient checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      // checkpoint data actually landed on the "reliable" FS
+      val stream = java.nio.file.Files.walk(dir)
+      val nFiles = try stream
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally stream.close()
+      assert(nFiles > 0, "no reliable checkpoint files written")
+    } finally {
+      // local mode: Option(null) resets checkpointDir to None (the
+      // non-local warning branch that would deref null is short-circuited)
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("star CC ≡ min-label CC on chains, forests and random graphs") {
     // same chain + disjoint pair fixture as the min-label test
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))

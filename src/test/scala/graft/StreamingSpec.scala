@@ -84,6 +84,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SCD-dim as-of: dim rows added between triggers are visible (re-broadcast per batch)") {
+    // asofEnrichScd re-resolves the dim per micro-batch; a row added
+    // to the dim AFTER the stream starts must enrich the NEXT batch —
+    // the static-plan variant above would never see it
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    @volatile var dim = Seq(
+      (100L, 7L, Timestamp.valueOf("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+      .select($"event_id", $"user_id", $"ts")
+    val seen = scala.collection.mutable.Map[Long, Long]()
+    val q = StreamOps.asofEnrichScd(events, () => dim,
+        "user_id", "ts", "ts", Seq("event_id")) { (out, _) =>
+      out.collect().foreach { r =>
+        seen.synchronized {
+          seen(r.getLong(0)) = if (r.isNullAt(3)) -1L else r.getLong(3)
+        }
+      }
+    }.start()
+    try {
+      input.addData(Seq(json(1, "2024-01-01 10:01:00", 7, "purchase", 1.0)))
+      q.processAllAvailable()
+      // the dim gains a fresher version BETWEEN triggers
+      dim = Seq(
+        (100L, 7L, Timestamp.valueOf("2024-01-01 09:00:00")),
+        (101L, 7L, Timestamp.valueOf("2024-01-01 10:00:10")))
+        .toDF("event_id", "user_id", "ts")
+      input.addData(Seq(json(2, "2024-01-01 10:01:00", 7, "purchase", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // same event time, same user: batch 1 carried dim v1's 09:00 row,
+    // batch 2 carried the 10:00:10 row that did not exist at start
+    assert(seen.toMap === Map(1L -> 100L, 2L -> 101L))
+  }
+
   test("Kafka-shaped envelope: BINARY value column decodes through the S1 chain") {
     // the connector isn't in this image, but its output contract is a
     // fixed schema (key/value binary, topic, partition, offset); this
