@@ -1541,7 +1541,39 @@ object Oracles {
          |SELECT a.source AS source_a, b.source AS source_b,
          |  count(DISTINCT a.fp) AS n_shared_fps
          |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q100: lift numerator/denominator are exact BIGINT products
+    // before the single double division
+    "q100_cooccur_lift" ->
+      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+         |supp AS (SELECT event_type, count(*) AS supp FROM ut GROUP BY 1),
+         |co AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+         |  count(*) AS n_co
+         |FROM ut a JOIN ut b ON a.user_id = b.user_id
+         |  AND a.event_type < b.event_type
+         |GROUP BY 1, 2)
+         |SELECT et_a, et_b, CAST(n_co AS BIGINT) AS n_co,
+         |  CAST(sa.supp AS BIGINT) AS supp_a, CAST(sb.supp AS BIGINT) AS supp_b,
+         |  round(CAST(n_co * n_users AS DOUBLE)
+         |    / CAST(sa.supp * sb.supp AS DOUBLE), 4) AS lift
+         |FROM co JOIN supp sa ON sa.event_type = co.et_a
+         |  JOIN supp sb ON sb.event_type = co.et_b
+         |  CROSS JOIN tot
+         |ORDER BY et_a, et_b""".stripMargin,
+
+    // q101: ntile bucket sizing (first buckets take the remainder) is
+    // the same SQL-standard rule in both engines; the window's total
+    // order makes bucket assignment deterministic
+    "q101_equidepth_hist" ->
+      s"""WITH w AS (SELECT l_returnflag, l_extendedprice,
+         |  ntile(8) OVER (PARTITION BY l_returnflag
+         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+         |FROM lineitem)
+         |SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+         |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -1934,6 +1934,57 @@ object Queries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Market-basket co-occurrence with lift over per-user event-type
+    * baskets: which event types appear together more often than
+    * independence predicts. Scale shape: the basket self-join is keyed
+    * on user_id and each side is the DISTINCT (user, type) projection
+    * — O(users·k²) for k event types (k=5 here), never an all-pairs
+    * join over events; support and total-user counts ride in as
+    * broadcasts. Lift = n_co·N / (supp_a·supp_b) with both products
+    * exact longs before the one double division. */
+  def q100CooccurLift(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+    val co = ut.select(col("user_id"), col("event_type").as("et_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("et_b")),
+        Seq("user_id"))
+      .where(col("et_a") < col("et_b"))
+      .groupBy(col("et_a"), col("et_b"))
+      .agg(count(lit(1)).as("n_co"))
+    co.join(broadcast(supp.select(col("event_type").as("et_a"),
+        col("supp").as("supp_a"))), Seq("et_a"))
+      .join(broadcast(supp.select(col("event_type").as("et_b"),
+        col("supp").as("supp_b"))), Seq("et_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("et_a"), col("et_b"), col("n_co"),
+        col("supp_a"), col("supp_b"),
+        round((col("n_co") * col("n_users")).cast("double")
+          / (col("supp_a") * col("supp_b")).cast("double"), 4).as("lift"))
+      .orderBy(col("et_a"), col("et_b"))
+  }
+
+  /** Per-segment equi-depth (ntile) histogram of lineitem prices: 8
+    * equal-count buckets per return flag with bucket boundaries — the
+    * optimizer-statistics / data-profiling shape. The ntile window is
+    * PARTITIONED (by l_returnflag), so the sort distributes per key —
+    * never a global single-partition sort; at 100 TB you'd bucket by a
+    * finer composite key or sample for cutpoints, same plan shape. */
+  def q101EquiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(8).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2035,5 +2086,7 @@ object Queries {
     "q96_topp_select" -> (q96TopPSelect _),
     "q97_quantize_profile" -> (q97QuantizeProfile _),
     "q98_mixture_weights" -> (q98MixtureWeights _),
-    "q99_cross_source_dups" -> (q99CrossSourceDups _))
+    "q99_cross_source_dups" -> (q99CrossSourceDups _),
+    "q100_cooccur_lift" -> (q100CooccurLift _),
+    "q101_equidepth_hist" -> (q101EquiDepthHist _))
 }

@@ -18,10 +18,16 @@ class ContractSpec extends AnyFunSuite {
     assert(oracles -- queries === Set.empty)
   }
 
-  test("query names follow the sortable qNN_snake format, no duplicates") {
+  test("query names follow the qNN(N)_snake format, no duplicates") {
+    // 2- or 3-digit id (the catalog outgrew q99); lexicographic sorting
+    // puts q100 next to q10 — cosmetic only, nothing keys on order.
+    // The Bench short key (prefix before '_') must also stay unique.
     val names = SparkEntry.queries.keys.toSeq
-    names.foreach(n => assert(n.matches("q\\d{2}_[a-z0-9_]+"), n))
+    names.foreach(n => assert(n.matches("q\\d{2,3}_[a-z0-9_]+"), n))
     assert(names.distinct.size === names.size)
+    val shortKeys = names.map(_.takeWhile(_ != '_'))
+    assert(shortKeys.distinct.size === shortKeys.size,
+      "duplicate qNN prefixes would collide in the bench JSON")
   }
 
   test("smoke entry returns rows on sf0.001") {
