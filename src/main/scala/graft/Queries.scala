@@ -1943,8 +1943,12 @@ object Queries {
     * broadcasts. Lift = n_co·N / (supp_a·supp_b) with both products
     * exact longs before the one double division. */
   def q100CooccurLift(spark: SparkSession, dir: String): DataFrame = {
-    val ut = events(spark, dir)
-      .select(col("user_id"), col("event_type")).distinct()
+    // the distinct basket projection feeds FOUR consumers (both
+    // self-join sides, support, totals) — materialize it once or the
+    // scan+distinct shuffle runs four times ([[Caches]] lifecycle)
+    val ut = graft.operators.Caches.persistTracked(
+      events(spark, dir)
+        .select(col("user_id"), col("event_type")).distinct())
     val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
     val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
     val co = ut.select(col("user_id"), col("event_type").as("et_a"))
