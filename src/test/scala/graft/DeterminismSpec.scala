@@ -26,7 +26,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q71_dedup_clusters",   // iterative fixpoint labels
     "q74_asof_exec",        // custom physical merge operator
     "q76_asof_broadcast",   // broadcast array lookup
-    "q85_survivor_merge")   // clusters joined back + merged sources
+    "q85_survivor_merge",   // clusters joined back + merged sources
+    "q95_weighted_sample",  // hash-threshold inclusion (no RNG)
+    "q96_topp_select",      // cumulative window cutoff
+    "q97_quantize_profile", // fixed-point per-element float error
+    "q100_cooccur_lift")    // materialized basket self-join, long lift
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
