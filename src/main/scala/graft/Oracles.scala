@@ -1573,7 +1573,33 @@ object Oracles {
          |FROM lineitem)
          |SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
          |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q102: the pair CTE replays q54's IVF cosine mining at 0.30; the
+    // canonical a<b orientation makes the wedge+closure join count
+    // each triangle exactly once
+    "q102_triangles" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, e, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+        |jp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) >= 0.30),
+        |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |  FROM jp e1 JOIN jp e2 ON e1.id_b = e2.id_a
+        |  JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        |nodes AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
+        |SELECT vec_id, count(*) AS n_triangles
+        |FROM nodes GROUP BY vec_id
+        |ORDER BY n_triangles DESC, vec_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

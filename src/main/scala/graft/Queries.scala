@@ -1989,6 +1989,38 @@ object Queries {
       .orderBy(col("l_returnflag"), col("bucket"))
   }
 
+  /** Triangle census over the embedding near-dup graph: per-node
+    * triangle participation — the local-clustering signal that
+    * separates a tight duplicate CLIQUE (burst of re-uploads, one
+    * canonical survivor) from a drifting near-dup CHAIN (successive
+    * edits — triangles ≈ 0) before choosing a dedup survivor rule.
+    * Shape: pairs are mined once ([[Similarity.cosineNearDupPairs]],
+    * persisted), then one wedge join keyed on the shared node and one
+    * semi join to close each wedge — never an all-pairs pass. The
+    * canonical a<b orientation means each triangle is counted exactly
+    * once; at 100 TB orient edges by degree instead (low→high) to
+    * bound wedge fan-out on hub nodes. */
+  def q102Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 100 === 0)
+    val pairs = graft.operators.Caches.persistTracked(
+      Similarity.cosineNearDupPairs(emb, centroids,
+          threshold = 0.30, nprobe = 2)
+        .select(col("id_a"), col("id_b")))
+    val wedges = pairs.join(
+      pairs.select(col("id_a").as("id_b"), col("id_b").as("id_c")),
+      Seq("id_b"))
+    val tri = wedges.join(
+      pairs.select(col("id_a"), col("id_b").as("id_c")),
+      Seq("id_a", "id_c"), "left_semi")
+    tri.select(explode(array(col("id_a"), col("id_b"), col("id_c")))
+        .as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("vec_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2092,5 +2124,6 @@ object Queries {
     "q98_mixture_weights" -> (q98MixtureWeights _),
     "q99_cross_source_dups" -> (q99CrossSourceDups _),
     "q100_cooccur_lift" -> (q100CooccurLift _),
-    "q101_equidepth_hist" -> (q101EquiDepthHist _))
+    "q101_equidepth_hist" -> (q101EquiDepthHist _),
+    "q102_triangles" -> (q102Triangles _))
 }
