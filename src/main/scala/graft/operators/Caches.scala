@@ -26,10 +26,13 @@ object Caches {
     df
   }
 
-  /** Unpersist every tracked frame (non-blocking). Call after the
-    * action that consumes the operator's output. */
+  /** Unpersist every tracked frame (non-blocking) and delete any
+    * reliable-checkpoint files the fixpoint loops registered
+    * ([[Lineage.releaseAll]]). Call after the action that consumes the
+    * operator's output. */
   def releaseAll(): Unit = {
     var df = frames.poll()
     while (df != null) { df.unpersist(false); df = frames.poll() }
+    Lineage.releaseAll()
   }
 }

@@ -159,12 +159,15 @@ object Dedup {
     // plan tree doubles per round — analysis alone is O(2^rounds) and
     // OOMs the driver near ~15 rounds (observed on a 1M-node
     // diameter-9 soak). Eager truncation replaces each round's plan
-    // with its materialized RDD (the GraphFrames discipline);
-    // superseded checkpoint blocks are freed by the ContextCleaner as
-    // the old frames go out of scope. [[Lineage.truncate]] picks the
-    // regime: reliable `checkpoint()` when the session has a
-    // checkpoint dir (multi-node clusters — executor loss invalidates
-    // local checkpoints), localCheckpoint otherwise.
+    // with its materialized RDD (the GraphFrames discipline).
+    // [[Lineage.truncate]] picks the regime: reliable `checkpoint()`
+    // when the session has a checkpoint dir (multi-node clusters —
+    // executor loss invalidates local checkpoints), localCheckpoint
+    // otherwise. Superseded LOCAL blocks are freed by the
+    // ContextCleaner as old frames go out of scope; reliable
+    // checkpoint FILES are not (Spark never deletes them by default),
+    // so Lineage registers each one and Caches.releaseAll() deletes
+    // them between queries.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .transform(Lineage.truncate)

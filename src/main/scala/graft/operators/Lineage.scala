@@ -11,22 +11,56 @@ import org.apache.spark.sql.DataFrame
   *  - `localCheckpoint` (default): blocks live on executor local
   *    storage — fast, no distributed-FS round-trip, the right choice
   *    on local[*] and for short loops. NOT fault-tolerant: losing an
-  *    executor invalidates its blocks and fails the job.
+  *    executor invalidates its blocks and fails the job. Superseded
+  *    blocks are freed by the ContextCleaner as the old frames go out
+  *    of scope.
   *  - reliable `checkpoint`: used automatically when the session has a
   *    checkpoint directory configured
-  *    (`spark.sparkContext.setCheckpointDir(...)`) — blocks go to the
+  *    (`spark.sparkContext.setCheckpointDir(...)`) — data goes to the
   *    (replicated) checkpoint FS, so a 1000-executor fixpoint loop
   *    survives executor loss. The per-round write cost is the
   *    insurance premium; pay it on real clusters, skip it locally.
+  *    Unlike local blocks, reliable checkpoint FILES are NOT cleaned
+  *    automatically (Spark deletes them only under the non-default
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, and
+  *    even then only on GC of the RDD) — so every reliable checkpoint
+  *    is registered here and deleted by [[releaseAll]], which
+  *    [[Caches.releaseAll]] invokes: the same between-queries
+  *    lifecycle as operator persists. Without this, a 40-round star
+  *    contraction leaves 120 full-size edge-set copies on the
+  *    checkpoint FS per invocation.
   *
-  * Both are EAGER (materialize now): the convergence probe that
-  * follows each round would otherwise recompute the plan.
+  * Both regimes are EAGER (materialize now): the convergence probe
+  * that follows each round would otherwise recompute the plan.
   */
 object Lineage {
+  private val ckpts = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, org.apache.hadoop.conf.Configuration)]()
+
   /** Truncate `df`'s lineage: reliable checkpoint when the session has
     * a checkpoint dir, local checkpoint otherwise. */
   def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val out = df.checkpoint()
+      org.apache.spark.sql.graftbridge.PlanBridge.checkpointFile(out)
+        .foreach { p =>
+          ckpts.add((p, df.sparkSession.sparkContext.hadoopConfiguration))
+        }
+      out
+    } else df.localCheckpoint()
+
+  /** Delete every registered reliable-checkpoint directory. Safe only
+    * AFTER the action that consumed the operator's output (a truncated
+    * frame reads its checkpoint files on every recompute) — call it
+    * where you call [[Caches.releaseAll]], which delegates here. */
+  def releaseAll(): Unit = {
+    var e = ckpts.poll()
+    while (e != null) {
+      val (p, conf) = e
+      val path = new org.apache.hadoop.fs.Path(p)
+      try path.getFileSystem(conf).delete(path, true)
+      catch { case _: java.io.IOException => () } // best-effort cleanup
+      e = ckpts.poll()
+    }
+  }
 }

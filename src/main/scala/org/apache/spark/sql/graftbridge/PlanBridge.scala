@@ -22,6 +22,22 @@ object PlanBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** The reliable-checkpoint directory backing a Dataset returned by
+    * `df.checkpoint()`, if any. `Dataset.checkpoint` wraps the
+    * materialized RDD in a [[org.apache.spark.sql.execution.LogicalRDD]];
+    * for a reliable checkpoint that RDD's `getCheckpointFile` is the
+    * `rdd-<id>` directory under the session checkpoint dir. Spark's
+    * ContextCleaner does NOT delete those by default
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=false`), so
+    * callers that loop (fixpoint operators) must collect and delete
+    * them — see `graft.operators.Lineage`. */
+  def checkpointFile(df: DataFrame): Option[String] =
+    analyzed(df) match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+      case _ => None
+    }
+
   /** Idempotently add an extra planner strategy to a live session —
     * the registration path for sessions built without
     * `spark.sql.extensions=graft.GraftExtensions`. */

@@ -72,6 +72,12 @@ class OperatorsSpec extends AnyFunSuite {
       5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  // Gen.sample on a filtered generator intermittently returns None
+  // (measured ~3/1000 for the edge generators here) — retry instead of
+  // .get so an unlucky draw can't fail a run
+  private def sampleSure[T](g: org.scalacheck.Gen[T]): T =
+    Iterator.continually(g.sample).flatten.next()
+
   test("connected components ≡ union-find on random graphs (property)") {
     import org.scalacheck.Gen
     val edgeGen = for {
@@ -79,7 +85,7 @@ class OperatorsSpec extends AnyFunSuite {
       if a != b
     } yield (math.min(a, b), math.max(a, b))
     for (trial <- 1 to 3) {
-      val edges = Gen.listOfN(25, edgeGen).sample.get.distinct
+      val edges = sampleSure(Gen.listOfN(25, edgeGen)).distinct
       // in-memory union-find reference
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -114,11 +120,18 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
         10L -> 10L, 11L -> 10L))
       // checkpoint data actually landed on the "reliable" FS
-      val stream = java.nio.file.Files.walk(dir)
-      val nFiles = try stream
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      def regularFiles(): Long = {
+        val stream = java.nio.file.Files.walk(dir)
+        try stream.filter(p => java.nio.file.Files.isRegularFile(p)).count()
         finally stream.close()
-      assert(nFiles > 0, "no reliable checkpoint files written")
+      }
+      assert(regularFiles() > 0, "no reliable checkpoint files written")
+      // ... and is deleted by the between-queries lifecycle: Spark
+      // never deletes reliable checkpoint files itself, so Lineage
+      // registers them and Caches.releaseAll() cleans up
+      graft.operators.Caches.releaseAll()
+      assert(regularFiles() === 0,
+        "reliable checkpoint files leaked past releaseAll")
     } finally {
       // local mode: Option(null) resets checkpointDir to None (the
       // non-local warning branch that would deref null is short-circuited)
@@ -142,7 +155,7 @@ class OperatorsSpec extends AnyFunSuite {
       if a != b
     } yield (math.min(a, b), math.max(a, b))
     for (trial <- 1 to 3) {
-      val edges = Gen.listOfN(25, edgeGen).sample.get.distinct
+      val edges = sampleSure(Gen.listOfN(25, edgeGen)).distinct
         .toDF("id_a", "id_b")
       val a = Dedup.connectedComponents(edges).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
