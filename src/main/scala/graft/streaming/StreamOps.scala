@@ -282,6 +282,33 @@ object StreamOps {
         col("value"))
   }
 
+  /** [[purchaseAttribution]] with LEFT OUTER semantics: every purchase
+    * emits — attributed to prior views when they exist, with a null
+    * view_id otherwise. The null row is emitted only when the
+    * WATERMARK proves no qualifying view can still arrive (outer
+    * stream-stream results materialize on state eviction), so
+    * unattributed purchases are delayed by watermark + interval bound
+    * while inner matches emit immediately — the "every purchase is
+    * attributed or explicitly unattributed" contract a revenue
+    * pipeline needs. Same bounded view-side state as the inner form. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val purchases = watermarked(events)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+    val views = watermarked(events)
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    purchases.join(views,
+      col("user_id") === col("v_user")
+        && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("v_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("value"))
+  }
+
   /** Streaming exact dedup on event_id via the built-in
     * dropDuplicatesWithinWatermark — state expires once the watermark
     * passes the first-seen event time (vs. [[dedupStream]]'s custom

@@ -715,6 +715,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((3L, 1L), (3L, 2L))) // user 2's view too old
   }
 
+  test("stream-stream OUTER interval join: unattributed purchase emits null view after watermark") {
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      json(3, "2024-01-01 10:30:00", 1, "purchase", 99.0),
+      json(5, "2024-01-01 10:30:00", 2, "purchase", 50.0)) // no view at all
+    // advance BOTH sides' watermarks far past p_ts + the 1h interval
+    // bound so user 2's join state evicts and the outer null row
+    // materializes. Both event types are needed: the type filters are
+    // pushed below each side's EventTimeWatermark (the documented
+    // pushdown-vs-watermark finding), so a views-only batch would
+    // leave the purchase-side watermark — and the global min — stuck.
+    // Eviction output also lags the watermark advance by one
+    // micro-batch, hence the third batch.
+    val w2 = Seq(json(9, "2024-01-01 14:00:00", 9, "view", 1.0),
+      json(19, "2024-01-01 14:00:00", 9, "purchase", 1.0))
+    val w3 = Seq(json(10, "2024-01-01 15:00:00", 9, "view", 1.0),
+      json(20, "2024-01-01 15:00:00", 9, "purchase", 1.0))
+    val out = runStream("ssjoin_outer_t", Seq(w1, w2, w3))(
+      StreamOps.purchaseAttributionOuter(_))
+    val got = out.select($"purchase_id", $"view_id")
+      .where($"purchase_id" <= 5).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // purchase 3 attributes to view 1 immediately; purchase 5 emits
+    // EXACTLY once, unattributed, only after the watermark passed
+    // (the watermark-advancing filler purchases are out of scope)
+    assert(got.toSet === Set(3L -> 1L, 5L -> -1L))
+    assert(got.length === 2, s"duplicate outer emissions: ${got.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats across batches") {
     val w1 = Seq(
       json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
