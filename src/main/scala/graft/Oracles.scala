@@ -1599,7 +1599,27 @@ object Oracles {
         |nodes AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
         |SELECT vec_id, count(*) AS n_triangles
         |FROM nodes GROUP BY vec_id
-        |ORDER BY n_triangles DESC, vec_id""".stripMargin)
+        |ORDER BY n_triangles DESC, vec_id""".stripMargin,
+
+    // q103: snapshot B's edit salt (' v2') is appended BEFORE
+    // tokenization, mirroring the Spark concat-then-fingerprint
+    "q103_snapshot_diff" ->
+      s"""WITH av AS (SELECT doc_id, source,
+         |  md5(array_to_string($TOKS, ' ')) AS fp_a
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |bsrc AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |bv AS (SELECT doc_id, source,
+         |  md5(array_to_string($TOKS, ' ')) AS fp_b FROM bsrc),
+         |j AS (SELECT coalesce(av.source, bv.source) AS source,
+         |  CASE WHEN fp_a IS NULL THEN 'added'
+         |    WHEN fp_b IS NULL THEN 'removed'
+         |    WHEN fp_a <> fp_b THEN 'changed'
+         |    ELSE 'unchanged' END AS status
+         |  FROM av FULL OUTER JOIN bv ON av.doc_id = bv.doc_id)
+         |SELECT source, status, count(*) AS n
+         |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2021,6 +2021,35 @@ object Queries {
       .orderBy(col("n_triangles").desc, col("vec_id"))
   }
 
+  /** Corpus snapshot diff — the data-versioning report run between
+    * crawl snapshots: FULL OUTER join of two snapshot views on doc_id,
+    * fingerprints compared to classify added / removed / changed /
+    * unchanged per source. Synthetic snapshots: A = doc_id%10≠0,
+    * B = doc_id%7≠0 with docs doc_id%5=0 "edited" (deterministic
+    * text salt). One shuffle per side on the near-unique key; the
+    * only full-outer join in the catalog (every other shape is
+    * inner/left/semi/anti). */
+  def q103SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val a = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source").as("source_a"),
+        fingerprint(col("text")).as("fp_a"))
+    val b = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("source_b"),
+        fingerprint(when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("status"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2125,5 +2154,6 @@ object Queries {
     "q99_cross_source_dups" -> (q99CrossSourceDups _),
     "q100_cooccur_lift" -> (q100CooccurLift _),
     "q101_equidepth_hist" -> (q101EquiDepthHist _),
-    "q102_triangles" -> (q102Triangles _))
+    "q102_triangles" -> (q102Triangles _),
+    "q103_snapshot_diff" -> (q103SnapshotDiff _))
 }
