@@ -100,6 +100,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(saltedRows === plainRows)
   }
 
+  test("AQE skew join engages: the hot partition is split at runtime") {
+    // the README claims AQE as the runtime skew mitigation for big
+    // sort-merge joins; prove the OptimizeSkewedJoin rule actually
+    // fires on a hot-key workload under forced-low thresholds
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // force a sort-merge join (broadcast would dodge the skew path)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = Seq.tabulate(20000)(i =>
+        (if (i % 10 == 0) i.toLong % 50 else 7L, s"payload-$i")).toDF("k", "v")
+      val right = Seq.tabulate(2000)(i => (i.toLong % 50, i)).toDF("k", "w")
+      val joined = big.join(right, Seq("k"))
+      // execute THIS dataset's queryExecution (count() would build a
+      // separate one and leave this plan un-finalized)
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("bloom-pruned semi join returns exactly the plain semi join's rows") {
     val big = Seq.tabulate(1000)(i => (i.toLong % 250, i)).toDF("k", "v")
     val small = Seq(3L, 17L, 99L, 4096L).toDF("sk")
