@@ -25,4 +25,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(fn(spark, dir).count() > 0)
     }
   }
+
+  test("q28: HLL++ approx distinct lands within its error bound of exact") {
+    // the one rows-only catalog entry (no cross-engine oracle for the
+    // sketch) still gets a VALUE check: approx_count_distinct's default
+    // rsd is 5%; require every group within 3x that of the exact count,
+    // at the bigger sf0.01 so per-group cardinalities are meaningful
+    val rows = SparkEntry.queries("q28_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      val relErr = math.abs(approx - exact).toDouble / exact.max(1L)
+      assert(relErr <= 0.15,
+        s"${r.getString(0)}: approx=$approx exact=$exact relErr=$relErr")
+    }
+  }
 }
