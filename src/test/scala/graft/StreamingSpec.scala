@@ -758,6 +758,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("T11 checkpoint recovery: restart resumes from offsets, exactly-once output") {
+    // stop a checkpointed query, add data, restart the SAME pipeline
+    // against the SAME checkpoint: the second run must process only
+    // the new file — no re-emission of batch-1 rows, none lost
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val chkDir = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    def run(): Unit = {
+      val events = StreamOps.withEventTime(StreamOps.decodeJsonEnvelope(
+        spark.readStream.text(srcDir.toString)))
+      val q = events.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeFile("f1.json", Seq(
+      json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      json(2, "2024-01-01 10:01:00", 1, "view", 1.0)))
+    run() // first incarnation processes f1, then terminates
+    writeFile("f2.json", Seq(
+      json(3, "2024-01-01 10:02:00", 2, "purchase", 9.0),
+      json(4, "2024-01-01 10:03:00", 2, "view", 1.0)))
+    run() // restart from the same checkpoint
+    val ids = spark.read.parquet(outDir)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 4L),
+      s"restart broke exactly-once: $ids")
+  }
+
   test("K2 console report runs engine-side aggregation per batch") {
     val batch = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("alert_type", "v")
     // direct invocation of the foreachBatch callback body
