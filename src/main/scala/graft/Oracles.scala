@@ -1619,7 +1619,27 @@ object Oracles {
          |    ELSE 'unchanged' END AS status
          |  FROM av FULL OUTER JOIN bv ON av.doc_id = bv.doc_id)
          |SELECT source, status, count(*) AS n
-         |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)
+         |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin,
+
+    // q104: bigrams as space-joined strings then split, mirroring the
+    // Spark shingles(tk,2) formulation; tokens cannot contain spaces
+    "q104_bigram_lm" ->
+      s"""WITH d AS (SELECT $TOKS AS tk FROM documents),
+         |bgs AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |  i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM d WHERE len(tk) >= 2),
+         |hn AS (SELECT string_split(bg, ' ')[1] AS head,
+         |  string_split(bg, ' ')[2] AS "next" FROM bgs),
+         |cnt AS (SELECT head, "next", count(*) AS n FROM hn GROUP BY 1, 2),
+         |heads AS (SELECT head, CAST(sum(n) AS BIGINT) AS head_n
+         |  FROM cnt GROUP BY 1 ORDER BY head_n DESC, head LIMIT 10),
+         |r AS (SELECT c.head, c."next", c.n, h.head_n,
+         |  row_number() OVER (PARTITION BY c.head
+         |    ORDER BY c.n DESC, c."next") AS "rank"
+         |  FROM cnt c JOIN heads h USING(head))
+         |SELECT head, "rank", "next", CAST(n AS BIGINT) AS n, head_n,
+         |  round(CAST(n AS DOUBLE) / head_n, 4) AS p
+         |FROM r WHERE "rank" <= 3 ORDER BY head, "rank"""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2050,6 +2050,38 @@ object Queries {
       .orderBy(col("source"), col("status"))
   }
 
+  /** Corpus bigram language-model estimation: P(next | head) as exact
+    * integer count ratios, reported as the top-3 continuations for the
+    * 10 most frequent head words — the conditional-distribution
+    * building block of n-gram LMs (and the repeated-continuation
+    * signal a decontamination pass inspects). Shape: one bigram
+    * explode (map-side), one (head, next) count shuffle, a per-head
+    * window for totals+rank, and a broadcast of the 10-row head list.
+    * The probability divides two exact longs once, then rounds. */
+  def q104BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bi = t(spark, dir).documents
+      .select(tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(shingles(col("tk"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("head"),
+        split(col("bg"), " ").getItem(1).as("next"))
+      .groupBy(col("head"), col("next"))
+      .agg(count(lit(1)).as("n"))
+    val byHead = Window.partitionBy(col("head"))
+    val topHeads = bi.groupBy(col("head"))
+      .agg(sum(col("n")).as("head_n"))
+      .orderBy(col("head_n").desc, col("head"))
+      .limit(10)
+    bi.join(broadcast(topHeads), Seq("head"))
+      .withColumn("rank", row_number().over(
+        byHead.orderBy(col("n").desc, col("next"))))
+      .where(col("rank") <= 3)
+      .select(col("head"), col("rank"), col("next"), col("n"),
+        col("head_n"),
+        round(col("n").cast("double") / col("head_n"), 4).as("p"))
+      .orderBy(col("head"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2155,5 +2187,6 @@ object Queries {
     "q100_cooccur_lift" -> (q100CooccurLift _),
     "q101_equidepth_hist" -> (q101EquiDepthHist _),
     "q102_triangles" -> (q102Triangles _),
-    "q103_snapshot_diff" -> (q103SnapshotDiff _))
+    "q103_snapshot_diff" -> (q103SnapshotDiff _),
+    "q104_bigram_lm" -> (q104BigramLm _))
 }
