@@ -2059,14 +2059,18 @@ object Queries {
     * window for totals+rank, and a broadcast of the 10-row head list.
     * The probability divides two exact longs once, then rounds. */
   def q104BigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val bi = t(spark, dir).documents
-      .select(tokens(col("text")).as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(explode(shingles(col("tk"), 2)).as("bg"))
-      .select(split(col("bg"), " ").getItem(0).as("head"),
-        split(col("bg"), " ").getItem(1).as("next"))
-      .groupBy(col("head"), col("next"))
-      .agg(count(lit(1)).as("n"))
+    // the (head, next) count table feeds BOTH the head-total ranking
+    // and the join side — materialize it once or the bigram explode
+    // (the heaviest stage at scale) runs twice ([[Caches]] lifecycle)
+    val bi = graft.operators.Caches.persistTracked(
+      t(spark, dir).documents
+        .select(tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(shingles(col("tk"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("head"),
+          split(col("bg"), " ").getItem(1).as("next"))
+        .groupBy(col("head"), col("next"))
+        .agg(count(lit(1)).as("n")))
     val byHead = Window.partitionBy(col("head"))
     val topHeads = bi.groupBy(col("head"))
       .agg(sum(col("n")).as("head_n"))
