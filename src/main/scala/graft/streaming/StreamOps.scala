@@ -178,6 +178,32 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** [[sessionRollup]] with a DYNAMIC per-event gap: purchase activity
+    * holds a session open longer than passive views (a purchase funnel
+    * shouldn't time out mid-checkout). `session_window` accepts a gap
+    * EXPRESSION evaluated per row; sessions merge under the union of
+    * each event's hold window, and rows whose gap expression is ≤ 0
+    * are dropped by definition. Same deterministic exact-count /
+    * integer-cents output contract as the fixed-gap rollup. */
+  def sessionRollupDynamicGap(events: DataFrame,
+      viewGapMin: Int = 10, purchaseGapMin: Int = 30): DataFrame =
+    events
+      // the gap expression must be CalendarIntervalType (an INTERVAL
+      // literal is DayTimeIntervalType and is rejected) — make_interval
+      // is the expression-level constructor of the right type
+      .groupBy(session_window(col("ts"),
+        expr(s"CASE WHEN event_type = 'purchase' " +
+          s"THEN make_interval(0,0,0,0,0,$purchaseGapMin,0) " +
+          s"ELSE make_interval(0,0,0,0,0,$viewGapMin,0) END")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Custom keyed state (SURVEY §2.11 beyond-parity): exactly-once-ish
     * stream dedup — drops events whose event_id was already seen for
     * the user. State is the seen-id set per user, expired one hour of

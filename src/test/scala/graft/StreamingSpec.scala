@@ -341,6 +341,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1(1).getAs[Long]("n_events") === 1L)
   }
 
+  test("session windows with DYNAMIC gap: purchases hold sessions open longer than views") {
+    // user 1: two views 20 min apart — the 10-min view gap splits them.
+    // user 2: a purchase then a view 20 min apart — the purchase's
+    // 30-min hold bridges the gap into ONE merged session.
+    val w1 = Seq(
+      json(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      json(2, "2024-01-01 10:20:00", 1, "view", 1.0),
+      json(3, "2024-01-01 10:00:00", 2, "purchase", 50.0),
+      json(4, "2024-01-01 10:20:00", 2, "view", 1.0))
+    val w2 = Seq(json(9, "2024-01-01 14:00:00", 9, "view", 1.0))
+    val out = runStream("sess_dyn_t", Seq(w1, w2))(ev =>
+      StreamOps.sessionRollupDynamicGap(StreamOps.watermarked(ev)))
+    val u1 = out.where($"user_id" === 1).collect()
+    val u2 = out.where($"user_id" === 2).collect()
+    assert(u1.length === 2, s"views should split: ${u1.toSeq}")
+    assert(u2.length === 1, s"purchase hold should merge: ${u2.toSeq}")
+    assert(u2.head.getAs[Long]("n_events") === 2L)
+    assert(u2.head.getAs[Double]("total_value") === 51.0)
+  }
+
   test("flatMapGroupsWithState dedup drops repeated event_ids per user") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
