@@ -1639,7 +1639,40 @@ object Oracles {
          |  FROM cnt c JOIN heads h USING(head))
          |SELECT head, "rank", "next", CAST(n AS BIGINT) AS n, head_n,
          |  round(CAST(n AS DOUBLE) / head_n, 4) AS p
-         |FROM r WHERE "rank" <= 3 ORDER BY head, "rank"""".stripMargin)
+         |FROM r WHERE "rank" <= 3 ORDER BY head, "rank"""".stripMargin,
+
+    // q105: dynamic-gap sessionization — the break test must use the
+    // RUNNING MAX of prior (ts + per-event gap) ends, not lag(ts):
+    // a 30-min purchase hold can bridge across later short-hold views,
+    // and the session end is the max hold end, which an early purchase
+    // can own. Tie safety: equal-ts rows can never break on each other
+    // (their hold ends exceed their own ts), so the partitioning is
+    // order-independent. Same watermark finalization filter as q73;
+    // the staged clock row's session end is past the watermark by
+    // construction and never emits.
+    "q105_dynsession_replay" ->
+      """WITH ev AS (SELECT ts, user_id, event_type, value FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 2 MINUTE AS w FROM ev),
+        |l AS (SELECT user_id, ts, value,
+        |  ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+        |    ELSE INTERVAL 10 MINUTE END AS e FROM ev),
+        |x AS (SELECT user_id, ts, value, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM l),
+        |b AS (SELECT user_id, ts, value, e,
+        |  CASE WHEN pmax IS NULL OR ts >= pmax THEN 1 ELSE 0 END AS brk FROM x),
+        |g AS (SELECT user_id, ts, value, e, sum(brk) OVER (
+        |  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM b),
+        |s AS (SELECT user_id, min(ts) AS ss, max(e) AS se,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM g GROUP BY user_id, sid)
+        |SELECT strftime(ss, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |strftime(se, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |user_id, n_events, total_value
+        |FROM s, wm WHERE se <= w
+        |ORDER BY session_start, user_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2086,6 +2086,45 @@ object Queries {
       .orderBy(col("head"), col("rank"))
   }
 
+  /** The DYNAMIC-gap session semantics (q73's replay harness, T4
+    * extension): per-event hold durations — purchases keep a session
+    * open 30 min, views 10 — streamed through AvailableNow with the
+    * staged data+clock layout, emitted on watermark finalization, and
+    * hash-checked against a batch oracle. The oracle generalizes
+    * gaps-and-islands to event-dependent holds: a session breaks when
+    * ts >= the RUNNING MAX of all prior (ts + gap) ends (a fixed-gap
+    * break only needs lag(ts)), and the session end is the max hold
+    * end, which an early purchase can own even when later views
+    * arrive. */
+  def q105DynamicSessionReplay(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = events(spark, dir)
+    val base = stagedReplay(spark, dir, "q105")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q105_")
+      .toFile.getAbsolutePath
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.getAbsolutePath + "/*")
+    val sessions = graft.streaming.StreamOps.sessionRollupDynamicGap(
+        graft.streaming.StreamOps.watermarked(stream),
+        viewGapMin = 10, purchaseGapMin = 30)
+      .select(
+        fmtTs(col("session_start")).as("session_start"),
+        fmtTs(col("session_end")).as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+    val q = sessions.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .orderBy(col("session_start"), col("user_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2192,5 +2231,6 @@ object Queries {
     "q101_equidepth_hist" -> (q101EquiDepthHist _),
     "q102_triangles" -> (q102Triangles _),
     "q103_snapshot_diff" -> (q103SnapshotDiff _),
-    "q104_bigram_lm" -> (q104BigramLm _))
+    "q104_bigram_lm" -> (q104BigramLm _),
+    "q105_dynsession_replay" -> (q105DynamicSessionReplay _))
 }
