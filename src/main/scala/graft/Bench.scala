@@ -74,8 +74,15 @@ object Bench {
       "\"" + short(k) + "\":" + (if (ok) ms(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
+    // the like-for-like gate number (BASELINE.md): the q01-q43 subset
+    // is the round-1 catalog the 21.7 s baseline measured; everything
+    // later is new surface
+    val subset43 = results.collect {
+      case (name, v, true) if name.matches("q\\d\\d_.*")
+        && name.substring(1, 3).toInt <= 43 => v
+    }.sum
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
     // hard guard: the contract breaks silently if this ever outgrows
     // the driver's tail capture
     if (line.length > 1800)
