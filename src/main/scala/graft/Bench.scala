@@ -76,11 +76,14 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     // the like-for-like gate number (BASELINE.md): the q01-q43 subset
     // is the round-1 catalog the 21.7 s baseline measured; everything
-    // later is new surface
-    val subset43 = results.collect {
-      case (name, v, true) if name.matches("q\\d\\d_.*")
-        && name.substring(1, 3).toInt <= 43 => v
-    }.sum
+    // later is new surface. FAIL CLOSED: if any subset query failed,
+    // report -1 — summing only the passers would make a broken subset
+    // look FASTER than the gate, not invalid
+    def inSubset(name: String): Boolean =
+      name.matches("q\\d\\d_.*") && name.substring(1, 3).toInt <= 43
+    val subset43 =
+      if (results.exists { case (name, _, ok) => inSubset(name) && !ok }) -1.0
+      else results.collect { case (name, v, true) if inSubset(name) => v }.sum
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
     // hard guard: the contract breaks silently if this ever outgrows

@@ -870,22 +870,25 @@ object Queries {
     base
   }
 
-  def q52ChainedMetrics(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared AvailableNow replay harness for the streaming-semantics
+    * oracle queries (q52/q73/q105): stream the staged data+clock
+    * layout through `pipeline`, sink to a fresh checkpointed parquet
+    * dir, and read the watermark-finalized append output back. The
+    * returned frame reads the temp dir LAZILY — it must outlive
+    * consumption, so the harness does not delete it (one bounded dir
+    * per invocation under java.io.tmpdir). */
+  private def replayToParquet(spark: SparkSession, dir: String,
+      tag: String)(pipeline: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ev = events(spark, dir)
-    val base = stagedReplay(spark, dir, "q52")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q52_")
+    val base = stagedReplay(spark, dir, tag)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
       .toFile.getAbsolutePath
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(base.getAbsolutePath + "/*")
-    val metrics = graft.streaming.StreamOps.chainedAlertMetrics(stream)
-      .select(
-        fmtTs(col("window_start")).as("window_start"),
-        fmtTs(col("window_end")).as("window_end"),
-        col("alert_type"), col("n_alerts"))
-    val q = metrics.writeStream.format("parquet")
+    val q = pipeline(stream).writeStream.format("parquet")
       .option("path", s"$tmp/out")
       .option("checkpointLocation", s"$tmp/chk")
       .outputMode("append")
@@ -893,8 +896,16 @@ object Queries {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$tmp/out")
-      .orderBy(col("window_start"), col("alert_type"))
   }
+
+  def q52ChainedMetrics(spark: SparkSession, dir: String): DataFrame =
+    replayToParquet(spark, dir, "q52")(stream =>
+      graft.streaming.StreamOps.chainedAlertMetrics(stream)
+        .select(
+          fmtTs(col("window_start")).as("window_start"),
+          fmtTs(col("window_end")).as("window_end"),
+          col("alert_type"), col("n_alerts")))
+      .orderBy(col("window_start"), col("alert_type"))
 
   /** U3: intersect / except (absent in the reference; completes the
     * §2.6 set-operation family). Both are DISTINCT-semantics set ops —
@@ -1315,32 +1326,15 @@ object Queries {
     * sessions with batch gaps-and-islands (lag + running break sum) and
     * keeps only sessions the 2-min watermark would have finalized —
     * proving the streaming session semantics, not just testing them. */
-  def q73SessionReplay(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val ev = events(spark, dir)
-    val base = stagedReplay(spark, dir, "q73")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q73_")
-      .toFile.getAbsolutePath
-    val stream = spark.readStream
-      .schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(base.getAbsolutePath + "/*")
-    val sessions = graft.streaming.StreamOps.sessionRollup(
-        graft.streaming.StreamOps.watermarked(stream), "10 minutes")
-      .select(
-        fmtTs(col("session_start")).as("session_start"),
-        fmtTs(col("session_end")).as("session_end"),
-        col("user_id"), col("n_events"), col("total_value"))
-    val q = sessions.writeStream.format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/chk")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(s"$tmp/out")
+  def q73SessionReplay(spark: SparkSession, dir: String): DataFrame =
+    replayToParquet(spark, dir, "q73")(stream =>
+      graft.streaming.StreamOps.sessionRollup(
+          graft.streaming.StreamOps.watermarked(stream), "10 minutes")
+        .select(
+          fmtTs(col("session_start")).as("session_start"),
+          fmtTs(col("session_end")).as("session_end"),
+          col("user_id"), col("n_events"), col("total_value")))
       .orderBy(col("session_start"), col("user_id"))
-  }
 
   /** q26's as-of join on the dedicated physical operator
     * ([[graft.plans.AsOfJoinExec]] via [[Analytics.asofJoinExec]]) —
@@ -2097,33 +2091,16 @@ object Queries {
     * end, which an early purchase can own even when later views
     * arrive. */
   def q105DynamicSessionReplay(spark: SparkSession, dir: String)
-      : DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val ev = events(spark, dir)
-    val base = stagedReplay(spark, dir, "q105")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q105_")
-      .toFile.getAbsolutePath
-    val stream = spark.readStream
-      .schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(base.getAbsolutePath + "/*")
-    val sessions = graft.streaming.StreamOps.sessionRollupDynamicGap(
-        graft.streaming.StreamOps.watermarked(stream),
-        viewGapMin = 10, purchaseGapMin = 30)
-      .select(
-        fmtTs(col("session_start")).as("session_start"),
-        fmtTs(col("session_end")).as("session_end"),
-        col("user_id"), col("n_events"), col("total_value"))
-    val q = sessions.writeStream.format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/chk")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(s"$tmp/out")
+      : DataFrame =
+    replayToParquet(spark, dir, "q105")(stream =>
+      graft.streaming.StreamOps.sessionRollupDynamicGap(
+          graft.streaming.StreamOps.watermarked(stream),
+          viewGapMin = 10, purchaseGapMin = 30)
+        .select(
+          fmtTs(col("session_start")).as("session_start"),
+          fmtTs(col("session_end")).as("session_end"),
+          col("user_id"), col("n_events"), col("total_value")))
       .orderBy(col("session_start"), col("user_id"))
-  }
 
   // ---------- registry ----------
 

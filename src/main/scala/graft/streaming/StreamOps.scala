@@ -168,8 +168,15 @@ object StreamOps {
     * sessionization in any engine. */
   def sessionRollup(events: DataFrame, gap: String = "10 minutes")
       : DataFrame =
+    sessionRollupOn(events, session_window(col("ts"), gap))
+
+  /** Shared output contract of the session rollups: exact counts +
+    * integer-cents totals keyed on a caller-supplied session_window
+    * column (fixed or dynamic gap) — the piece both q73 and q105
+    * oracles mirror, kept in one place. */
+  private def sessionRollupOn(events: DataFrame, sw: Column): DataFrame =
     events
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .groupBy(sw.as("session_window"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
           .as("total_value"))
@@ -187,22 +194,13 @@ object StreamOps {
     * integer-cents output contract as the fixed-gap rollup. */
   def sessionRollupDynamicGap(events: DataFrame,
       viewGapMin: Int = 10, purchaseGapMin: Int = 30): DataFrame =
-    events
-      // the gap expression must be CalendarIntervalType (an INTERVAL
-      // literal is DayTimeIntervalType and is rejected) — make_interval
-      // is the expression-level constructor of the right type
-      .groupBy(session_window(col("ts"),
-        expr(s"CASE WHEN event_type = 'purchase' " +
-          s"THEN make_interval(0,0,0,0,0,$purchaseGapMin,0) " +
-          s"ELSE make_interval(0,0,0,0,0,$viewGapMin,0) END")),
-        col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
-          .as("total_value"))
-      .select(
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("user_id"), col("n_events"), col("total_value"))
+    // the gap expression must be CalendarIntervalType (an INTERVAL
+    // literal is DayTimeIntervalType and is rejected) — make_interval
+    // is the expression-level constructor of the right type
+    sessionRollupOn(events, session_window(col("ts"),
+      expr(s"CASE WHEN event_type = 'purchase' " +
+        s"THEN make_interval(0,0,0,0,0,$purchaseGapMin,0) " +
+        s"ELSE make_interval(0,0,0,0,0,$viewGapMin,0) END")))
 
   /** Custom keyed state (SURVEY §2.11 beyond-parity): exactly-once-ish
     * stream dedup — drops events whose event_id was already seen for
@@ -291,7 +289,14 @@ object StreamOps {
     * the source watermark; the range condition bounds the view-side
     * state to 1 h + watermark delay. Inner join ⇒ emits as soon as both
     * sides arrive; state expires with the watermark. */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
+  def purchaseAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** Shared purchases⋈views interval join behind the inner and
+    * left-outer attribution variants — one place for the key, the
+    * 1 h bound, and the strict `v_ts < p_ts` edge both depend on. */
+  private def attributionJoin(events: DataFrame, joinType: String)
+      : DataFrame = {
     val purchases = watermarked(events)
       .where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -303,7 +308,8 @@ object StreamOps {
     purchases.join(views,
       col("user_id") === col("v_user")
         && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
-        && col("v_ts") < col("p_ts"))
+        && col("v_ts") < col("p_ts"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("view_id"),
         col("value"))
   }
@@ -317,23 +323,8 @@ object StreamOps {
     * while inner matches emit immediately — the "every purchase is
     * attributed or explicitly unattributed" contract a revenue
     * pipeline needs. Same bounded view-side state as the inner form. */
-  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
-    val purchases = watermarked(events)
-      .where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("p_ts"), col("value"))
-    val views = watermarked(events)
-      .where(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        col("ts").as("v_ts"))
-    purchases.join(views,
-      col("user_id") === col("v_user")
-        && col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
-        && col("v_ts") < col("p_ts"),
-      "left_outer")
-      .select(col("purchase_id"), col("user_id"), col("view_id"),
-        col("value"))
-  }
+  def purchaseAttributionOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
 
   /** Streaming exact dedup on event_id via the built-in
     * dropDuplicatesWithinWatermark — state expires once the watermark

@@ -125,9 +125,10 @@ class ScaleOpsSpec extends AnyFunSuite {
         (if (i % 10 == 0) i.toLong % 50 else 7L, s"payload-$i")).toDF("k", "v")
       val right = Seq.tabulate(2000)(i => (i.toLong % 50, i)).toDF("k", "w")
       val joined = big.join(right, Seq("k"))
-      // execute THIS dataset's queryExecution (count() would build a
-      // separate one and leave this plan un-finalized)
-      assert(joined.collect().length > 0)
+      // execute THIS dataset's queryExecution (df.count() would build
+      // a separate one and leave this plan un-finalized) without
+      // collecting ~720k join rows to the driver
+      assert(joined.queryExecution.toRdd.count() > 0)
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE did not mark the join skewed:\n$finalPlan")
