@@ -1672,7 +1672,67 @@ object Oracles {
         |strftime(se, '%Y-%m-%d %H:%M:%S') AS session_end,
         |user_id, n_events, total_value
         |FROM s, wm WHERE se <= w
-        |ORDER BY session_start, user_id""".stripMargin)
+        |ORDER BY session_start, user_id""".stripMargin,
+
+    // q106: hex→int without conv(): two strpos lookups over the hex
+    // alphabet (md5 output is lowercase in both engines)
+    "q106_cms_heavy_hitters" ->
+      s"""WITH occ AS (SELECT unnest($TOKS) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS exact_n FROM occ GROUP BY tok),
+         |hr AS (SELECT unnest([0, 1, 2, 3]) AS hrow),
+         |tb AS (SELECT tok, exact_n, hrow,
+         |  (strpos('0123456789abcdef',
+         |     substring(md5(CAST(hrow AS VARCHAR) || '|' || tok), 1, 1)) - 1) * 16
+         |  + strpos('0123456789abcdef',
+         |     substring(md5(CAST(hrow AS VARCHAR) || '|' || tok), 2, 1)) - 1
+         |  AS bucket FROM tc CROSS JOIN hr),
+         |counters AS (SELECT hrow, bucket, CAST(sum(exact_n) AS BIGINT) AS cnt
+         |  FROM tb GROUP BY hrow, bucket),
+         |top AS (SELECT tok, exact_n,
+         |  row_number() OVER (ORDER BY exact_n DESC, tok) AS rk FROM tc
+         |  QUALIFY rk <= 20),
+         |est AS (SELECT t.tok, t.exact_n, t.rk, min(c.cnt) AS est_n
+         |  FROM top t JOIN tb ON tb.tok = t.tok
+         |  JOIN counters c ON c.hrow = tb.hrow AND c.bucket = tb.bucket
+         |  GROUP BY t.tok, t.exact_n, t.rk)
+         |SELECT rk, tok, CAST(exact_n AS BIGINT) AS exact_n, est_n,
+         |  est_n - exact_n AS overcount
+         |FROM est ORDER BY rk""".stripMargin,
+
+    // q107: the register sum is fixed-point (Σ 2^(49-r) as BIGINT) and
+    // the alpha numerator is the SAME expression text as the Spark
+    // side, so the raw double estimate is bit-identical
+    "q107_portable_hll" ->
+      """WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+        |hh AS (SELECT event_type, user_id,
+        |  md5('hll|' || CAST(user_id AS VARCHAR)) AS h FROM p),
+        |hx AS (SELECT event_type,
+        |  (strpos('0123456789abcdef', h[1]) - 1) * 16
+        |    + strpos('0123456789abcdef', h[2]) - 1 AS bucket,
+        |  substring(h, 3, 12) AS h12 FROM hh),
+        |zz AS (SELECT event_type, bucket, h12,
+        |  length(regexp_extract(h12, '^(0*)', 1)) AS zc FROM hx),
+        |rk AS (SELECT event_type, bucket,
+        |  CASE WHEN zc = 12 THEN 49 ELSE zc * 4
+        |    + CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3
+        |      WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1
+        |      WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1 END AS r FROM zz),
+        |regs AS (SELECT event_type, bucket, max(r) AS r
+        |  FROM rk GROUP BY 1, 2),
+        |sums AS (SELECT event_type,
+        |  CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS s_used,
+        |  count(*) AS n_buckets FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM p GROUP BY 1),
+        |e AS (SELECT s.event_type, n_buckets, exact_users,
+        |  round(0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        |    / (s_used + (256 - n_buckets) * 562949953421312::BIGINT), 2) AS est
+        |  FROM sums s JOIN ex USING (event_type))
+        |SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(exact_users AS BIGINT) AS exact_users, est,
+        |  round((est - exact_users) / exact_users, 4) AS rel_err
+        |FROM e ORDER BY event_type""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

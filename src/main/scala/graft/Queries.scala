@@ -2102,6 +2102,100 @@ object Queries {
           col("user_id"), col("n_events"), col("total_value")))
       .orderBy(col("session_start"), col("user_id"))
 
+  /** Count-min sketch term frequencies, verified against exact counts:
+    * d=4 hash rows × w=256 buckets of md5-derived counters, estimate =
+    * min over the 4 counters — the mergeable-sketch shape used when
+    * exact per-term counts can't fit (CMS counters merge by cell-wise
+    * ADDITION across partitions/days, unlike an exact top-k). Because
+    * the hashes are md5 (not seeded JVM hashing), the WHOLE sketch is
+    * engine-portable: the oracle rebuilds the same 1024 counters and
+    * the same estimates, so the approximation itself is hash-checked —
+    * including its characteristic one-sided overcount, reported per
+    * true-top-20 token. */
+  def q106CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.Caches.persistTracked(
+      t(spark, dir).documents
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact_n")))
+    // counters: every token occurrence lands in one bucket per hash row
+    val rows = (0 until 4).map(lit(_))
+    def bucket(row: Column) =
+      conv(substring(md5(concat_ws("|", row, col("tok"))), 1, 2), 16, 10)
+        .cast("int")
+    val counters = toks
+      .select(col("tok"), col("exact_n"), explode(array(rows: _*)).as("hrow"))
+      .select(col("hrow"), bucket(col("hrow")).as("bucket"), col("exact_n"))
+      .groupBy(col("hrow"), col("bucket"))
+      .agg(sum(col("exact_n")).as("cnt"))
+    val top = toks
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("exact_n").desc, col("tok"))))
+      .where(col("rk") <= 20)
+    top.select(col("tok"), col("exact_n"), col("rk"),
+        explode(array(rows: _*)).as("hrow"))
+      .withColumn("bucket", bucket(col("hrow")))
+      .join(counters, Seq("hrow", "bucket"))
+      .groupBy(col("tok"), col("exact_n"), col("rk"))
+      .agg(min(col("cnt")).as("est_n"))
+      .select(col("rk"), col("tok"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("rk"))
+  }
+
+  /** Portable HyperLogLog, oracle-checked end to end — the upgrade to
+    * q28's story (Spark's HLL++ sketch has no cross-engine oracle; a
+    * sketch built from md5 does). m=256 registers keyed on the first
+    * hash byte; register = max over (leading-zero-bits of the next 48
+    * bits + 1); estimate = α·m²/Σ2^(−r). Every step is engine-portable
+    * integer arithmetic: the Σ2^(−r) sum is computed in FIXED POINT as
+    * Σ 2^(49−r) longs (a float sum of dyadic rationals would need 57
+    * bits of mantissa and become order-dependent), so even the
+    * ESTIMATE hash-matches. Registers are per (event_type, bucket) —
+    * the mergeable-by-max shape a 1000-executor distinct-count uses.
+    * Reported against exact distincts with the relative error. */
+  def q107PortableHll(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Caches.persistTracked(
+      events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct())
+    val ranks = pairs
+      .withColumn("h", md5(concat_ws("|", lit("hll"), col("user_id"))))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("h12", substring(col("h"), 3, 12))
+      .withColumn("zc", length(regexp_extract(col("h12"), "^(0*)", 1)))
+      .withColumn("r", when(col("zc") === 12, lit(49)).otherwise(
+        col("zc") * 4 + expr(
+          "CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3" +
+            " WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1" +
+            " WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1" +
+            " ELSE 0 END") + 1))
+    val sums = ranks
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).as("s_used"),
+        count(lit(1)).as("n_buckets"))
+    val exact = pairs.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sums.join(exact, Seq("event_type"))
+      // empty registers hold r=0 and contribute 2^49 each to the
+      // fixed-point sum
+      .withColumn("s",
+        col("s_used") + (lit(256L) - col("n_buckets")) * lit(562949953421312L))
+      // e-notation literals parse as DOUBLE in both engines (plain
+      // decimals are DECIMAL in DuckDB and would decimal-taint the
+      // whole estimate)
+      .withColumn("est", round(
+        expr("0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0")
+          / col("s"), 2))
+      .select(col("event_type"), col("n_buckets"), col("exact_users"),
+        col("est"),
+        round((col("est") - col("exact_users")) / col("exact_users"), 4)
+          .as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2209,5 +2303,7 @@ object Queries {
     "q102_triangles" -> (q102Triangles _),
     "q103_snapshot_diff" -> (q103SnapshotDiff _),
     "q104_bigram_lm" -> (q104BigramLm _),
-    "q105_dynsession_replay" -> (q105DynamicSessionReplay _))
+    "q105_dynsession_replay" -> (q105DynamicSessionReplay _),
+    "q106_cms_heavy_hitters" -> (q106CmsHeavyHitters _),
+    "q107_portable_hll" -> (q107PortableHll _))
 }
