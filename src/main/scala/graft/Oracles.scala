@@ -1732,7 +1732,34 @@ object Oracles {
         |SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
         |  CAST(exact_users AS BIGINT) AS exact_users, est,
         |  round((est - exact_users) / exact_users, 4) AS rel_err
-        |FROM e ORDER BY event_type""".stripMargin)
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    // q108: 3-hex-char → int via nested strpos (0..4095), mod 1024
+    "q108_portable_bloom" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  md5(array_to_string($TOKS, ' ')) AS fp FROM documents),
+         |k AS (SELECT unnest([0, 1, 2]) AS i),
+         |mh AS (SELECT substring(md5(CAST(i AS VARCHAR) || '|' || fp), 1, 3) AS h
+         |  FROM d CROSS JOIN k WHERE doc_id % 3 = 0),
+         |bits AS (SELECT DISTINCT
+         |  (((strpos('0123456789abcdef', h[1]) - 1) * 16
+         |    + strpos('0123456789abcdef', h[2]) - 1) * 16
+         |    + strpos('0123456789abcdef', h[3]) - 1) % 1024 AS mbit FROM mh),
+         |ph AS (SELECT doc_id, doc_id % 3 = 0 AS actual,
+         |  substring(md5(CAST(i AS VARCHAR) || '|' || fp), 1, 3) AS h
+         |  FROM d CROSS JOIN k),
+         |pb AS (SELECT doc_id, actual,
+         |  (((strpos('0123456789abcdef', h[1]) - 1) * 16
+         |    + strpos('0123456789abcdef', h[2]) - 1) * 16
+         |    + strpos('0123456789abcdef', h[3]) - 1) % 1024 AS bit FROM ph),
+         |cl AS (SELECT doc_id, actual, count(b.mbit) = 3 AS claimed
+         |  FROM pb LEFT JOIN bits b ON pb.bit = b.mbit
+         |  GROUP BY doc_id, actual),
+         |nb AS (SELECT count(*) AS n_bits_set FROM bits)
+         |SELECT actual, claimed, count(*) AS n,
+         |  CAST(n_bits_set AS BIGINT) AS n_bits_set
+         |FROM cl CROSS JOIN nb GROUP BY 1, 2, 4
+         |ORDER BY actual, claimed""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2196,6 +2196,42 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Portable Bloom filter, oracle-checked — completes the sketch
+    * trilogy (q106 count-min, q107 HLL): m=1024 bits, k=3 md5-derived
+    * positions per key; the filter IS a distributed table of set bits
+    * (mergeable by union — the multi-shard build), membership = all 3
+    * probe bits present. Unlike q61's engine-native BloomFilterAggregate
+    * (whose bit layout is JVM-specific, so the oracle there checks only
+    * the post-verify join), the md5 bit positions replay in DuckDB and
+    * the CONFUSION MATRIX itself is hash-checked: false negatives are
+    * structurally zero, false positives are the m/k/n-determined price,
+    * counted exactly. */
+  def q108PortableBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val ks = (0 until 3).map(lit(_))
+    def bitPos(i: Column, fp: Column) =
+      (conv(substring(md5(concat_ws("|", i, fp)), 1, 3), 16, 10)
+        .cast("int") % 1024).as("bit")
+    val bits = graft.operators.Caches.persistTracked(
+      docs.where(col("doc_id") % 3 === 0)
+        .select(explode(array(ks: _*)).as("i"), col("fp"))
+        .select(bitPos(col("i"), col("fp"))).distinct())
+    val probes = docs
+      .select(col("doc_id"), (col("doc_id") % 3 === 0).as("actual"),
+        explode(array(ks: _*)).as("i"), col("fp"))
+      .select(col("doc_id"), col("actual"), bitPos(col("i"), col("fp")))
+    val claimed = probes
+      .join(bits.withColumnRenamed("bit", "mbit"),
+        col("bit") === col("mbit"), "left")
+      .groupBy(col("doc_id"), col("actual"))
+      .agg((count(col("mbit")) === 3).as("claimed"))
+    claimed.groupBy(col("actual"), col("claimed"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .orderBy(col("actual"), col("claimed"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2305,5 +2341,6 @@ object Queries {
     "q104_bigram_lm" -> (q104BigramLm _),
     "q105_dynsession_replay" -> (q105DynamicSessionReplay _),
     "q106_cms_heavy_hitters" -> (q106CmsHeavyHitters _),
-    "q107_portable_hll" -> (q107PortableHll _))
+    "q107_portable_hll" -> (q107PortableHll _),
+    "q108_portable_bloom" -> (q108PortableBloom _))
 }
