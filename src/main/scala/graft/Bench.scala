@@ -64,9 +64,11 @@ object Bench {
       case -1 => name
       case i  => name.substring(0, i)
     }
-    // full-name per-query breakdown for humans (stderr — not part of
-    // the driver contract, never competes with the JSON line for the
-    // tail window)
+    // full-name per-query breakdown for humans. NOTE: the driver's
+    // tail capture MERGES stdout and stderr, so these lines do share
+    // the ~2000-char window with the JSON line — the contract holds
+    // because the JSON line is printed LAST (on either stream) and
+    // must itself stay under the window budget.
     results.foreach { case (k, v, ok) =>
       System.err.println(s"[bench] $k ${if (ok) ms(v) else "FAILED"}")
     }
@@ -85,11 +87,19 @@ object Bench {
       if (results.exists { case (name, _, ok) => inSubset(name) && !ok }) -1.0
       else results.collect { case (name, v, true) if inSubset(name) => v }.sum
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
-    // hard guard: the contract breaks silently if this ever outgrows
-    // the driver's tail capture
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING json line ${line.length} chars — may overflow driver tail window")
+    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
+    // HARD guard (the BENCH_r01/r02 failure mode): a line that outgrows
+    // the driver's ~2000-char tail capture is truncated at the HEAD and
+    // silently records parsed:null. Degrade structurally instead of
+    // warning: drop the per-query map (full timings stay on stderr and
+    // in BASELINE.md) so the headline metrics always parse.
+    val line =
+      if (full.length <= 1800) full
+      else {
+        System.err.println(s"[bench] json line ${full.length} chars >" +
+          " 1800 budget — emitting reduced line without per-query map")
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
+      }
     println(line)
     spark.stop()
   }

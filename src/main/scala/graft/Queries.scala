@@ -875,15 +875,19 @@ object Queries {
     * layout through `pipeline`, sink to a fresh checkpointed parquet
     * dir, and read the watermark-finalized append output back. The
     * returned frame reads the temp dir LAZILY — it must outlive
-    * consumption, so the harness does not delete it (one bounded dir
-    * per invocation under java.io.tmpdir). */
+    * consumption, so the harness cannot delete it eagerly; instead
+    * every dir is registered for JVM-exit deletion so repeated bench
+    * runs (n samples × 3 replay queries × SFs) do not accumulate
+    * parquet+checkpoint dirs under java.io.tmpdir across processes. */
   private def replayToParquet(spark: SparkSession, dir: String,
       tag: String)(pipeline: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ev = events(spark, dir)
     val base = stagedReplay(spark, dir, tag)
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
-      .toFile.getAbsolutePath
+    val tmpFile = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+      .toFile
+    deleteRecursivelyOnExit(tmpFile)
+    val tmp = tmpFile.getAbsolutePath
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
@@ -896,6 +900,26 @@ object Queries {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$tmp/out")
+  }
+
+  /** JVM-exit recursive deletion for lazily-consumed temp dirs
+    * (File.deleteOnExit alone cannot remove non-empty dirs). One hook
+    * for all registrations; deletion failures are best-effort at exit. */
+  private val exitDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      exitDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+    }))
+  private[graft] def deleteRecursivelyOnExit(d: java.io.File): Unit = {
+    exitHook
+    exitDirs.add(d): Unit
   }
 
   def q52ChainedMetrics(spark: SparkSession, dir: String): DataFrame =
@@ -1621,25 +1645,37 @@ object Queries {
     * the DataFrame API): TPC-H Q22-shaped correlated subqueries — a
     * scalar subquery (above-average balance) and a correlated NOT
     * EXISTS (never ordered), decorrelated by Catalyst into the
-    * aggregate + anti-join plan a hand-built DataFrame would produce. */
+    * aggregate + anti-join plan a hand-built DataFrame would produce.
+    * View names are scoped per invocation (temp views live in session
+    * catalog state — fixed names would race under two concurrent
+    * catalog runs in one session). */
   def q87SqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
     val tt = t(spark, dir)
-    tt.customer.createOrReplaceTempView("v_customer")
-    tt.orders.createOrReplaceTempView("v_orders")
-    spark.sql("""
+    val run = q87Runs.incrementAndGet()
+    val (vc, vo) = (s"v_customer_$run", s"v_orders_$run")
+    tt.customer.createOrReplaceTempView(vc)
+    tt.orders.createOrReplaceTempView(vo)
+    val out = spark.sql(s"""
       SELECT c_mktsegment,
              COUNT(*) AS n_customers,
              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
                AS total_balance
-      FROM v_customer c
-      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM v_customer
+      FROM $vc c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM $vc
                          WHERE c_acctbal > 0.0)
-        AND NOT EXISTS (SELECT 1 FROM v_orders o
+        AND NOT EXISTS (SELECT 1 FROM $vo o
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderpriority = '1-URGENT')
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""")
+    // sql() analyzes eagerly (view plans are inlined), so the views can
+    // be dropped before the frame is ever executed — no catalog buildup
+    spark.catalog.dropTempView(vc)
+    spark.catalog.dropTempView(vo)
+    out
   }
+
+  private val q87Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Language-ID confusion matrix: labeled lang × [[langGuess]]
     * prediction with per-label share — the standard classifier-eval

@@ -29,7 +29,17 @@ object Caches {
   /** Unpersist every tracked frame (non-blocking) and delete any
     * reliable-checkpoint files the fixpoint loops registered
     * ([[Lineage.releaseAll]]). Call after the action that consumes the
-    * operator's output. */
+    * operator's output.
+    *
+    * CONTRACT NOTE — checkpoint deletion is harder than unpersist:
+    * an unpersisted frame keeps its recompute path (re-consuming it is
+    * merely slow), but a reliably-CHECKPOINTED fixpoint result reads
+    * its checkpoint files on every recompute, so re-consuming such a
+    * frame after releaseAll fails hard with a missing-file error.
+    * Callers outside the between-queries harness lifecycle (Verify /
+    * Bench, which fully materialize results before releasing) must
+    * either finish consuming every returned frame first or defer
+    * releaseAll to session close. */
   def releaseAll(): Unit = {
     var df = frames.poll()
     while (df != null) { df.unpersist(false); df = frames.poll() }

@@ -54,13 +54,25 @@ object Lineage {
     * frame reads its checkpoint files on every recompute) — call it
     * where you call [[Caches.releaseAll]], which delegates here. */
   def releaseAll(): Unit = {
+    val retry = new java.util.ArrayDeque[
+      (String, org.apache.hadoop.conf.Configuration)]()
     var e = ckpts.poll()
     while (e != null) {
       val (p, conf) = e
       val path = new org.apache.hadoop.fs.Path(p)
-      try path.getFileSystem(conf).delete(path, true)
-      catch { case _: java.io.IOException => () } // best-effort cleanup
+      // best-effort, but never SILENT: a swallowed failure here is
+      // exactly the disk leak this registry exists to prevent, so the
+      // undeletable path is logged and re-enqueued for the next sweep
+      try { path.getFileSystem(conf).delete(path, true): Unit }
+      catch {
+        case ex: java.io.IOException =>
+          System.err.println(
+            s"[graft] checkpoint cleanup failed for $p: ${ex.getMessage}" +
+              " — re-enqueued for next releaseAll")
+          retry.add(e): Unit
+      }
       e = ckpts.poll()
     }
+    retry.forEach(ckpts.add(_): Unit)
   }
 }
