@@ -95,6 +95,32 @@ object Oracles {
        |ss AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0)
        |""".stripMargin
 
+  /** The shared pair-mining + transitive-closure CTE chain the q109-
+    * q113 pipeline oracles all start from: word-3-gram posting list →
+    * stop-shingle cap → candidate pairs (`prs`) → jaccard ≥ 0.2 pairs
+    * (`jp`) → symmetric edges (`edges`) → recursive min-reachable-id
+    * labels (`lab`). Identical closures to the independent
+    * q71/q85/q91/q93 oracles; unreferenced tail CTEs are inlined away
+    * by DuckDB, so every stage pays only for what it reads. */
+  private val PAIR_CLOSURE_CTES =
+    s"""${SHINGLE_CTES.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+       |keep AS (SELECT shingle FROM post GROUP BY shingle HAVING count(*) <= 1000),
+       |fpp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p JOIN keep k ON p.shingle = k.shingle),
+       |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+       |FROM fpp a JOIN fpp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, 3, 4),
+       |jp AS (SELECT id_a, id_b FROM prs
+       |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION ALL SELECT id_b, id_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1759,7 +1785,87 @@ object Oracles {
          |SELECT actual, claimed, count(*) AS n,
          |  CAST(n_bits_set AS BIGINT) AS n_bits_set
          |FROM cl CROSS JOIN nb GROUP BY 1, 2, 4
-         |ORDER BY actual, claimed""".stripMargin)
+         |ORDER BY actual, claimed""".stripMargin,
+
+    // ---- q109-q113: the materialized pair-table pipeline. Each stage
+    // replays the same closures as the independent queries (q22 pairs,
+    // q71 transitive closure, q85/q91/q93 tails) — the Spark side mines
+    // the pair table ONCE (graft.operators.PairTable) and derives every
+    // stage from it, and each derivation hash-matches its closure.
+
+    "q109_pipeline_mine" ->
+      s"""${PAIR_CLOSURE_CTES}
+         |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
+         |FROM prs
+         |WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q110_pipeline_clusters" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |sz AS (SELECT cluster_id, count(*) AS n_members,
+         |  max(doc_id) AS max_member FROM lab GROUP BY cluster_id),
+         |pc AS (SELECT l.cluster_id, count(*) AS n_pairs
+         |  FROM jp p JOIN lab l ON p.id_a = l.doc_id GROUP BY 1)
+         |SELECT sz.cluster_id, sz.n_members, sz.max_member, pc.n_pairs
+         |FROM sz JOIN pc ON sz.cluster_id = pc.cluster_id
+         |ORDER BY sz.cluster_id""".stripMargin,
+
+    "q111_pipeline_survivors" ->
+      s"""${PAIR_CLOSURE_CTES}
+         |SELECT lab.cluster_id, count(*) AS n_members,
+         |CAST(max(length(documents.text)) AS BIGINT) AS best_text_len,
+         |array_to_string(list_sort(list(DISTINCT documents.source)), ',')
+         |  AS merged_sources
+         |FROM lab JOIN documents ON lab.doc_id = documents.doc_id
+         |GROUP BY lab.cluster_id ORDER BY lab.cluster_id""".stripMargin,
+
+    "q112_pipeline_export" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |bse AS (SELECT doc_id, source,
+         |  md5(array_to_string($TOKS, ' ')) AS fp,
+         |  round((CASE WHEN len($TOKS)=0 THEN 0.0
+         |    ELSE CAST(len(list_distinct($TOKS)) AS DOUBLE)/len($TOKS) END)*0.5
+         |   + (1.0-(CASE WHEN len($TOKS)=0 THEN 0.0
+         |    ELSE CAST(len(list_filter($TOKS, x -> list_contains(['the','a'], x))) AS DOUBLE)/len($TOKS) END))*0.3
+         |   + least(CAST(len($TOKS) AS DOUBLE)/100.0, 1.0)*0.2, 4) AS q
+         |FROM documents),
+         |kf AS (SELECT fp, min(doc_id) AS keep_id FROM bse GROUP BY fp),
+         |dec AS (SELECT b.source,
+         |  CASE WHEN b.doc_id <> kf.keep_id THEN 'drop_exact_dup'
+         |       WHEN lab.cluster_id IS NOT NULL
+         |         AND lab.cluster_id <> b.doc_id THEN 'drop_near_dup'
+         |       WHEN b.q < 0.62 THEN 'drop_low_quality'
+         |       ELSE 'keep' END AS decision
+         |FROM bse b JOIN kf ON b.fp = kf.fp
+         |LEFT JOIN lab ON b.doc_id = lab.doc_id)
+         |SELECT source, decision, count(*) AS n
+         |FROM dec GROUP BY source, decision ORDER BY source, decision""".stripMargin,
+
+    // q93's integer-arithmetic PageRank replay over the closure's edge
+    // set (reach/lab go unused here — DuckDB inlines CTEs on use, so
+    // the recursive closure costs nothing when unreferenced)
+    "q113_pipeline_pagerank" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n, 1000000000000 // count(*) AS base,
+         |  (15 * (1000000000000 // count(*))) // 100 AS tele FROM deg),
+         |r0 AS (SELECT src AS id, base AS r FROM deg, nn),
+         |c1 AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
+         |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+         |r1 AS (SELECT d.src AS id, CAST(tele + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c1 c ON c.id = d.src),
+         |c2 AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
+         |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+         |r2 AS (SELECT d.src AS id, CAST(tele + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c2 c ON c.id = d.src),
+         |c3 AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
+         |  FROM edges e JOIN deg dg ON e.src = dg.src JOIN r2 r ON r.id = e.src GROUP BY e.dst),
+         |r3 AS (SELECT d.src AS id, CAST(tele + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.id = d.src)
+         |SELECT r3.id AS doc_id, d.d AS out_deg, r3.r AS rank_fp
+         |FROM r3 JOIN deg d ON d.src = r3.id
+         |ORDER BY rank_fp DESC, doc_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

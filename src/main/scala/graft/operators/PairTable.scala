@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Memoized parquet materialization of the near-dup jaccard pair table
+  * — the shared intermediate a production dedup pipeline mines ONCE
+  * and derives everything downstream from (clusters, survivors, clean
+  * export, centrality ranks).
+  *
+  * The independent catalog queries (q71/q85/q91/q92/q93) each re-mine
+  * this table from scratch so every row stays separately
+  * oracle-checkable; that independence is exactly what a real pipeline
+  * does NOT do. This operator demonstrates the production composition:
+  * [[Dedup.jaccardPairs]] runs once per (JVM, sf-dir) and lands in a
+  * parquet table; the q109-q113 pipeline queries read it back. Parquet
+  * (not `persist`) because the between-queries cache lifecycle
+  * ([[Caches.releaseAll]]) must keep releasing operator persists —
+  * a file outlives that, the same way a cluster pipeline's pair table
+  * lives in object storage between stages.
+  *
+  * 100 TB shape: the mined table is tiny relative to the corpus
+  * (near-dup pairs, not documents), and every derivation is a keyed
+  * shuffle over it — re-reading a columnar file per stage is the cheap
+  * part; re-SHINGLING the corpus per stage (what the independent
+  * queries must do) is the expensive part this stage removes.
+  */
+object PairTable {
+  /** Mining parameters — shared with q22's contract (word-3-gram
+    * shingles, jaccard ≥ 0.2, stop-shingle df cap 1000). */
+  val ShingleN = 3
+  val Threshold = 0.2
+
+  private val memo =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The materialized pair table for `dir` — mines and writes on first
+    * use, then reads the parquet back (id_a, id_b, shared, jaccard). */
+  def pairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = memo.get(dir) match {
+      case Some(p) => p
+      case None => this.synchronized {
+        memo.getOrElseUpdate(dir, build(spark, dir))
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Force a fresh mine+write even when a materialization exists —
+    * the bench-honesty path: q109 (the pipeline's mining stage) calls
+    * this so its measured cost is the true mining cost on every
+    * sample, while the derivation stages (q110-q113) measure their
+    * marginal cost against the shared table. */
+  def rebuild(spark: SparkSession, dir: String): DataFrame =
+    this.synchronized {
+      memo.put(dir, build(spark, dir)): Unit
+      spark.read.parquet(memo(dir))
+    }
+
+  private def build(spark: SparkSession, dir: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pairs_")
+      .toFile
+    TempDirs.deleteRecursivelyOnExit(root)
+    val out = new java.io.File(root, "pairs").getAbsolutePath
+    val docs = graft.Tables(spark, dir).documents
+    Dedup.jaccardPairs(docs, "doc_id", "text", ShingleN, Threshold)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+}

@@ -30,7 +30,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q95_weighted_sample",  // hash-threshold inclusion (no RNG)
     "q96_topp_select",      // cumulative window cutoff
     "q97_quantize_profile", // fixed-point per-element float error
-    "q100_cooccur_lift")    // materialized basket self-join, long lift
+    "q100_cooccur_lift",    // materialized basket self-join, long lift
+    "q110_pipeline_clusters", // fixpoint labels over materialized pairs
+    "q113_pipeline_pagerank") // integer pagerank over materialized pairs
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {

@@ -394,4 +394,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getLong(3) === 101L) // 12:00 picks latest prior
     assert(out(2).isNullAt(3))         // user 2 has no signup
   }
+
+  // ---- PairTable (materialized pipeline intermediate) ----
+
+  test("PairTable memoizes per dir, rebuild forces a fresh mine, " +
+      "content matches a direct mine") {
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.operators.PairTable.pairs(spark, dir)
+    val firstFile = first.inputFiles.head
+    // memo hit: same parquet files, no second mine
+    val second = graft.operators.PairTable.pairs(spark, dir)
+    assert(second.inputFiles.head === firstFile)
+    // rebuild: a NEW materialization (fresh temp dir)
+    val rebuilt = graft.operators.PairTable.rebuild(spark, dir)
+    assert(rebuilt.inputFiles.head !== firstFile)
+    // and the content is exactly the direct mine
+    val direct = Dedup.jaccardPairs(
+        Tables(spark, dir).documents, "doc_id", "text",
+        graft.operators.PairTable.ShingleN,
+        graft.operators.PairTable.Threshold)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    graft.operators.Caches.releaseAll()
+    assert(rebuilt.orderBy($"id_a", $"id_b").collect().toSeq === direct)
+  }
 }
