@@ -1865,7 +1865,103 @@ object Oracles {
          |  FROM deg d CROSS JOIN nn LEFT JOIN c3 c ON c.id = d.src)
          |SELECT r3.id AS doc_id, d.d AS out_deg, r3.r AS rank_fp
          |FROM r3 JOIN deg d ON d.src = r3.id
-         |ORDER BY rank_fp DESC, doc_id""".stripMargin)
+         |ORDER BY rank_fp DESC, doc_id""".stripMargin,
+
+    // q114: the merged row here is a ONE-SHOT sketch over the union of
+    // raw values, while the Spark side merges the two shard sketches by
+    // register-wise max — the hash match proves merge ≡ rebuild.
+    "q114_hll_merge" ->
+      """WITH p AS (
+        |  SELECT DISTINCT 'shard_' || CAST(event_id % 2 AS VARCHAR) AS part,
+        |    user_id FROM events
+        |  UNION ALL
+        |  SELECT DISTINCT 'merged' AS part, user_id FROM events),
+        |hh AS (SELECT part, user_id,
+        |  md5('hll|' || CAST(user_id AS VARCHAR)) AS h FROM p),
+        |hx AS (SELECT part,
+        |  (strpos('0123456789abcdef', h[1]) - 1) * 16
+        |    + strpos('0123456789abcdef', h[2]) - 1 AS bucket,
+        |  substring(h, 3, 12) AS h12 FROM hh),
+        |zz AS (SELECT part, bucket, h12,
+        |  length(regexp_extract(h12, '^(0*)', 1)) AS zc FROM hx),
+        |rk AS (SELECT part, bucket,
+        |  CASE WHEN zc = 12 THEN 49 ELSE zc * 4
+        |    + CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3
+        |      WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1
+        |      WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1 END AS r FROM zz),
+        |regs AS (SELECT part, bucket, max(r) AS r FROM rk GROUP BY 1, 2),
+        |sums AS (SELECT part,
+        |  CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS s_used,
+        |  count(*) AS n_buckets FROM regs GROUP BY 1),
+        |ex AS (SELECT part, count(DISTINCT user_id) AS exact_users
+        |  FROM p GROUP BY 1),
+        |e AS (SELECT s.part, n_buckets, exact_users,
+        |  round(0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        |    / (s_used + (256 - n_buckets) * 562949953421312::BIGINT), 2) AS est
+        |  FROM sums s JOIN ex USING (part))
+        |SELECT part, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(exact_users AS BIGINT) AS exact_users, est,
+        |  round((est - exact_users) / exact_users, 4) AS rel_err
+        |FROM e ORDER BY part""".stripMargin,
+
+    // q115: q41's IVF assignment/probe + q97's int8 quantization; the
+    // gate score is an exact BIGINT dot product over quantized vectors,
+    // the rerank is q41's double cosine over the top-20 gate survivors
+    "q115_quantized_ann" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 250 = 0),
+        |assigned AS (SELECT vec_id AS neighbor_id, e AS cv, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c) WHERE crank = 1),
+        |probed AS (SELECT vec_id AS query_id, e AS qv, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c WHERE v.vec_id < 8) WHERE crank <= 2),
+        |aq AS (SELECT neighbor_id, cent_id,
+        |  CASE WHEN s = 0 THEN list_transform(cv, x -> 0::BIGINT)
+        |    ELSE list_transform(cv, x ->
+        |      CAST(least(greatest(round(x*127/s), -127), 127) AS BIGINT)) END AS cqv
+        |  FROM (SELECT neighbor_id, cent_id, cv,
+        |    list_max(list_transform(cv, x -> abs(x))) AS s FROM assigned)),
+        |aqn AS (SELECT neighbor_id, cent_id, cqv,
+        |  CAST(list_sum(list_transform(cqv, x -> x*x)) AS BIGINT) AS cqn FROM aq),
+        |pq AS (SELECT query_id, cent_id,
+        |  CASE WHEN s = 0 THEN list_transform(qv, x -> 0::BIGINT)
+        |    ELSE list_transform(qv, x ->
+        |      CAST(least(greatest(round(x*127/s), -127), 127) AS BIGINT)) END AS qqv
+        |  FROM (SELECT query_id, cent_id, qv,
+        |    list_max(list_transform(qv, x -> abs(x))) AS s FROM probed)),
+        |pqn AS (SELECT query_id, cent_id, qqv,
+        |  CAST(list_sum(list_transform(qqv, x -> x*x)) AS BIGINT) AS qqn FROM pq),
+        |cands AS (SELECT DISTINCT p.query_id, a.neighbor_id,
+        |  CASE WHEN p.qqn = 0 OR a.cqn = 0 THEN 0.0e0
+        |    ELSE round(
+        |      CAST(list_sum(list_transform(range(1, len(p.qqv)+1),
+        |        i -> p.qqv[i]*a.cqv[i])) AS BIGINT)
+        |      / sqrt(CAST(p.qqn AS DOUBLE) * a.cqn), 4) END AS sim_q
+        |  FROM pqn p JOIN aqn a ON p.cent_id = a.cent_id
+        |  WHERE p.query_id <> a.neighbor_id),
+        |gate AS (SELECT query_id, neighbor_id, sim_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_q DESC, neighbor_id) AS qrank FROM cands)
+        |  WHERE qrank <= 20),
+        |rer AS (SELECT g.query_id, g.neighbor_id, g.sim_q,
+        |  round(list_dot_product(q.e, c.e)
+        |   /(sqrt(list_dot_product(q.e, q.e))*sqrt(list_dot_product(c.e, c.e))), 4) AS sim
+        |  FROM gate g JOIN v q ON q.vec_id = g.query_id
+        |  JOIN v c ON c.vec_id = g.neighbor_id)
+        |SELECT query_id, "rank", neighbor_id, sim, sim_q FROM (
+        |SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY sim DESC, neighbor_id) AS "rank" FROM rer)
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

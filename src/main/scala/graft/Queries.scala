@@ -2161,6 +2161,26 @@ object Queries {
       .orderBy(col("rk"))
   }
 
+  /** md5-derived HLL register ranks for each row of `df` (shared by
+    * q107/q114): bucket = first hash byte (m=256), r = leading-zero
+    * count of the next 48 bits + 1 (capped at 49 when the whole field
+    * is zero). All other columns pass through, so callers key the
+    * register max however they group. */
+  private def hllRanks(df: DataFrame, idCol: String): DataFrame =
+    df
+      .withColumn("h", md5(concat_ws("|", lit("hll"), col(idCol))))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("h12", substring(col("h"), 3, 12))
+      .withColumn("zc", length(regexp_extract(col("h12"), "^(0*)", 1)))
+      .withColumn("r", when(col("zc") === 12, lit(49)).otherwise(
+        col("zc") * 4 + expr(
+          "CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3" +
+            " WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1" +
+            " WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1" +
+            " ELSE 0 END") + 1))
+      .drop("h", "h12", "zc")
+
   /** Portable HyperLogLog, oracle-checked end to end — the upgrade to
     * q28's story (Spark's HLL++ sketch has no cross-engine oracle; a
     * sketch built from md5 does). m=256 registers keyed on the first
@@ -2176,19 +2196,7 @@ object Queries {
     val pairs = graft.operators.Caches.persistTracked(
       events(spark, dir)
         .select(col("event_type"), col("user_id")).distinct())
-    val ranks = pairs
-      .withColumn("h", md5(concat_ws("|", lit("hll"), col("user_id"))))
-      .withColumn("bucket",
-        conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-      .withColumn("h12", substring(col("h"), 3, 12))
-      .withColumn("zc", length(regexp_extract(col("h12"), "^(0*)", 1)))
-      .withColumn("r", when(col("zc") === 12, lit(49)).otherwise(
-        col("zc") * 4 + expr(
-          "CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3" +
-            " WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1" +
-            " WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1" +
-            " ELSE 0 END") + 1))
-    val sums = ranks
+    val sums = hllRanks(pairs, "user_id")
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("r")).as("r"))
       .groupBy(col("event_type"))
@@ -2344,6 +2352,75 @@ object Queries {
       .orderBy(col("rank_fp").desc, col("doc_id"))
   }
 
+  /** HLL sketch MERGE, hash-checked — the step q107 argues but never
+    * executes. Events are split into two shards (event_id parity);
+    * each shard builds its own 256-register sketch, and the `merged`
+    * row is computed by REGISTER-WISE MAX over the shard sketches —
+    * the multi-day/multi-source rollup a 1000-executor distinct-count
+    * does instead of re-reading raw data. The oracle computes the
+    * merged row as a ONE-SHOT sketch over the union of raw values, so
+    * the hash match proves merge ≡ rebuild (max is associative), not
+    * merely that both engines ran the same merge. Estimates use q107's
+    * fixed-point Σ2^(49−r) arithmetic, so they hash-match too. */
+  def q114HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Caches.persistTracked(
+      events(spark, dir)
+        .select(concat(lit("shard_"), col("event_id") % 2).as("part"),
+          col("user_id"))
+        .distinct())
+    val shardRegs = graft.operators.Caches.persistTracked(
+      hllRanks(pairs, "user_id")
+        .groupBy(col("part"), col("bucket"))
+        .agg(max(col("r")).as("r")))
+    // THE MERGE: register-wise max across shard sketches
+    val mergedRegs = shardRegs.groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .select(lit("merged").as("part"), col("bucket"), col("r"))
+    val sums = shardRegs.select(col("part"), col("bucket"), col("r"))
+      .unionByName(mergedRegs)
+      .groupBy(col("part"))
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).as("s_used"),
+        count(lit(1)).as("n_buckets"))
+    val exact = pairs.groupBy(col("part"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .unionByName(
+        pairs.agg(countDistinct(col("user_id")).as("exact_users"))
+          .select(lit("merged").as("part"), col("exact_users")))
+    sums.join(exact, Seq("part"))
+      .withColumn("s",
+        col("s_used") + (lit(256L) - col("n_buckets")) * lit(562949953421312L))
+      .withColumn("est", round(
+        expr("0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0")
+          / col("s"), 2))
+      .select(col("part"), col("n_buckets"), col("exact_users"),
+        col("est"),
+        round((col("est") - col("exact_users")) / col("exact_users"), 4)
+          .as("rel_err"))
+      .orderBy(col("part"))
+  }
+
+  /** Quantized IVF ANN with full-precision rerank — q97's int8
+    * quantization composed with q41's IVF probe, the memory-bound ANN
+    * shape at 100 TB (the probe touches 4×-smaller int8 vectors;
+    * float vectors are fetched BY ID only for the top candidates).
+    * The probe score is an exact INTEGER dot product over quantized
+    * vectors (order-independent by construction), normalized per-row;
+    * the top `rerankN` candidates per query are then re-scored with
+    * exact double cosine. Both the approximate gate score and the
+    * final rerank are hash-checked. */
+  def q115QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 250 === 0)
+    val queries = emb.where(col("id") < 8)
+    Similarity.quantizedIvfTopK(queries, emb, centroids,
+        k = 5, nprobe = 2, rerankN = 20)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim"), col("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2459,5 +2536,7 @@ object Queries {
     "q110_pipeline_clusters" -> (q110PipelineClusters _),
     "q111_pipeline_survivors" -> (q111PipelineSurvivors _),
     "q112_pipeline_export" -> (q112PipelineExport _),
-    "q113_pipeline_pagerank" -> (q113PipelinePagerank _))
+    "q113_pipeline_pagerank" -> (q113PipelinePagerank _),
+    "q114_hll_merge" -> (q114HllMerge _),
+    "q115_quantized_ann" -> (q115QuantizedAnn _))
 }

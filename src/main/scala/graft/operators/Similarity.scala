@@ -145,6 +145,75 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of the `v` column (q97's scheme):
+    * per-vector scale = max|v_i|, q_i = clamp(round(v_i·127/scale),
+    * ±127), carried as longs for exact integer dot products. Adds
+    * `qv` (array<long>) and `qn` (Σq_i², long) columns. */
+  private def withQuantized(df: DataFrame): DataFrame =
+    df
+      .withColumn("q_scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv",
+        when(col("q_scale") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x =>
+            least(greatest(round(x * 127 / col("q_scale")), lit(-127.0)),
+              lit(127.0)).cast("long"))))
+      .withColumn("qn",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .drop("q_scale")
+
+  /** IVF probe over int8-quantized vectors with a full-precision
+    * rerank — the memory-bound ANN layout: the index stores 4×-smaller
+    * quantized vectors, the probe scores candidates with an exact
+    * INTEGER dot product (long arithmetic — order-independent, no
+    * float summation anywhere in the wide phase), and only the top
+    * `rerankN` survivors per query fetch their float vectors BY ID for
+    * the exact cosine rerank. Output per query: top-`k` neighbors with
+    * the exact `sim` and the quantized gate score `sim_q` that
+    * admitted them. Both scores round to 4 dp pre-rank with id
+    * tie-breaks, so ranks are engine-portable. */
+  def quantizedIvfTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int, rerankN: Int): DataFrame = {
+    val assigned = withQuantized(
+      nearestCentroids(corpus, centroids, "neighbor_id", 1))
+      .select(col("neighbor_id"), col("cent_id"),
+        col("qv").as("cqv"), col("qn").as("cqn"))
+    val probed = withQuantized(
+      nearestCentroids(queries, centroids, "query_id", nprobe))
+      .select(col("query_id"), col("cent_id"),
+        col("qv").as("qqv"), col("qn").as("qqn"))
+    // wide phase: integer dot product over the probed buckets only
+    val qdot = aggregate(
+      zip_with(col("qqv"), col("cqv"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_q").desc, col("neighbor_id"))
+    val candidates = probed.join(assigned, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qqn") === 0 || col("cqn") === 0, lit(0.0))
+          .otherwise(round(
+            qdot / sqrt(col("qqn").cast("double") * col("cqn")), 4))
+          .as("sim_q"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= rerankN)
+      .drop("qrank")
+    // narrow phase: fetch float vectors by id, exact cosine, final rank
+    val qv = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("fqv"))
+    val cv = corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("fcv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim_q"),
+        round(cosine(col("fqv"), col("fcv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine similar-pair mining, IVF-bucketed: every vector
     * is assigned to its `nprobe` nearest centroid buckets and ONLY
     * same-bucket pairs are scored — a bucketed self-join keyed by

@@ -32,7 +32,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q97_quantize_profile", // fixed-point per-element float error
     "q100_cooccur_lift",    // materialized basket self-join, long lift
     "q110_pipeline_clusters", // fixpoint labels over materialized pairs
-    "q113_pipeline_pagerank") // integer pagerank over materialized pairs
+    "q113_pipeline_pagerank", // integer pagerank over materialized pairs
+    "q114_hll_merge",         // register-max merge, fixed-point estimate
+    "q115_quantized_ann")     // integer-dot gate + float rerank
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {

@@ -417,4 +417,35 @@ class OperatorsSpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
     assert(rebuilt.orderBy($"id_a", $"id_b").collect().toSeq === direct)
   }
+
+  // ---- quantized IVF rerank ----
+
+  test("quantizedIvfTopK recall vs brute force, and rerank scores are " +
+      "the exact cosines") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables(spark, dir).embeddings
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centroids = emb.where($"id" % 250 === 0)
+    val queries = emb.where($"id" < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedIvfTopK(queries, emb, centroids,
+        k = 5, nprobe = 2, rerankN = 20)
+      .select($"query_id", $"neighbor_id", $"sim").collect()
+    graft.operators.Caches.releaseAll()
+    val got = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 gate + IVF probe must keep most true neighbors
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+    // the reported sim is the full-precision cosine, not the gate score
+    val sims = quant.map(r =>
+      ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val reference = Similarity.bruteForceTopK(queries, emb, k = 50)
+      .select($"query_id", $"neighbor_id", $"sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sims.foreach { case (key, s) =>
+      reference.get(key).foreach(ref => assert(s === ref, key.toString))
+    }
+  }
 }
