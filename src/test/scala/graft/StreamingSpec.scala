@@ -826,6 +826,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(u(0).getString(1) === "x" && u(0).isNullAt(2))
     assert(u(1).isNullAt(1) && u(1).getDouble(2) === 9.5)
   }
+
+  test("backpressure: maxFilesPerTrigger bounds every micro-batch " +
+      "under a backlog (progress-log proof)") {
+    // the file-source analog of Kafka's maxOffsetsPerTrigger (SURVEY §4
+    // source tuning): a 6-file backlog with a 2-files-per-trigger cap
+    // must drain as >=3 bounded batches, never one giant catch-up batch
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-bp-src")
+      .toString
+    val chkDir = java.nio.file.Files.createTempDirectory("graft-bp-chk")
+      .toString
+    val rowsPerFile = 100
+    (0 until 6).foreach { i =>
+      spark.range(i * rowsPerFile, (i + 1) * rowsPerFile)
+        .select($"id", ($"id" % 7).as("v"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, v LONG")
+      .option("maxFilesPerTrigger", "2")
+      .parquet(srcDir)
+    val q = stream.groupBy($"v").count()
+      .writeStream.format("memory").queryName("bp_t")
+      .outputMode("complete")
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"backlog drained in ${batches.length} batches — cap not applied")
+    batches.foreach { p =>
+      assert(p.numInputRows <= 2L * rowsPerFile,
+        s"batch ${p.batchId} read ${p.numInputRows} rows > cap")
+    }
+    assert(batches.map(_.numInputRows).sum === 6L * rowsPerFile)
+  }
+
+  test("state-store growth bound: dedup state expires on event-time " +
+      "timeout, numRowsTotal plateaus instead of accumulating") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    val q = StreamOps.dedupStream(StreamOps.watermarked(events.toDF()), spark)
+      .writeStream
+      .format("memory").queryName("dedup_bound_t").outputMode("append")
+      .start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.headOption.map(_.numRowsTotal)
+        .getOrElse(-1L)
+    try {
+      // phase 1: 50 users at 10:00 — 50 state entries
+      input.addData((1 to 50).map(u =>
+        json(u, "2024-01-01 10:00:00", u, "view", 1.0)))
+      q.processAllAvailable()
+      val afterP1 = stateRows
+      // phase 2: 50 NEW users two hours later; the batch advances the
+      // watermark past phase 1's 1h-after-last-event timeouts
+      input.addData((51 to 100).map(u =>
+        json(u, "2024-01-01 12:00:00", u, "view", 1.0)))
+      q.processAllAvailable()
+      // nudge batch: timeouts fire in the batch AFTER the watermark
+      // advanced; one more event lets the expiry sweep run
+      input.addData(Seq(json(1000, "2024-01-01 12:00:05", 1000, "view", 1.0)))
+      q.processAllAvailable()
+      val afterExpiry = stateRows
+      assert(afterP1 === 50L, s"phase-1 state = $afterP1")
+      // phase-1 users expired: only phase-2 users (+ the nudge user)
+      // remain — the plateau. Without EventTimeTimeout this would be
+      // 101 and grow without bound over a long replay.
+      assert(afterExpiry <= 51L,
+        s"state after expiry = $afterExpiry — phase-1 state leaked")
+      assert(afterExpiry >= 50L, s"phase-2 state missing: $afterExpiry")
+    } finally q.stop()
+  }
 }
 
 /** Static landing zone for executor-side sink writes (local-mode tests
