@@ -1961,7 +1961,39 @@ object Oracles {
         |SELECT query_id, "rank", neighbor_id, sim, sim_q FROM (
         |SELECT *, row_number() OVER (PARTITION BY query_id
         |  ORDER BY sim DESC, neighbor_id) AS "rank" FROM rer)
-        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin)
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // q116's oracle is the FULL RE-MINE (q109's SQL verbatim): the
+    // Spark side computes existing-pairs ∪ incoming-delta, and the
+    // hash match proves the incremental maintenance algebra reproduces
+    // the from-scratch mine
+    "q116_incremental_pairs" ->
+      s"""${PAIR_CLOSURE_CTES}
+         |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
+         |FROM prs
+         |WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q117_cluster_split" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |asg AS (SELECT d.doc_id,
+         |  coalesce(lab.cluster_id, d.doc_id) AS grp,
+         |  CAST(len($TOKS) AS BIGINT) AS ws
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+         |spl AS (SELECT doc_id, grp, ws,
+         |  CASE WHEN substr(md5('split-seed|' || CAST(grp AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
+         |       WHEN substr(md5('split-seed|' || CAST(grp AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
+         |       ELSE 'test' END AS split FROM asg),
+         |crs AS (SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_cross_split_pairs
+         |  FROM jp JOIN spl a ON jp.id_a = a.doc_id
+         |  JOIN spl b ON jp.id_b = b.doc_id)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT grp) AS n_groups,
+         |  CAST(sum(ws) AS BIGINT) AS n_tokens, n_cross_split_pairs
+         |FROM spl CROSS JOIN crs
+         |GROUP BY split, n_cross_split_pairs ORDER BY split""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

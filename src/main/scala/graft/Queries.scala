@@ -2421,6 +2421,66 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental pair-table MAINTENANCE
+    * ([[Dedup.incrementalJaccardPairs]]): the `doc_id % 10 == 7` slice
+    * plays the incoming batch (q72's split), the rest the
+    * already-indexed corpus; output = existing corpus pairs ∪ delta
+    * pairs touching the batch. The oracle is the FULL-RE-MINE SQL
+    * (q109's closure over all documents) — the hash match proves the
+    * incremental algebra reproduces the from-scratch result, including
+    * the subtle part: the stop-shingle df cap is computed over the
+    * UPDATED index, so a shingle the batch pushes over the cap drops
+    * from the existing side too. At 100 TB this is the nightly
+    * ingest: the corpus side is a persisted index read, and only the
+    * batch fans out through the posting join. */
+  def q116IncrementalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+    Dedup.incrementalJaccardPairs(
+        d.where(pmod(col("doc_id"), lit(10)) =!= 7),
+        d.where(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", n = 3, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Leakage-safe train/val/test split: near-dup cluster members must
+    * land in the SAME split, or held-out evaluation leaks through
+    * near-duplicates of training docs — the classic contamination
+    * vector q59's doc-level split cannot prevent. Split unit =
+    * coalesce(cluster_id, doc_id) over the materialized pair table's
+    * components, hashed with q59's md5 ladder (80/10/10). The output
+    * carries the proof: `n_cross_split_pairs` counts near-dup pairs
+    * whose endpoints landed in different splits — structurally zero
+    * here, counted exactly (q59's doc-level split measurably leaks on
+    * the same pair set). */
+  def q117ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.PairTable.pairs(spark, dir)
+    val clusters = Dedup.connectedComponents(pairs)
+    val docs = t(spark, dir).documents
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = substring(
+      md5(concat_ws("|", lit("split-seed"), col("grp"))), 1, 2)
+    val assigned = graft.operators.Caches.persistTracked(
+      docs.select(col("doc_id"), col("grp"),
+        when(bucket < "f0", "train").when(bucket < "f8", "val")
+          .otherwise("test").as("split"),
+        wordCount(col("text")).cast("long").as("ws")))
+    val cross = pairs
+      .join(assigned.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(assigned.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+        .as("n_cross_split_pairs"))
+    assigned
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("ws")).as("n_tokens"))
+      .crossJoin(broadcast(cross))
+      .orderBy(col("split"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2538,5 +2598,7 @@ object Queries {
     "q112_pipeline_export" -> (q112PipelineExport _),
     "q113_pipeline_pagerank" -> (q113PipelinePagerank _),
     "q114_hll_merge" -> (q114HllMerge _),
-    "q115_quantized_ann" -> (q115QuantizedAnn _))
+    "q115_quantized_ann" -> (q115QuantizedAnn _),
+    "q116_incremental_pairs" -> (q116IncrementalPairs _),
+    "q117_cluster_split" -> (q117ClusterSplit _))
 }

@@ -117,6 +117,78 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Incremental pair-table maintenance: given the already-indexed
+    * `corpus` and an `incoming` batch, produce the UPDATED full pair
+    * set as (existing corpus×corpus pairs) ∪ (delta pairs touching at
+    * least one incoming doc) — without ever joining corpus postings
+    * against themselves per batch at 100 TB... which is the point: the
+    * corpus×corpus side is the persistent pair table (here recomputed
+    * for the self-contained catalog query; in production it is READ),
+    * and only the incoming slice fans out through the posting index.
+    *
+    * Correctness subtlety the oracle enforces: the stop-shingle df cap
+    * must be computed over the UPDATED index (corpus ∪ incoming), not
+    * per side — a shingle pushed over `maxDf` by the incoming batch
+    * must drop from the existing side too, or the incremental result
+    * diverges from a full re-mine. The output is hash-identical to
+    * [[jaccardPairs]] over the union (proven by q116's oracle, which
+    * IS the full-re-mine SQL). */
+  def incrementalJaccardPairs(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      maxDf: Long = 1000L): DataFrame = {
+    val corpPost = shingleSets(corpus, idCol, textCol, n)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"),
+        lit(false).as("inc"))
+    val incPost = shingleSets(incoming, idCol, textCol, n)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"),
+        lit(true).as("inc"))
+    val allPost = corpPost.unionByName(incPost)
+    // df over the UPDATED index
+    val keep = allPost.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("shingle"))
+    val filtered = Caches.persistTracked(allPost.join(keep, Seq("shingle")))
+    def scored(cands: DataFrame): DataFrame = cands
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+    // existing-index pairs (corpus×corpus) — the persisted table in
+    // production, recomputed here so the query stays self-contained
+    val corp = filtered.where(!col("inc"))
+    val existing = scored(
+      corp.select(col("doc_id").as("id_a"), col("n_sh").as("na"),
+          col("shingle"))
+        .join(corp.select(col("doc_id").as("id_b"), col("n_sh").as("nb"),
+          col("shingle")), Seq("shingle"))
+        .where(col("id_a") < col("id_b")))
+    // delta: incoming vs the whole updated index. Orientation guard:
+    // corpus partners join in both roles via least/greatest below;
+    // incoming-incoming pairs are emitted once by the id_a < id_b cut
+    val left = filtered.where(col("inc"))
+      .select(col("doc_id").as("lid"), col("n_sh").as("ln"),
+        col("shingle"))
+    val right = filtered
+      .select(col("doc_id").as("rid"), col("n_sh").as("rn"),
+        col("shingle"), col("inc").as("rinc"))
+    val delta = scored(
+      left.join(right, Seq("shingle"))
+        .where(col("lid") =!= col("rid")
+          && (!col("rinc") || col("lid") < col("rid")))
+        .select(
+          least(col("lid"), col("rid")).as("id_a"),
+          greatest(col("lid"), col("rid")).as("id_b"),
+          when(col("lid") < col("rid"), col("ln")).otherwise(col("rn"))
+            .as("na"),
+          when(col("lid") < col("rid"), col("rn")).otherwise(col("ln"))
+            .as("nb")))
+    existing.unionByName(delta)
+  }
+
   /** Collapse near-dup pairs into clusters: connected components by
     * iterative min-label propagation — each node repeatedly takes the
     * minimum of its own label and its neighbors' labels until fixpoint,

@@ -34,7 +34,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q110_pipeline_clusters", // fixpoint labels over materialized pairs
     "q113_pipeline_pagerank", // integer pagerank over materialized pairs
     "q114_hll_merge",         // register-max merge, fixed-point estimate
-    "q115_quantized_ann")     // integer-dot gate + float rerank
+    "q115_quantized_ann",     // integer-dot gate + float rerank
+    "q116_incremental_pairs", // existing ∪ delta must equal full mine
+    "q117_cluster_split")     // cluster-keyed md5 split + leakage count
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
