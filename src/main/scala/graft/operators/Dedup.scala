@@ -98,20 +98,29 @@ object Dedup {
   private def candidatePairCounts(docs: DataFrame, idCol: String,
       textCol: String, n: Int, maxDf: Long): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
+    // the shingle STRING never leaves the posting build: all joins and
+    // df-counts key on its xxhash64 — a 16-byte fixed-width shuffle row
+    // instead of a ~40-byte string row, which matters because this join
+    // is the engine's one superlinear-fanout shape (BASELINE.md sf1
+    // soak). Collisions (2^-64 per shingle pair) would merge two
+    // shingles' postings; at any realistic shingle cardinality this is
+    // vanishingly improbable and the oracle hash-compare would catch it.
     val posting = sets
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val df = posting.groupBy(col("shingle"))
+      .select(col("doc_id"), col("n_sh"),
+        xxhash64(col("shingle")).as("sh_key"))
+    val df = posting.groupBy(col("sh_key"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-      .select(col("shingle"))
+      .select(col("sh_key"))
     // both sides of the self-join consume the filtered posting list;
     // materialize it once (inverted-index build step)
-    val filtered = Caches.persistTracked(posting.join(df, Seq("shingle")))
+    val filtered = Caches.persistTracked(posting.join(df, Seq("sh_key")))
     val a = filtered.select(col("doc_id").as("id_a"), col("n_sh").as("na"),
-      col("shingle"))
+      col("sh_key"))
     val b = filtered.select(col("doc_id").as("id_b"), col("n_sh").as("nb"),
-      col("shingle"))
-    a.join(b, Seq("shingle"))
+      col("sh_key"))
+    a.join(b, Seq("sh_key"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
@@ -136,19 +145,20 @@ object Dedup {
   def incrementalJaccardPairs(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double,
       maxDf: Long = 1000L): DataFrame = {
-    val corpPost = shingleSets(corpus, idCol, textCol, n)
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"),
-        lit(false).as("inc"))
-    val incPost = shingleSets(incoming, idCol, textCol, n)
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"),
-        lit(true).as("inc"))
-    val allPost = corpPost.unionByName(incPost)
-    // df over the UPDATED index
-    val keep = allPost.groupBy(col("shingle"))
+    def post(side: DataFrame, inc: Boolean): DataFrame =
+      shingleSets(side, idCol, textCol, n)
+        .select(col("doc_id"), col("n_sh"),
+          explode(col("sh")).as("shingle"), lit(inc).as("inc"))
+        .select(col("doc_id"), col("n_sh"),
+          xxhash64(col("shingle")).as("sh_key"), col("inc"))
+    val allPost = post(corpus, inc = false).unionByName(post(incoming,
+      inc = true))
+    // df over the UPDATED index (hashed keys — see candidatePairCounts)
+    val keep = allPost.groupBy(col("sh_key"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-      .select(col("shingle"))
-    val filtered = Caches.persistTracked(allPost.join(keep, Seq("shingle")))
+      .select(col("sh_key"))
+    val filtered = Caches.persistTracked(allPost.join(keep, Seq("sh_key")))
     def scored(cands: DataFrame): DataFrame = cands
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
@@ -162,21 +172,21 @@ object Dedup {
     val corp = filtered.where(!col("inc"))
     val existing = scored(
       corp.select(col("doc_id").as("id_a"), col("n_sh").as("na"),
-          col("shingle"))
+          col("sh_key"))
         .join(corp.select(col("doc_id").as("id_b"), col("n_sh").as("nb"),
-          col("shingle")), Seq("shingle"))
+          col("sh_key")), Seq("sh_key"))
         .where(col("id_a") < col("id_b")))
     // delta: incoming vs the whole updated index. Orientation guard:
     // corpus partners join in both roles via least/greatest below;
     // incoming-incoming pairs are emitted once by the id_a < id_b cut
     val left = filtered.where(col("inc"))
       .select(col("doc_id").as("lid"), col("n_sh").as("ln"),
-        col("shingle"))
+        col("sh_key"))
     val right = filtered
       .select(col("doc_id").as("rid"), col("n_sh").as("rn"),
-        col("shingle"), col("inc").as("rinc"))
+        col("sh_key"), col("inc").as("rinc"))
     val delta = scored(
-      left.join(right, Seq("shingle"))
+      left.join(right, Seq("sh_key"))
         .where(col("lid") =!= col("rid")
           && (!col("rinc") || col("lid") < col("rid")))
         .select(
