@@ -1993,7 +1993,39 @@ object Oracles {
          |  count(DISTINCT grp) AS n_groups,
          |  CAST(sum(ws) AS BIGINT) AS n_tokens, n_cross_split_pairs
          |FROM spl CROSS JOIN crs
-         |GROUP BY split, n_cross_split_pairs ORDER BY split""".stripMargin)
+         |GROUP BY split, n_cross_split_pairs ORDER BY split""".stripMargin,
+
+    // q118: q81's embedding pair closure + q110's per-cluster edge
+    // count, over the materialized embedding pair table
+    "q118_embed_pipeline" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, e, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+        |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS n_members,
+        |  max(doc_id) AS max_member FROM lab GROUP BY cluster_id),
+        |pc AS (SELECT l.cluster_id, count(*) AS n_pairs
+        |  FROM pairs p JOIN lab l ON p.id_a = l.doc_id GROUP BY 1)
+        |SELECT sz.cluster_id, sz.n_members, sz.max_member, pc.n_pairs
+        |FROM sz JOIN pc ON sz.cluster_id = pc.cluster_id
+        |ORDER BY sz.cluster_id""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

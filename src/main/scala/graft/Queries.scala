@@ -2481,6 +2481,27 @@ object Queries {
       .orderBy(col("split"))
   }
 
+  /** The embedding-side pipeline derivation: q81's cluster rollup
+    * derived from the MATERIALIZED embedding pair table
+    * ([[graft.operators.PairTable.embedPairs]]) instead of re-mining
+    * the IVF buckets, plus the per-cluster edge count q110 adds on the
+    * text side — the same mine-once topology proven flat at 10× for
+    * text pairs, extended to the embedding modality. */
+  def q118EmbedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.PairTable.embedPairs(spark, dir)
+    val labels = Dedup.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+    val edges = pairs
+      .join(labels.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    sizes.join(edges, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("max_member"),
+        col("n_pairs"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2600,5 +2621,6 @@ object Queries {
     "q114_hll_merge" -> (q114HllMerge _),
     "q115_quantized_ann" -> (q115QuantizedAnn _),
     "q116_incremental_pairs" -> (q116IncrementalPairs _),
-    "q117_cluster_split" -> (q117ClusterSplit _))
+    "q117_cluster_split" -> (q117ClusterSplit _),
+    "q118_embed_pipeline" -> (q118EmbedPipeline _))
 }

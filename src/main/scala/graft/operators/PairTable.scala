@@ -33,17 +33,28 @@ object PairTable {
   private val memo =
     scala.collection.concurrent.TrieMap[String, String]()
 
-  /** The materialized pair table for `dir` — mines and writes on first
-    * use, then reads the parquet back (id_a, id_b, shared, jaccard). */
-  def pairs(spark: SparkSession, dir: String): DataFrame = {
-    val path = memo.get(dir) match {
-      case Some(p) => p
-      case None => this.synchronized {
-        memo.getOrElseUpdate(dir, build(spark, dir))
-      }
+  /** The materialized TEXT pair table for `dir` — mines and writes on
+    * first use, then reads the parquet back
+    * (id_a, id_b, shared, jaccard). */
+  def pairs(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "jaccard") { s =>
+      Dedup.jaccardPairs(graft.Tables(s, dir).documents,
+        "doc_id", "text", ShingleN, Threshold)
     }
-    spark.read.parquet(path)
-  }
+
+  /** The materialized EMBEDDING pair table for `dir` (q81's mining:
+    * IVF-bucketed cosine ≥ 0.35, nprobe 2, centroids = vec_id % 100):
+    * same memoize-to-parquet lifecycle as [[pairs]], so embedding-level
+    * dedup derivations decouple from the corpus the same way. */
+  def embedPairs(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "embed") { s =>
+      val emb = graft.Tables(s, dir).embeddings
+        .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+          org.apache.spark.sql.functions.col("embedding").as("vec"))
+      Similarity.cosineNearDupPairs(emb,
+        emb.where(org.apache.spark.sql.functions.col("id") % 100 === 0),
+        threshold = 0.35, nprobe = 2)
+    }
 
   /** Force a fresh mine+write even when a materialization exists —
     * the bench-honesty path: q109 (the pipeline's mining stage) calls
@@ -52,18 +63,26 @@ object PairTable {
     * marginal cost against the shared table. */
   def rebuild(spark: SparkSession, dir: String): DataFrame =
     this.synchronized {
-      memo.put(dir, build(spark, dir)): Unit
-      spark.read.parquet(memo(dir))
+      memo.remove(s"$dir|jaccard"): Unit
+      pairs(spark, dir)
     }
 
-  private def build(spark: SparkSession, dir: String): String = {
-    val root = java.nio.file.Files.createTempDirectory("graft_pairs_")
-      .toFile
-    TempDirs.deleteRecursivelyOnExit(root)
-    val out = new java.io.File(root, "pairs").getAbsolutePath
-    val docs = graft.Tables(spark, dir).documents
-    Dedup.jaccardPairs(docs, "doc_id", "text", ShingleN, Threshold)
-      .write.mode("overwrite").parquet(out)
-    out
+  private def materialized(spark: SparkSession, dir: String,
+      kind: String)(mine: SparkSession => DataFrame): DataFrame = {
+    val key = s"$dir|$kind"
+    val path = memo.get(key) match {
+      case Some(p) => p
+      case None => this.synchronized {
+        memo.getOrElseUpdate(key, {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_pairs_${kind}_").toFile
+          TempDirs.deleteRecursivelyOnExit(root)
+          val out = new java.io.File(root, "pairs").getAbsolutePath
+          mine(spark).write.mode("overwrite").parquet(out)
+          out
+        })
+      }
+    }
+    spark.read.parquet(path)
   }
 }

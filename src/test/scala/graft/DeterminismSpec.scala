@@ -36,7 +36,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q114_hll_merge",         // register-max merge, fixed-point estimate
     "q115_quantized_ann",     // integer-dot gate + float rerank
     "q116_incremental_pairs", // existing ∪ delta must equal full mine
-    "q117_cluster_split")     // cluster-keyed md5 split + leakage count
+    "q117_cluster_split",     // cluster-keyed md5 split + leakage count
+    "q118_embed_pipeline")    // CC over materialized embedding pairs
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {

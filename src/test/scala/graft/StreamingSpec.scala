@@ -827,6 +827,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(u(1).isNullAt(1) && u(1).getDouble(2) === 9.5)
   }
 
+  test("streaming pair-table maintenance: foreachBatch + " +
+      "incrementalJaccardPairs over doc micro-batches equals a full mine") {
+    // the nightly-ingest topology end to end: documents arrive as a
+    // stream, each micro-batch folds into the maintained pair table via
+    // the q116 algebra (corpus = all docs seen so far, incoming = the
+    // batch); after the backlog drains, the maintained table must be
+    // EXACTLY the from-scratch mine over all docs
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ppl-src")
+      .toString
+    val chkDir = java.nio.file.Files.createTempDirectory("graft-ppl-chk")
+      .toString
+    // stage the corpus as 3 files = 3 micro-batches under the cap
+    (0 until 3).foreach { i =>
+      docs.where(pmod($"doc_id", lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val seen = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+    val maintained = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame](null)
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // corpus = docs seen BEFORE this batch (collected eagerly —
+        // foreachBatch frames are only valid within the callback)
+        val b = batch.persist()
+        b.count(): Unit
+        val corpus = Option(seen.get())
+        val pairs = corpus match {
+          case None => graft.operators.Dedup.jaccardPairs(
+            b, "doc_id", "text", 3, 0.2)
+          case Some(c) => graft.operators.Dedup.incrementalJaccardPairs(
+            c, b, "doc_id", "text", 3, 0.2)
+        }
+        // materialize the updated table before state advances
+        val out = pairs.collect()
+        maintained.set(spark.createDataFrame(
+          java.util.Arrays.asList(out: _*), pairs.schema))
+        seen.set(corpus.map(_.unionByName(b)).getOrElse(b)
+          .persist())
+        graft.operators.Caches.releaseAll()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val got = maintained.get().orderBy($"id_a", $"id_b")
+      .select($"id_a", $"id_b", $"shared", $"jaccard").collect().toSeq
+    val full = graft.operators.Dedup.jaccardPairs(
+        docs, "doc_id", "text", 3, 0.2)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    graft.operators.Caches.releaseAll()
+    assert(got.nonEmpty)
+    assert(got === full,
+      s"maintained table diverged: ${got.length} vs ${full.length} pairs")
+  }
+
   test("backpressure: maxFilesPerTrigger bounds every micro-batch " +
       "under a backlog (progress-log proof)") {
     // the file-source analog of Kafka's maxOffsetsPerTrigger (SURVEY §4
