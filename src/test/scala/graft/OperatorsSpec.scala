@@ -418,6 +418,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rebuilt.orderBy($"id_a", $"id_b").collect().toSeq === direct)
   }
 
+  // ---- incremental pair maintenance: the df-cap-crossing case ----
+
+  test("incrementalJaccardPairs matches a full re-mine when the batch " +
+      "pushes a shingle over maxDf (cap computed on the UPDATED index)") {
+    // sf-scale verification never exercises cap crossing (no shingle
+    // reaches df=1000 there) — pin the subtle semantics at unit scale
+    // with maxDf=2: corpus docs 1,2 share shingle set A; incoming doc 3
+    // also carries A, pushing its shingles to df=3 > 2, which must
+    // erase the PRE-EXISTING (1,2) pair exactly as a full mine would.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),      // pre-existing exact pair…
+      (2L, "alpha beta gamma delta"),      // …that the batch will erase
+      (10L, "one two three four five"),    // pre-existing near pair…
+      (11L, "one two three four six"),     // …that must SURVIVE
+      (20L, "red green blue yellow")       // delta partner
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (3L, "alpha beta gamma delta"),      // pushes the alpha family to df=3
+      (21L, "red green blue purple"),      // new near-dup of 20
+      (12L, "seven eight nine ten eleven") // isolated
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"id_a", $"id_b").collect().toSeq
+    val incremental = norm(Dedup.incrementalJaccardPairs(
+      corpus, incoming, "doc_id", "text", n = 3, threshold = 0.2,
+      maxDf = 2))
+    graft.operators.Caches.releaseAll()
+    val full = norm(Dedup.jaccardPairs(
+      corpus.unionByName(incoming), "doc_id", "text", n = 3,
+      threshold = 0.2, maxDf = 2))
+    graft.operators.Caches.releaseAll()
+    assert(incremental === full)
+    val ids = full.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cap actually bit: docs 1,2,3 are identical, but their
+    // shingles now have df=3 > 2, so NO pair among {1,2,3} survives —
+    // including the (1,2) pair that existed before the batch arrived
+    assert(!ids.exists { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) },
+      s"cap-crossed shingles leaked pairs: $ids")
+    // while both the under-cap existing pair and the under-cap delta
+    // pair survive
+    assert(ids.contains((10L, 11L)), s"existing pair lost: $ids")
+    assert(ids.contains((20L, 21L)), s"delta pair lost: $ids")
+  }
+
   // ---- quantized IVF rerank ----
 
   test("quantizedIvfTopK recall vs brute force, and rerank scores are " +
