@@ -2025,7 +2025,31 @@ object Oracles {
         |  FROM pairs p JOIN lab l ON p.id_a = l.doc_id GROUP BY 1)
         |SELECT sz.cluster_id, sz.n_members, sz.max_member, pc.n_pairs
         |FROM sz JOIN pc ON sz.cluster_id = pc.cluster_id
-        |ORDER BY sz.cluster_id""".stripMargin)
+        |ORDER BY sz.cluster_id""".stripMargin,
+
+    // q119: per-bigram p rounds to 6 dp → fixed-point micro-units →
+    // integer-division per-doc mean; `//` (floor) == Spark `div`
+    // (truncate) on the non-negative values here
+    "q119_lm_quality" ->
+      s"""WITH d AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+         |db AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk)),
+         |  i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d WHERE len(tk) >= 2),
+         |hb AS (SELECT doc_id, source, string_split(bg, ' ')[1] AS head,
+         |  string_split(bg, ' ')[2] AS "next" FROM db),
+         |cnt AS (SELECT head, "next", count(*) AS n FROM hb GROUP BY 1, 2),
+         |hn AS (SELECT head, CAST(sum(n) AS BIGINT) AS head_n
+         |  FROM cnt GROUP BY 1),
+         |pd AS (SELECT doc_id, source, count(*) AS n_bi,
+         |  CAST(sum(CAST(round(round(CAST(c.n AS DOUBLE)/h.head_n, 6)*1e6)
+         |    AS BIGINT)) AS BIGINT) AS sum_fp
+         |  FROM hb JOIN cnt c USING(head, "next") JOIN hn h USING(head)
+         |  GROUP BY 1, 2),
+         |m AS (SELECT doc_id, source, n_bi, sum_fp // n_bi AS mean_fp FROM pd)
+         |SELECT source, count(*) AS n_docs,
+         |CAST(sum(CASE WHEN mean_fp < 33000 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_low,
+         |round(CAST(sum(mean_fp) AS DOUBLE)/count(*)/1e6, 6) AS avg_mean_p
+         |FROM m GROUP BY source ORDER BY source""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

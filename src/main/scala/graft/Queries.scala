@@ -2508,6 +2508,49 @@ object Queries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Corpus-LM quality filter — the (simplified, honestly-exact)
+    * KenLM-style pretraining filter: score every document by the MEAN
+    * corpus-bigram probability of its bigram stream (p = c(head,next)
+    * / c(head) from the corpus-wide occurrence counts), flag docs
+    * below a floor. Perplexity proper needs logs (libm-dependent —
+    * not oracle-portable); the mean-probability form keeps the exact
+    * same ranking intent in pure rational arithmetic: per-bigram p
+    * rounds to 6 dp, rides as fixed-point micro-units, per-doc mean is
+    * an integer division, so every score is bit-identical across
+    * engines and partitionings. One bigram explode feeds both the LM
+    * counts and the per-doc scoring (persisted — the [[Caches]]
+    * multi-consumer rule). */
+  def q119LmQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docBi = graft.operators.Caches.persistTracked(
+      t(spark, dir).documents
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(shingles(col("tk"), 2)).as("bg"))
+        .select(col("doc_id"), col("source"),
+          split(col("bg"), " ").getItem(0).as("head"),
+          split(col("bg"), " ").getItem(1).as("next")))
+    val cnt = graft.operators.Caches.persistTracked(
+      docBi.groupBy(col("head"), col("next")).agg(count(lit(1)).as("n")))
+    val headN = cnt.groupBy(col("head")).agg(sum(col("n")).as("head_n"))
+    val perDoc = docBi
+      .join(cnt, Seq("head", "next"))
+      .join(headN, Seq("head"))
+      .withColumn("p_fp",
+        round(round(col("n").cast("double") / col("head_n"), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bi"), sum(col("p_fp")).as("sum_fp"))
+      .withColumn("mean_fp", expr("sum_fp div n_bi"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mean_fp") < 33000L, 1L).otherwise(0L)).as("n_low"),
+        round(sum(col("mean_fp")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_mean_p"))
+      .orderBy(col("source"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2628,5 +2671,6 @@ object Queries {
     "q115_quantized_ann" -> (q115QuantizedAnn _),
     "q116_incremental_pairs" -> (q116IncrementalPairs _),
     "q117_cluster_split" -> (q117ClusterSplit _),
-    "q118_embed_pipeline" -> (q118EmbedPipeline _))
+    "q118_embed_pipeline" -> (q118EmbedPipeline _),
+    "q119_lm_quality" -> (q119LmQualityFilter _))
 }

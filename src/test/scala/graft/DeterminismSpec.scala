@@ -37,7 +37,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q115_quantized_ann",     // integer-dot gate + float rerank
     "q116_incremental_pairs", // existing ∪ delta must equal full mine
     "q117_cluster_split",     // cluster-keyed md5 split + leakage count
-    "q118_embed_pipeline")    // CC over materialized embedding pairs
+    "q118_embed_pipeline",    // CC over materialized embedding pairs
+    "q119_lm_quality")        // fixed-point mean bigram probability
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
