@@ -2049,7 +2049,24 @@ object Oracles {
          |CAST(sum(CASE WHEN mean_fp < 33000 THEN 1 ELSE 0 END) AS BIGINT)
          |  AS n_low,
          |round(CAST(sum(mean_fp) AS DOUBLE)/count(*)/1e6, 6) AS avg_mean_p
-         |FROM m GROUP BY source ORDER BY source""".stripMargin)
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q120_pair_source_matrix" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |jj AS (SELECT id_a, id_b,
+         |  round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
+         |  FROM prs
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |sx AS (SELECT j.jaccard,
+         |  least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b
+         |  FROM jj j JOIN documents da ON j.id_a = da.doc_id
+         |  JOIN documents db ON j.id_b = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |round(min(jaccard), 4) AS min_jaccard,
+         |round(max(jaccard), 4) AS max_jaccard
+         |FROM sx GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

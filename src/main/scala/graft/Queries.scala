@@ -2551,6 +2551,34 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Cross-source NEAR-dup matrix — q99's contamination question asked
+    * of near-duplicates instead of exact prefixes: which source pairs
+    * share jaccard-near-dup documents, at what strength. A pure
+    * derivation over the materialized pair table (two broadcast-scale
+    * joins to fetch endpoint sources, one rollup) — another consumer
+    * that costs nothing extra because the mining is shared. Source
+    * pairs are emitted in canonical (least, greatest) order so within-
+    * source and cross-source rows aggregate deterministically. */
+  def q120PairSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.PairTable.pairs(spark, dir)
+    val src = t(spark, dir).documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 4).as("min_jaccard"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2672,5 +2700,6 @@ object Queries {
     "q116_incremental_pairs" -> (q116IncrementalPairs _),
     "q117_cluster_split" -> (q117ClusterSplit _),
     "q118_embed_pipeline" -> (q118EmbedPipeline _),
-    "q119_lm_quality" -> (q119LmQualityFilter _))
+    "q119_lm_quality" -> (q119LmQualityFilter _),
+    "q120_pair_source_matrix" -> (q120PairSourceMatrix _))
 }

@@ -38,7 +38,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q116_incremental_pairs", // existing ∪ delta must equal full mine
     "q117_cluster_split",     // cluster-keyed md5 split + leakage count
     "q118_embed_pipeline",    // CC over materialized embedding pairs
-    "q119_lm_quality")        // fixed-point mean bigram probability
+    "q119_lm_quality",        // fixed-point mean bigram probability
+    "q120_pair_source_matrix") // canonical source-pair rollup
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
