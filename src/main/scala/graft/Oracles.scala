@@ -2066,7 +2066,67 @@ object Oracles {
          |round(min(jaccard), 4) AS min_jaccard,
          |round(max(jaccard), 4) AS max_jaccard
          |FROM sx GROUP BY source_a, source_b
-         |ORDER BY source_a, source_b""".stripMargin)
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // q121: 5-gram spans (distinct per doc, mirroring WordShingles);
+    // coverage as floor-division basis points — `//` == Spark `div`
+    // on the non-negative values here
+    "q121_repeated_spans" ->
+      s"""WITH tok AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+         |sh0 AS (SELECT doc_id, source,
+         |  list_distinct(CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)-3),
+         |      i -> array_to_string(tk[i:i+4], ' ')) END) AS sh FROM tok),
+         |ss AS (SELECT doc_id, source, sh, len(sh) AS n_sh
+         |  FROM sh0 WHERE len(sh) > 0),
+         |post AS (SELECT doc_id, source, n_sh, unnest(sh) AS shingle FROM ss),
+         |dfb AS (SELECT shingle, count(*) AS df FROM post GROUP BY shingle),
+         |pd AS (SELECT p.doc_id, p.source, p.n_sh,
+         |  sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM post p JOIN dfb d ON p.shingle = d.shingle
+         |  GROUP BY 1, 2, 3),
+         |cv AS (SELECT source, (10000 * n_dup) // n_sh AS cov_bp FROM pd)
+         |SELECT source, count(*) AS n_docs,
+         |CAST(sum(CASE WHEN cov_bp >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_flagged,
+         |round(CAST(sum(cov_bp) AS DOUBLE)/count(*)/1e4, 6) AS avg_coverage
+         |FROM cv GROUP BY source ORDER BY source""".stripMargin,
+
+    "q122_bpe_pairs" ->
+      s"""WITH wf AS (SELECT w, count(*) AS f
+         |  FROM (SELECT unnest($TOKS) AS w FROM documents) GROUP BY w),
+         |pr AS (SELECT f, list_transform(range(1, length(w)),
+         |  i -> substr(w, CAST(i AS INT), 2)) AS ps
+         |  FROM wf WHERE length(w) >= 2),
+         |px AS (SELECT unnest(ps) AS pair, f FROM pr)
+         |SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM px
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // q123: thresholds as integer basis points; id_a < id_b in the
+    // mined pairs, so DISTINCT id_b == keep-lowest-id drops
+    "q123_retention_sweep" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |jb AS (SELECT id_a, id_b,
+         |  CAST(round(round(CAST(shared AS DOUBLE)/(na+nb-shared), 4)
+         |    * 10000) AS INT) AS bp
+         |  FROM prs
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |th AS (SELECT unnest([2000, 3000, 4000, 5000, 6000, 7000,
+         |  8000, 9000]) AS threshold_bp),
+         |e AS (SELECT t.threshold_bp, j.id_a, j.id_b
+         |  FROM jb j JOIN th t ON j.bp >= t.threshold_bp),
+         |a1 AS (SELECT threshold_bp, count(*) AS n_pairs,
+         |  count(DISTINCT id_b) AS n_dropped FROM e GROUP BY 1),
+         |ex AS (SELECT threshold_bp, id_a AS did FROM e
+         |  UNION ALL SELECT threshold_bp, id_b FROM e),
+         |a2 AS (SELECT threshold_bp, count(DISTINCT did) AS n_docs_touched
+         |  FROM ex GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM documents)
+         |SELECT a1.threshold_bp, a1.n_pairs, a2.n_docs_touched,
+         |a1.n_dropped,
+         |round(1.0e0 - CAST(a1.n_dropped AS DOUBLE)/n_total, 4) AS retention
+         |FROM a1 JOIN a2 USING (threshold_bp) CROSS JOIN tot
+         |ORDER BY threshold_bp""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

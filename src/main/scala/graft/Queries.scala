@@ -2579,6 +2579,104 @@ object Queries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Repeated-span coverage — the exact-substring dedup signal of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2021) at word-5-gram granularity: for every doc, the
+    * fraction of its distinct 5-gram spans that also occur in at least
+    * one OTHER document, rolled up per source. One posting-list build
+    * (the shared inverted-index shape); the df count and join-back key
+    * on xxhash64(span) so both shuffles carry 16-byte fixed-width rows
+    * instead of ~40-char strings. Coverage rides as integer basis
+    * points (floor division) so the per-source mean is an exact
+    * integer sum — no float accumulation across rows. Docs with fewer
+    * than 5 words have no spans and are excluded (mirrored in the
+    * oracle). */
+  def q121RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val post = graft.operators.Caches.persistTracked(
+      Dedup.shingleSets(t(spark, dir).documents, "doc_id", "text", 5)
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("n_sh"),
+          xxhash64(col("shingle")).as("sh_key")))
+    val dfTab = post.groupBy(col("sh_key")).agg(count(lit(1)).as("df"))
+    val perDoc = post
+      .join(dfTab, Seq("sh_key"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("cov_bp", expr("(10000 * n_dup) div n_sh"))
+    perDoc
+      .join(t(spark, dir).documents.select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cov_bp") >= 5000L, 1L).otherwise(0L)).as("n_flagged"),
+        round(sum(col("cov_bp")).cast("double") / count(lit(1)) / 1e4, 6)
+          .as("avg_coverage"))
+      .orderBy(col("source"))
+  }
+
+  /** BPE first-merge vocab induction: the pair-frequency table the
+    * byte-pair-encoding training loop is built around — per-word
+    * adjacent character pairs weighted by corpus word frequency, top
+    * 20 by weighted count. The full BPE loop re-counts after each
+    * merge (inherently sequential); the COUNTING step is the
+    * distributed part and is what this query proves: one token
+    * explode → word-frequency table → pair explode over DISTINCT
+    * words only (the standard BPE-training trick — work scales with
+    * vocabulary, not corpus size). Total order by (count desc, pair)
+    * so the top-20 cut is deterministic. */
+  def q122BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = t(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .where(length(col("w")) >= 2)
+    wf.select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** Near-dup retention curve — the threshold-tuning artifact every
+    * dedup pipeline produces before committing to a cutoff: sweep
+    * jaccard thresholds 0.2..0.9 over the MATERIALIZED pair table and
+    * report, per threshold, surviving pair count, docs touched, docs
+    * dropped under the keep-lowest-id policy (the mined table emits
+    * id_a < id_b, so dropping distinct id_b IS that policy — the
+    * standard first-pass heuristic; the transitively-exact CC form is
+    * q111/q85), and corpus retention. Thresholds ride as integer
+    * basis points so no float comparison crosses engines. Another
+    * zero-marginal-cost pipeline consumer: 8 thresholds × pairs is a
+    * few thousand rows at any corpus size, because it sweeps the
+    * PAIRS, not the corpus. */
+  def q123RetentionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.PairTable.pairs(spark, dir)
+      .withColumn("bp", round(col("jaccard") * 10000).cast("int"))
+    val thresholds = array((2 to 9).map(k => lit(k * 1000)): _*)
+    val e = graft.operators.Caches.persistTracked(
+      pairs
+        .select(explode(thresholds).as("threshold_bp"),
+          col("id_a"), col("id_b"), col("bp"))
+        .where(col("bp") >= col("threshold_bp")))
+    val a1 = e.groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+    val a2 = e
+      .select(col("threshold_bp"),
+        explode(array(col("id_a"), col("id_b"))).as("did"))
+      .groupBy(col("threshold_bp"))
+      .agg(countDistinct(col("did")).as("n_docs_touched"))
+    val total = t(spark, dir).documents.agg(count(lit(1)).as("n_total"))
+    a1.join(a2, Seq("threshold_bp"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold_bp"), col("n_pairs"), col("n_docs_touched"),
+        col("n_dropped"),
+        round(lit(1.0) - col("n_dropped").cast("double") / col("n_total"), 4)
+          .as("retention"))
+      .orderBy(col("threshold_bp"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2701,5 +2799,8 @@ object Queries {
     "q117_cluster_split" -> (q117ClusterSplit _),
     "q118_embed_pipeline" -> (q118EmbedPipeline _),
     "q119_lm_quality" -> (q119LmQualityFilter _),
-    "q120_pair_source_matrix" -> (q120PairSourceMatrix _))
+    "q120_pair_source_matrix" -> (q120PairSourceMatrix _),
+    "q121_repeated_spans" -> (q121RepeatedSpans _),
+    "q122_bpe_pairs" -> (q122BpePairs _),
+    "q123_retention_sweep" -> (q123RetentionSweep _))
 }

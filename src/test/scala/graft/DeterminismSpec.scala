@@ -39,7 +39,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q117_cluster_split",     // cluster-keyed md5 split + leakage count
     "q118_embed_pipeline",    // CC over materialized embedding pairs
     "q119_lm_quality",        // fixed-point mean bigram probability
-    "q120_pair_source_matrix") // canonical source-pair rollup
+    "q120_pair_source_matrix", // canonical source-pair rollup
+    "q121_repeated_spans",    // floor-division basis points, exact sums
+    "q123_retention_sweep")   // keep-lowest-id drops per threshold
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
