@@ -2126,7 +2126,38 @@ object Oracles {
          |a1.n_dropped,
          |round(1.0e0 - CAST(a1.n_dropped AS DOUBLE)/n_total, 4) AS retention
          |FROM a1 JOIN a2 USING (threshold_bp) CROSS JOIN tot
-         |ORDER BY threshold_bp""".stripMargin)
+         |ORDER BY threshold_bp""".stripMargin,
+
+    "q124_training_order" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  md5('order|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |  PARTITION BY source ORDER BY h, doc_id) AS position FROM s)
+        |SELECT position, source, doc_id FROM r
+        |ORDER BY position, source LIMIT 24""".stripMargin,
+
+    // q125: quality fixed-point mirrors q95's score CTE; per-lang
+    // top-50 by (q_fp desc, doc_id)
+    "q125_quota_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id, lang, len(toks) AS n,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) AS stop_hits,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq_cnt FROM d),
+         |q AS (SELECT doc_id, lang, n AS ws,
+         |  CAST(round(round((CASE WHEN n=0 THEN 0.0 ELSE uniq_cnt/n END)*0.5
+         |   + (1.0-(CASE WHEN n=0 THEN 0.0 ELSE stop_hits/n END))*0.3
+         |   + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4)*10000) AS BIGINT)
+         |    AS q_fp FROM m),
+         |r AS (SELECT lang, ws, q_fp, row_number() OVER (
+         |  PARTITION BY lang ORDER BY q_fp DESC, doc_id) AS rn FROM q)
+         |SELECT lang, count(*) AS n_avail,
+         |CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
+         |CAST(sum(CASE WHEN rn <= 50 THEN ws ELSE 0 END) AS BIGINT)
+         |  AS taken_tokens,
+         |round(CAST(sum(CASE WHEN rn <= 50 THEN q_fp ELSE 0 END) AS DOUBLE)
+         |  / sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) / 1e4, 4)
+         |  AS avg_q_taken
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

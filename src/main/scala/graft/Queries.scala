@@ -2677,6 +2677,59 @@ object Queries {
       .orderBy(col("threshold_bp"))
   }
 
+  /** Deterministic interleaved training order — the last step of a
+    * data pipeline: the global schedule the trainer reads. Each doc
+    * gets a per-source position by hash order (md5 keyed on doc_id —
+    * a seeded shuffle reproducible on any cluster), and the global
+    * order is (position, source): all the position-1 docs across
+    * sources first, then position 2, … — round-robin interleaving
+    * without any cross-partition coordination. The window is
+    * PARTITIONED by source (never global); the head of the schedule
+    * is the checkable output — at any corpus size the plan is one
+    * keyed window plus a TakeOrderedAndProject. */
+  def q124TrainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    t(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws("|", lit("order"), col("doc_id"))).as("h"))
+      .withColumn("position", row_number().over(w))
+      .select(col("position"), col("source"), col("doc_id"))
+      .orderBy(col("position"), col("source"))
+      .limit(24)
+  }
+
+  /** Exact-quota stratified sample — mixture REALIZATION, where q95 is
+    * mixture estimation: take exactly min(50, available) docs per
+    * language, best quality first (hash-free: quality fixed-point
+    * desc, doc_id tie-break), and report the realized quota fill.
+    * Bernoulli sampling (q95) only hits proportions in expectation;
+    * curated mixtures need exact per-stratum counts, which is a
+    * per-stratum top-k — WindowGroupLimit shape, partitioned by the
+    * stratum, never a global sort. Quality rides as fixed-point
+    * 1e4-units so the per-stratum mean is an exact integer sum. */
+  def q125QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        wordCount(col("text")).cast("long").as("ws"),
+        round(qualityScore(tokens(col("text"))) * 10000).cast("long")
+          .as("q_fp"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("q_fp").desc, col("doc_id"))
+    base.withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_avail"),
+        sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_taken"),
+        sum(when(col("rn") <= 50, col("ws")).otherwise(0L))
+          .as("taken_tokens"),
+        round(sum(when(col("rn") <= 50, col("q_fp")).otherwise(0L))
+            .cast("double")
+          / sum(when(col("rn") <= 50, 1L).otherwise(0L)) / 1e4, 4)
+          .as("avg_q_taken"))
+      .orderBy(col("lang"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2802,5 +2855,7 @@ object Queries {
     "q120_pair_source_matrix" -> (q120PairSourceMatrix _),
     "q121_repeated_spans" -> (q121RepeatedSpans _),
     "q122_bpe_pairs" -> (q122BpePairs _),
-    "q123_retention_sweep" -> (q123RetentionSweep _))
+    "q123_retention_sweep" -> (q123RetentionSweep _),
+    "q124_training_order" -> (q124TrainingOrder _),
+    "q125_quota_sample" -> (q125QuotaSample _))
 }

@@ -41,7 +41,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q119_lm_quality",        // fixed-point mean bigram probability
     "q120_pair_source_matrix", // canonical source-pair rollup
     "q121_repeated_spans",    // floor-division basis points, exact sums
-    "q123_retention_sweep")   // keep-lowest-id drops per threshold
+    "q123_retention_sweep",   // keep-lowest-id drops per threshold
+    "q124_training_order",    // hash-order interleave head
+    "q125_quota_sample")      // fixed-point quality quota fill
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
