@@ -2709,24 +2709,29 @@ object Queries {
     * stratum, never a global sort. Quality rides as fixed-point
     * 1e4-units so the per-stratum mean is an exact integer sum. */
   def q125QuotaSample(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir).documents
-      .select(col("doc_id"), col("lang"),
-        wordCount(col("text")).cast("long").as("ws"),
-        round(qualityScore(tokens(col("text"))) * 10000).cast("long")
-          .as("q_fp"))
+    val base = graft.operators.Caches.persistTracked(
+      t(spark, dir).documents
+        .select(col("doc_id"), col("lang"),
+          wordCount(col("text")).cast("long").as("ws"),
+          round(qualityScore(tokens(col("text"))) * 10000).cast("long")
+            .as("q_fp")))
+    val avail = base.groupBy(col("lang")).agg(count(lit(1)).as("n_avail"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("q_fp").desc, col("doc_id"))
-    base.withColumn("rn", row_number().over(w))
+    // rank-filter directly over the window so Catalyst rewrites it to
+    // WindowGroupLimit: each map task keeps only its local top-50 per
+    // stratum BEFORE the exchange — the corpus never fully sorts
+    val taken = base.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 50)
       .groupBy(col("lang"))
       .agg(
-        count(lit(1)).as("n_avail"),
-        sum(when(col("rn") <= 50, 1L).otherwise(0L)).as("n_taken"),
-        sum(when(col("rn") <= 50, col("ws")).otherwise(0L))
-          .as("taken_tokens"),
-        round(sum(when(col("rn") <= 50, col("q_fp")).otherwise(0L))
-            .cast("double")
-          / sum(when(col("rn") <= 50, 1L).otherwise(0L)) / 1e4, 4)
+        count(lit(1)).as("n_taken"),
+        sum(col("ws")).as("taken_tokens"),
+        round(sum(col("q_fp")).cast("double") / count(lit(1)) / 1e4, 4)
           .as("avg_q_taken"))
+    avail.join(taken, Seq("lang"))
+      .select(col("lang"), col("n_avail"), col("n_taken"),
+        col("taken_tokens"), col("avg_q_taken"))
       .orderBy(col("lang"))
   }
 
