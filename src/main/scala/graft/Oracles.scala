@@ -2157,7 +2157,37 @@ object Oracles {
          |round(CAST(sum(CASE WHEN rn <= 50 THEN q_fp ELSE 0 END) AS DOUBLE)
          |  / sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) / 1e4, 4)
          |  AS avg_q_taken
-         |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q126: the oracle builds the histogram ONE-SHOT from raw rows;
+    // matching the engine's shard-then-cell-add build IS the
+    // merge ≡ rebuild proof (q114 pattern). Integer rank arithmetic;
+    // e-notation float literals (DuckDB decimal-literal gotcha)
+    "q126_histogram_quantiles" ->
+      """WITH b AS (SELECT event_type,
+        |  least(49, CAST(floor(value/10) AS INT)) AS bin FROM events),
+        |m AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |  FROM m GROUP BY 1),
+        |cu AS (SELECT event_type, bin, c, sum(c) OVER (
+        |  PARTITION BY event_type ORDER BY bin) AS cum FROM m),
+        |p AS (SELECT unnest([50, 90, 99]) AS p_pct),
+        |k AS (SELECT cu.event_type, cu.bin, cu.c, cu.cum, t.n, p.p_pct,
+        |  (p.p_pct * t.n + 99) // 100 AS kk
+        |  FROM cu JOIN t USING (event_type) CROSS JOIN p),
+        |s AS (SELECT event_type, p_pct, n,
+        |  round(bin*10 + 1.0e1*(kk - (cum - c))/c, 4) AS est_value
+        |  FROM k WHERE cum - c < kk AND kk <= cum),
+        |e AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS e50,
+        |  round(quantile_cont(value, 0.9), 4) AS e90,
+        |  round(quantile_cont(value, 0.99), 4) AS e99
+        |  FROM events GROUP BY 1)
+        |SELECT s.event_type, s.p_pct, s.n, s.est_value,
+        |CASE WHEN s.p_pct = 50 THEN e.e50 WHEN s.p_pct = 90 THEN e.e90
+        |  ELSE e.e99 END AS exact_value
+        |FROM s JOIN e USING (event_type)
+        |ORDER BY s.event_type, s.p_pct""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

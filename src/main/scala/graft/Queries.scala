@@ -2735,6 +2735,54 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Mergeable quantile sketch — completes the portable-sketch family
+    * (q106 count-min, q107 HLL, q108 Bloom) with the fourth classic:
+    * a fixed-bin histogram whose merge is cell-add, the multi-day-
+    * rollup quantile shape at 100 TB (exact percentile needs the
+    * sorted data; bin counts need 50 longs per group). Built per
+    * day-parity shard, merged by cell addition, then quantiles are
+    * estimated by linear interpolation inside the k-th-count bin with
+    * INTEGER rank arithmetic (k = ceil(pct·n/100) as (pct·n+99) div
+    * 100 — no float ceil at the boundary) and one final division.
+    * The oracle builds the same sketch ONE-SHOT from the raw rows, so
+    * the hash check IS the merge ≡ rebuild proof (the q114 pattern),
+    * and the exact percentile rides along so the approximation error
+    * is visible in the checked output. */
+  def q126HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val binned = ev.select(col("event_type"),
+      (dayofmonth(col("ts")) % 2).as("shard"),
+      least(lit(49), floor(col("value") / 10).cast("int")).as("bin"))
+    val perShard = binned
+      .groupBy(col("event_type"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val merged = graft.operators.Caches.persistTracked(
+      perShard.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("c")).as("c")))
+    val tot = merged.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val est = merged
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .join(tot, Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("c"), col("cum"),
+        col("n"), explode(array(lit(50), lit(90), lit(99))).as("p_pct"))
+      .withColumn("k", expr("(p_pct * n + 99) div 100"))
+      .where(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      .withColumn("est_value", round(col("bin") * 10
+        + lit(10.0) * (col("k") - (col("cum") - col("c"))).cast("double")
+          / col("c"), 4))
+    val exact = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.5)").as("e50"),
+      expr("percentile(value, 0.9)").as("e90"),
+      expr("percentile(value, 0.99)").as("e99"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("p_pct"), col("n"), col("est_value"),
+        round(when(col("p_pct") === 50, col("e50"))
+          .when(col("p_pct") === 90, col("e90"))
+          .otherwise(col("e99")), 4).as("exact_value"))
+      .orderBy(col("event_type"), col("p_pct"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2862,5 +2910,6 @@ object Queries {
     "q122_bpe_pairs" -> (q122BpePairs _),
     "q123_retention_sweep" -> (q123RetentionSweep _),
     "q124_training_order" -> (q124TrainingOrder _),
-    "q125_quota_sample" -> (q125QuotaSample _))
+    "q125_quota_sample" -> (q125QuotaSample _),
+    "q126_histogram_quantiles" -> (q126HistogramQuantiles _))
 }

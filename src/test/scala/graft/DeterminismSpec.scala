@@ -43,7 +43,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q121_repeated_spans",    // floor-division basis points, exact sums
     "q123_retention_sweep",   // keep-lowest-id drops per threshold
     "q124_training_order",    // hash-order interleave head
-    "q125_quota_sample")      // fixed-point quality quota fill
+    "q125_quota_sample",      // fixed-point quality quota fill
+    "q126_histogram_quantiles") // integer-rank bin interpolation
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
