@@ -889,6 +889,59 @@ class StreamingSpec extends AnyFunSuite {
       s"maintained table diverged: ${got.length} vs ${full.length} pairs")
   }
 
+  test("streaming sketch maintenance: histogram cell-add over " +
+      "micro-batches equals the batch build (q126 shape)") {
+    // the mergeable-sketch streaming story: because the q126 histogram
+    // merge is cell addition (a commutative monoid), maintaining it
+    // under a stream is just folding each micro-batch's bin counts
+    // into the running sketch — no rescan, no state store. After the
+    // backlog drains, the maintained cells must EQUAL the one-shot
+    // batch build, the same merge ≡ rebuild contract q126's oracle
+    // checks cross-engine.
+    val ev = Queries.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"event_type", $"value")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-hist-src").toString
+    val chkDir = java.nio.file.Files
+      .createTempDirectory("graft-hist-chk").toString
+    (0 until 3).foreach { i =>
+      ev.where(pmod($"event_id", lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val sketch = scala.collection.concurrent.TrieMap[(String, Int), Long]()
+    val bin = least(lit(49), floor($"value" / 10).cast("int"))
+    val q = spark.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // engine-side partial aggregation; only sketch cells cross to
+        // the driver (O(types × bins), corpus-size-independent)
+        batch.select($"event_type", bin.as("bin"))
+          .groupBy($"event_type", $"bin").count()
+          .collect().foreach { r =>
+            val k = (r.getString(0), r.getInt(1))
+            sketch.updateWith(k) {
+              case Some(c) => Some(c + r.getLong(2))
+              case None => Some(r.getLong(2))
+            }: Unit
+          }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val batchBuild = ev.select($"event_type", bin.as("bin"))
+      .groupBy($"event_type", $"bin").count()
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sketch.nonEmpty)
+    assert(sketch.toMap === batchBuild,
+      s"maintained sketch diverged: ${sketch.size} vs ${batchBuild.size} cells")
+  }
+
   test("backpressure: maxFilesPerTrigger bounds every micro-batch " +
       "under a backlog (progress-log proof)") {
     // the file-source analog of Kafka's maxOffsetsPerTrigger (SURVEY §4
