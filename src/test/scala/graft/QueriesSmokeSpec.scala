@@ -40,4 +40,21 @@ class QueriesSmokeSpec extends AnyFunSuite {
         s"${r.getString(0)}: approx=$approx exact=$exact relErr=$relErr")
     }
   }
+
+  test("q126: histogram quantile estimate lands within one bin width " +
+      "of the exact percentile") {
+    // the oracle proves both engines compute the same sketch; this
+    // pins the APPROXIMATION claim — a fixed-bin histogram's quantile
+    // estimate cannot miss the true quantile by more than the width
+    // of the bin that contains it (10 value units here), at the
+    // bigger sf0.01 so per-type counts are meaningful
+    val rows = SparkEntry.queries("q126_histogram_quantiles")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 15) // 5 event types x 3 quantiles
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(est - exact) <= 10.0,
+        s"${r.getString(0)} p${r.getInt(1)}: est=$est exact=$exact")
+    }
+  }
 }
