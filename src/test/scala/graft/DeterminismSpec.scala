@@ -44,7 +44,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q123_retention_sweep",   // keep-lowest-id drops per threshold
     "q124_training_order",    // hash-order interleave head
     "q125_quota_sample",      // fixed-point quality quota fill
-    "q126_histogram_quantiles") // integer-rank bin interpolation
+    "q126_histogram_quantiles", // integer-rank bin interpolation
+    "q127_modality_agreement") // pair-table full-outer flag sums
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
