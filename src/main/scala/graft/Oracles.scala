@@ -2224,7 +2224,38 @@ object Oracles {
          |  ELSE CAST(n_both AS DOUBLE)/n_embed_pairs END, 4) AS precision_embed,
          |round(CASE WHEN n_text_pairs = 0 THEN 0.0e0
          |  ELSE CAST(n_both AS DOUBLE)/n_text_pairs END, 4) AS recall_text
-         |FROM ag""".stripMargin)
+         |FROM ag""".stripMargin,
+
+    // q128: the deletion cascade derives from jp (pairs) and lab
+    // (CC labels) of the shared closure
+    "q128_forget_cascade" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |nf AS (SELECT CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_forgotten FROM documents),
+         |ni AS (SELECT CAST(sum(CASE WHEN id_a % 97 = 0 OR id_b % 97 = 0
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_invalidated FROM jp),
+         |af AS (SELECT DISTINCT cluster_id FROM lab WHERE doc_id % 97 = 0),
+         |na AS (SELECT count(*) AS n_affected_clusters FROM af),
+         |no AS (SELECT CAST(sum(CASE WHEN l.doc_id % 97 <> 0 THEN 1 ELSE 0
+         |  END) AS BIGINT) AS n_orphaned_survivors
+         |  FROM lab l JOIN af ON l.cluster_id = af.cluster_id)
+         |SELECT n_forgotten, n_pairs_invalidated, n_affected_clusters,
+         |n_orphaned_survivors
+         |FROM nf CROSS JOIN ni CROSS JOIN na CROSS JOIN no""".stripMargin,
+
+    // q129: vocab = top-256 tokens (count desc, token asc — a
+    // deterministic cut); OOV measured on occurrences
+    "q129_oov_rate" ->
+      s"""WITH tok AS (SELECT source, unnest($TOKS) AS token FROM documents),
+         |vc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token
+         |  ORDER BY cnt DESC, token LIMIT 256)
+         |SELECT t.source, count(*) AS n_tokens,
+         |CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_oov,
+         |round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |  AS DOUBLE)/count(*), 4) AS oov_rate
+         |FROM tok t LEFT JOIN vc v ON t.token = v.token
+         |GROUP BY t.source ORDER BY t.source""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2822,6 +2822,62 @@ object Queries {
         .as("recall_text"))
   }
 
+  /** Right-to-be-forgotten cascade — the data-governance question at
+    * 100 TB: given a deletion set (here the deterministic slice
+    * doc_id % 97 == 0), what does the forget actually touch?
+    * Forgotten docs, near-dup pairs invalidated (either endpoint
+    * forgotten), clusters affected, and surviving members of those
+    * clusters that need re-labeling once the edges vanish. Every
+    * count derives from the MATERIALIZED pair table and its CC labels
+    * — the cascade costs a label fixpoint plus flag sums, never a
+    * re-mine. */
+  def q128ForgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    val forgotten = col("doc_id") % 97 === 0
+    val nForgotten = t(spark, dir).documents
+      .agg(sum(when(forgotten, 1L).otherwise(0L)).as("n_forgotten"))
+    val pairs = graft.operators.PairTable.pairs(spark, dir)
+    val nInvalid = pairs
+      .agg(sum(when(col("id_a") % 97 === 0 || col("id_b") % 97 === 0, 1L)
+        .otherwise(0L)).as("n_pairs_invalidated"))
+    val labels = graft.operators.Caches.persistTracked(
+      Dedup.connectedComponents(pairs))
+    val affected = labels.where(forgotten)
+      .select(col("cluster_id")).distinct()
+    val nAffected = affected.agg(count(lit(1)).as("n_affected_clusters"))
+    val nOrphaned = labels
+      .join(affected, Seq("cluster_id"), "left_semi")
+      .agg(sum(when(!forgotten, 1L).otherwise(0L)).as("n_orphaned_survivors"))
+    nForgotten.crossJoin(broadcast(nInvalid))
+      .crossJoin(broadcast(nAffected))
+      .crossJoin(broadcast(nOrphaned))
+  }
+
+  /** Vocabulary OOV rate — the tokenizer-fit metric: fix the vocab at
+    * the corpus's top-256 tokens (total order: count desc, token asc,
+    * so the cut is deterministic) and measure, per source, the
+    * fraction of token OCCURRENCES falling outside it. One token
+    * explode feeds both the vocab induction and the scoring (persisted
+    * — the multi-consumer rule); the vocab rides a broadcast into the
+    * scoring pass, so the corpus-side plan is one Generate + one
+    * keyed rollup at any scale. */
+  def q129OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.operators.Caches.persistTracked(
+      t(spark, dir).documents
+        .select(col("source"), explode(tokens(col("text"))).as("token")))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(256)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("source"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2951,5 +3007,7 @@ object Queries {
     "q124_training_order" -> (q124TrainingOrder _),
     "q125_quota_sample" -> (q125QuotaSample _),
     "q126_histogram_quantiles" -> (q126HistogramQuantiles _),
-    "q127_modality_agreement" -> (q127ModalityAgreement _))
+    "q127_modality_agreement" -> (q127ModalityAgreement _),
+    "q128_forget_cascade" -> (q128ForgetCascade _),
+    "q129_oov_rate" -> (q129OovRate _))
 }

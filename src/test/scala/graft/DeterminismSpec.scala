@@ -45,7 +45,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q124_training_order",    // hash-order interleave head
     "q125_quota_sample",      // fixed-point quality quota fill
     "q126_histogram_quantiles", // integer-rank bin interpolation
-    "q127_modality_agreement") // pair-table full-outer flag sums
+    "q127_modality_agreement", // pair-table full-outer flag sums
+    "q128_forget_cascade",    // CC labels + deletion flag sums
+    "q129_oov_rate")          // deterministic top-256 vocab cut
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
