@@ -18,6 +18,26 @@ class ContractSpec extends AnyFunSuite {
     assert(oracles -- queries === Set.empty)
   }
 
+  test("q87 concurrent catalog runs in one session do not race on " +
+      "temp views") {
+    // the round-3 verdict nit: unscoped createOrReplaceTempView names
+    // would let a second concurrent run swap tables mid-query. The fix
+    // scopes view names per run; this drives 4 simultaneous q87s
+    // through the SHARED session and requires identical results
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = "/root/testdata/sf0.001"
+    val expected = Queries.all("q87_sql_subqueries")(spark, dir)
+      .collect().toSeq
+    val runs = Future.sequence(Seq.fill(4)(Future {
+      Queries.all("q87_sql_subqueries")(spark, dir).collect().toSeq
+    }))
+    Await.result(runs, 120.seconds).foreach { got =>
+      assert(got === expected)
+    }
+  }
+
   test("query names follow the qNN(N)_snake format, no duplicates") {
     // 2- or 3-digit id (the catalog outgrew q99); lexicographic sorting
     // puts q100 next to q10 — cosmetic only, nothing keys on order.

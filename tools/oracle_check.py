@@ -24,7 +24,9 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table (e.g. GenData output)
+            con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
