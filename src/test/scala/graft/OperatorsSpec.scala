@@ -263,6 +263,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing detection guarantee: any shared substring of length " +
+      ">= w+t-1 yields a shared fingerprint (property)") {
+    // the Schleimer/Wilkerson/Aiken theorem q58's blocking RELIES on:
+    // with window w and winnow width t, two documents sharing any
+    // substring of length >= w+t-1 must share at least one selected
+    // fingerprint — the t-hash run fully inside the shared region has
+    // the same minimum in both documents, and winnowing selects every
+    // window's minimum. Checked kernel-direct (no Spark jobs) on
+    // random strings with a planted shared chunk at random offsets.
+    import org.scalacheck.Gen
+    import org.apache.spark.unsafe.types.UTF8String
+    val (w, t) = (8, 4)
+    val alpha = Gen.alphaNumChar
+    def str(n: Int) = Gen.stringOfN(n, alpha)
+    def sketch(s: String): Set[Long] =
+      graft.expressions.TextKernels
+        .winnowFingerprints(UTF8String.fromString(s), w, t)
+        .toLongArray().toSet
+    for (_ <- 1 to 60) {
+      val shared = sampleSure(str(w + t - 1)) // exactly the threshold
+      val (a1, a2) = (sampleSure(str(sampleSure(Gen.chooseNum(0, 40)))),
+        sampleSure(str(sampleSure(Gen.chooseNum(0, 40)))))
+      val (b1, b2) = (sampleSure(str(sampleSure(Gen.chooseNum(0, 40)))),
+        sampleSure(str(sampleSure(Gen.chooseNum(0, 40)))))
+      val (docA, docB) = (a1 + shared + a2, b1 + shared + b2)
+      val common = sketch(docA) intersect sketch(docB)
+      assert(common.nonEmpty,
+        s"no shared fingerprint for planted chunk '$shared' in " +
+          s"('$docA', '$docB')")
+    }
+  }
+
   test("winnowFingerprints: rolling kernel == direct reference on random unicode (property)") {
     import graft.expressions.TextExpressions.winnowFingerprints
     import org.scalacheck.Gen
