@@ -79,8 +79,14 @@ object Bench {
     results.foreach { case (k, v, ok) =>
       System.err.println(s"[bench] $k ${if (ok) ms(v) else "FAILED"}")
     }
+    // per-query values at 2 decimals in the JSON line (3-decimal full
+    // precision stays on stderr / BASELINE.md): at 129 queries the
+    // 3-decimal line is ~1700 chars, one catalog batch from the 1800
+    // structural-degradation cut — 2 decimals buys ~10 more queries
+    // of headroom before per-query data would drop from the line
+    def ms2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
-      "\"" + short(k) + "\":" + (if (ok) ms(v) else "-1") }
+      "\"" + short(k) + "\":" + (if (ok) ms2(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     // the like-for-like gate number (BASELINE.md): the q01-q43 subset
