@@ -19,7 +19,7 @@ class JobsSpec extends AnyFunSuite {
 
   test("streaming detection job fans out alerts + chained metrics") {
     implicit val ctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graftjob").toString
+    val dir = GraftTestSpark.tmpDir("graftjob")
     // one source instance per started query (MemoryStream is
     // single-consumer; production Kafka behaves the same way — each
     // query tracks its own offsets)
@@ -62,7 +62,7 @@ class JobsSpec extends AnyFunSuite {
   test("tweet pipelines fan out: bot metrics (SQ1-SQ5), viral/VIP, sentiment metrics") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.StreamingJobs
-    val dir = java.nio.file.Files.createTempDirectory("graftjob3").toString
+    val dir = GraftTestSpark.tmpDir("graftjob3")
     val inputs = scala.collection.mutable.ArrayBuffer[MemoryStream[String]]()
     def raw(): org.apache.spark.sql.DataFrame = {
       val in = MemoryStream[String]
@@ -102,7 +102,7 @@ class JobsSpec extends AnyFunSuite {
 
   test("sessions and dedup job topologies run over a memory source") {
     implicit val ctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graftjob2").toString
+    val dir = GraftTestSpark.tmpDir("graftjob2")
     // one MemoryStream per query — the test source is single-consumer
     val inputA = MemoryStream[String]
     val inputB = MemoryStream[String]
@@ -143,7 +143,7 @@ class JobsSpec extends AnyFunSuite {
   }
 
   test("file streaming source + AvailableNow backfills a windowed pipeline") {
-    val dir = java.nio.file.Files.createTempDirectory("graftfile").toString
+    val dir = GraftTestSpark.tmpDir("graftfile")
     // land a parquet batch as the file-source input
     Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), 1L, "error", 1.0),
@@ -220,7 +220,7 @@ class JobsSpec extends AnyFunSuite {
   }
 
   test("batch job bundle writes csv + parquet report tree") {
-    val dir = java.nio.file.Files.createTempDirectory("graftbatch").toString
+    val dir = GraftTestSpark.tmpDir("graftbatch")
     BatchJobs.run(spark, "/root/testdata/sf0.001", dir, "terms")
     val csv = spark.read.option("header", "true")
       .csv(s"$dir/terms/csv/q18_top_tokens")

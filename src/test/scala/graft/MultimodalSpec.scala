@@ -49,7 +49,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("headerless CSV source with positional rename + null repair") {
-    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    val dir = GraftTestSpark.tmpDir("graftcsv")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/data.csv"),
       "alice,,10\nbob,lima,\n")
@@ -69,7 +69,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("partitioned parquet writer produces prunable layout") {
-    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val dir = GraftTestSpark.tmpDir("graftpart")
     val df = Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "v")
     Writers.partitionedParquet(df, s"$dir/out", Seq("k"))
     assert(new java.io.File(s"$dir/out/k=a").exists())

@@ -111,7 +111,7 @@ class OperatorsSpec extends AnyFunSuite {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty,
       "fixture expects no ambient checkpoint dir")
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val dir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-ckpt"))
     sc.setCheckpointDir(dir.toString)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -40,7 +40,7 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("range-clustered write: disjoint per-file key ranges, tight stats") {
     import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
-    val dir = java.nio.file.Files.createTempDirectory("graftrange").toString
+    val dir = GraftTestSpark.tmpDir("graftrange")
     val df = Seq.tabulate(1000)(i => ((i * 7919) % 1000).toLong -> s"v$i")
       .toDF("k", "v")
     Writers.rangeClusteredParquet(df, s"$dir/out", Seq("k"), nFiles = 4)
@@ -63,7 +63,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     // Catalyst injects a dynamicpruning subquery that reuses the dim's
     // broadcast to skip fact partitions entirely — scan cost tracks the
     // SELECTED partitions, not the table
-    val dir = java.nio.file.Files.createTempDirectory("graftdpp").toString
+    val dir = GraftTestSpark.tmpDir("graftdpp")
     val tt = Tables(spark, "/root/testdata/sf0.001")
     tt.lineitem.select($"l_orderkey", $"l_quantity", $"l_returnflag")
       .write.partitionBy("l_returnflag").parquet(s"$dir/fact")

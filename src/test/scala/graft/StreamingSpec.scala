@@ -418,7 +418,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("K1: checkpointed parquet append sink writes finalized windows") {
     implicit val ctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graftk1").toString
+    val dir = GraftTestSpark.tmpDir("graftk1")
     val input = MemoryStream[String]
     val events = StreamOps.withEventTime(
       StreamOps.decodeJsonEnvelope(input.toDF()))
@@ -782,9 +782,9 @@ class StreamingSpec extends AnyFunSuite {
     // stop a checkpointed query, add data, restart the SAME pipeline
     // against the SAME checkpoint: the second run must process only
     // the new file — no re-emission of batch-1 rows, none lost
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-src")
-    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
-    val chkDir = java.nio.file.Files.createTempDirectory("graft-chk").toString
+    val srcDir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-src"))
+    val outDir = GraftTestSpark.tmpDir("graft-out")
+    val chkDir = GraftTestSpark.tmpDir("graft-chk")
     def writeFile(name: String, lines: Seq[String]): Unit =
       java.nio.file.Files.write(srcDir.resolve(name),
         String.join("\n", lines: _*).getBytes("UTF-8"))
@@ -836,9 +836,9 @@ class StreamingSpec extends AnyFunSuite {
     // EXACTLY the from-scratch mine over all docs
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
       .select($"doc_id", $"text")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-ppl-src")
+    val srcDir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-ppl-src"))
       .toString
-    val chkDir = java.nio.file.Files.createTempDirectory("graft-ppl-chk")
+    val chkDir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-ppl-chk"))
       .toString
     // stage the corpus as 3 files = 3 micro-batches under the cap
     (0 until 3).foreach { i =>
@@ -900,10 +900,8 @@ class StreamingSpec extends AnyFunSuite {
     // checks cross-engine.
     val ev = Queries.events(spark, "/root/testdata/sf0.001")
       .select($"event_id", $"event_type", $"value")
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft-hist-src").toString
-    val chkDir = java.nio.file.Files
-      .createTempDirectory("graft-hist-chk").toString
+    val srcDir = GraftTestSpark.tmpDir("graft-hist-src")
+    val chkDir = GraftTestSpark.tmpDir("graft-hist-chk")
     (0 until 3).foreach { i =>
       ev.where(pmod($"event_id", lit(3)) === i)
         .coalesce(1).write.mode("append").parquet(srcDir)
@@ -947,9 +945,9 @@ class StreamingSpec extends AnyFunSuite {
     // the file-source analog of Kafka's maxOffsetsPerTrigger (SURVEY §4
     // source tuning): a 6-file backlog with a 2-files-per-trigger cap
     // must drain as >=3 bounded batches, never one giant catch-up batch
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-bp-src")
+    val srcDir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-bp-src"))
       .toString
-    val chkDir = java.nio.file.Files.createTempDirectory("graft-bp-chk")
+    val chkDir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-bp-chk"))
       .toString
     val rowsPerFile = 100
     (0 until 6).foreach { i =>
