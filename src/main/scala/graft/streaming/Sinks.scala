@@ -71,6 +71,56 @@ object Sinks {
     }
   }
 
+  /** Durable file-backed [[IndexSink]]: one JSON-lines file per
+    * (index, partition, task attempt) under `root/index/` — the
+    * no-network stand-in for the OpenSearch role (elk_sender.py:69-128)
+    * and the concrete proof that the trait's executor contract works
+    * against a real backend. Built ON THE EXECUTOR by
+    * [[indexSinkPartitions]]' factory; each task writes a uniquely
+    * named file (partitionId + taskAttemptId) so concurrent tasks
+    * never coordinate, and delivery is at-least-once under task
+    * retries — the same contract as the reference's per-doc HTTP POST
+    * loop. In production `root` is a shared filesystem path;
+    * `ensureIndex` is create-if-absent on `_mapping.json` (K4). */
+  final class FileIndexSink(root: String) extends IndexSink
+      with Serializable {
+    private def dir(index: String): java.io.File = {
+      val d = new java.io.File(root, index)
+      d.mkdirs(); d
+    }
+    override def ensureIndex(name: String,
+        mapping: Map[String, String]): Unit = {
+      val f = new java.io.File(dir(name), "_mapping.json")
+      if (f.createNewFile()) {
+        val json = mapping.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+        java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8")): Unit
+      }
+    }
+    override def indexDocs(index: String,
+        docs: Iterator[Map[String, Any]]): Unit = {
+      val tc = org.apache.spark.TaskContext.get()
+      val part =
+        if (tc == null) "driver"
+        else s"p${tc.partitionId()}-a${tc.taskAttemptId()}"
+      val f = new java.io.File(dir(index), s"docs-$part.jsonl")
+      val w = new java.io.PrintWriter(
+        new java.io.FileWriter(f, true), false)
+      try docs.foreach { d =>
+        w.println(d.toSeq.sortBy(_._1).map { case (k, v) =>
+          s""""$k":${jsonVal(v)}""" }.mkString("{", ",", "}"))
+      } finally w.close()
+    }
+    private def jsonVal(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: Number => n.toString
+      case other =>
+        "\"" + other.toString.replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\""
+    }
+  }
+
   /** K3 DEFAULT (scale path): executor-side indexing. Each partition
     * ships its rows to the index from the task that holds them
     * (foreachPartition) — the fix for the reference's worst scale bug

@@ -491,6 +491,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts.nonEmpty && parts.forall(_ >= 0))
   }
 
+  test("K3 durable backend: FileIndexSink lands partition JSON-lines " +
+      "files + a single mapping bootstrap") {
+    // the concrete no-network IndexSink: executor tasks append to
+    // uniquely-named files (partitionId + attempt), the K4 mapping is
+    // create-if-absent — proves the trait contract against a real
+    // durable backend, not just the in-memory probe
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Sinks
+    val root = GraftTestSpark.tmpDir("graft-filesink")
+    val input = MemoryStream[String]
+    val events = StreamOps.withEventTime(
+      StreamOps.decodeJsonEnvelope(input.toDF()))
+    new Sinks.FileIndexSink(root)
+      .ensureIndex("alerts", Map("user_id" -> "long"))
+    val q = Sinks.foreachBatchSink(
+      StreamOps.errorAlerts(events).drop("ts"),
+      Sinks.indexSinkPartitions(() => new Sinks.FileIndexSink(root),
+        "alerts"))
+      .start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 5, "error", 1.0),
+        json(2, "2024-01-01 10:00:01", 6, "error", 1.0),
+        json(3, "2024-01-01 10:00:02", 7, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = new java.io.File(root, "alerts")
+    val mapping = scala.io.Source.fromFile(
+      new java.io.File(idx, "_mapping.json")).mkString
+    assert(mapping === """{"user_id":"long"}""")
+    val docFiles = idx.listFiles().filter(_.getName.startsWith("docs-"))
+    assert(docFiles.nonEmpty)
+    // every file came from a task, never the driver fallback
+    assert(docFiles.forall(_.getName.matches("docs-p\\d+-a\\d+\\.jsonl")))
+    val lines = docFiles.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(lines.length === 2) // the two error alerts
+    assert(lines.forall(_.contains(""""alert_type":"error"""")))
+    assert(lines.map(l =>
+      "\"user_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+      .sorted === Seq(5L, 6L))
+  }
+
   test("Tweet schema module: 15-field envelope decodes and types (SURVEY §1.2)") {
     import graft.streaming.Tweet
     val raw = Seq(
