@@ -111,7 +111,16 @@ object Bench {
       else {
         System.err.println(s"[bench] json line ${full.length} chars >" +
           " 1800 budget — emitting reduced line without per-query map")
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
+        val reduced =
+          s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
+        // a mass-failure run can overflow on the failed LIST alone —
+        // re-check and degrade to a count so the line always parses
+        if (reduced.length <= 1800) reduced
+        else {
+          System.err.println(s"[bench] reduced line still " +
+            s"${reduced.length} chars — degrading failed list to a count")
+          s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":[],"n_failed":${failed.length}}"""
+        }
       }
     println(line)
     spark.stop()

@@ -2291,7 +2291,14 @@ object Queries {
     * corpus twice). */
   def q110PipelineClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.operators.PairTable.pairs(spark, dir)
-    val labels = Dedup.connectedComponents(pairs)
+    clusterRollup(pairs, Dedup.connectedComponents(pairs))
+  }
+
+  /** Shared sizes + per-cluster-edge-count rollup over (pairs, labels)
+    * — the derivation both q110 (text pairs, min-label CC) and q118
+    * (embedding pairs, star CC) run over their respective tables. */
+  private def clusterRollup(pairs: DataFrame, labels: DataFrame)
+      : DataFrame = {
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
     val edges = pairs
@@ -2495,17 +2502,7 @@ object Queries {
     * for the collapse (deep graph — see [[q81EmbedClusters]]). */
   def q118EmbedPipeline(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.operators.PairTable.embedPairs(spark, dir)
-    val labels = Dedup.connectedComponentsStar(pairs)
-    val sizes = labels.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
-    val edges = pairs
-      .join(labels.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_pairs"))
-    sizes.join(edges, Seq("cluster_id"))
-      .select(col("cluster_id"), col("n_members"), col("max_member"),
-        col("n_pairs"))
-      .orderBy(col("cluster_id"))
+    clusterRollup(pairs, Dedup.connectedComponentsStar(pairs))
   }
 
   /** Corpus-LM quality filter — the (simplified, honestly-exact)

@@ -62,9 +62,19 @@ object Lineage {
       val path = new org.apache.hadoop.fs.Path(p)
       // best-effort, but never SILENT: a swallowed failure here is
       // exactly the disk leak this registry exists to prevent, so the
-      // undeletable path is logged and re-enqueued for the next sweep
-      try { path.getFileSystem(conf).delete(path, true): Unit }
-      catch {
+      // undeletable path is logged and re-enqueued for the next sweep.
+      // Hadoop reports many failures as `false` WITHOUT throwing
+      // (e.g. RawLocalFileSystem permission denials) — both the
+      // boolean and the exception path get the same treatment
+      try {
+        val fs = path.getFileSystem(conf)
+        if (!fs.delete(path, true) && fs.exists(path)) {
+          System.err.println(
+            s"[graft] checkpoint cleanup returned false for $p" +
+              " — re-enqueued for next releaseAll")
+          retry.add(e): Unit
+        }
+      } catch {
         case ex: java.io.IOException =>
           System.err.println(
             s"[graft] checkpoint cleanup failed for $p: ${ex.getMessage}" +

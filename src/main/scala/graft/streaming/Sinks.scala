@@ -114,10 +114,27 @@ object Sinks {
     private def jsonVal(v: Any): String = v match {
       case null => "null"
       case b: Boolean => b.toString
+      case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+      case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
       case n: Number => n.toString
-      case other =>
-        "\"" + other.toString.replace("\\", "\\\\")
-          .replace("\"", "\\\"") + "\""
+      case other => quote(other.toString)
+    }
+    // full JSON string escaping: framing depends on it — an unescaped
+    // newline in a free-text field would split one record across two
+    // physical JSONL lines
+    private def quote(s: String): String = {
+      val b = new java.lang.StringBuilder(s.length + 2)
+      b.append('"')
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append('"').toString
     }
   }
 

@@ -29,7 +29,16 @@ object GenData {
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
     "spark", "stream", "table", "the", "value", "vector", "window")
 
-  private def h(c: Column, seed: Int): Column = pmod(hash(c, lit(seed)), lit(1000003))
+  /** Deterministic ~1e12-range hash. Two 32-bit Murmur3 draws are
+    * combined into a long BEFORE the caller's modulus is applied — a
+    * single pmod(hash, 1000003) (the original form) silently capped
+    * every downstream `% N` with N > 1e6 (order totals, price tails,
+    * the 30-day event window) and bounded key spaces at large `mult`.
+    * The multiplier keeps hash1's contribution under 2^62 so the sum
+    * cannot overflow a long. */
+  private def h(c: Column, seed: Int): Column =
+    pmod(hash(c, lit(seed)).cast("long") * 2654435761L
+      + hash(c, lit(seed + 10007)).cast("long"), lit(999999999989L))
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
