@@ -65,12 +65,6 @@ object Bench {
       }
       (name, samples.map(_._1).min, samples.forall(_._2))
     }
-    val failed = results.collect { case (name, _, false) => name }
-    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def short(name: String): String = name.indexOf('_') match {
-      case -1 => name
-      case i  => name.substring(0, i)
-    }
     // full-name per-query breakdown for humans. NOTE: the driver's
     // tail capture MERGES stdout and stderr, so these lines do share
     // the ~2000-char window with the JSON line — the contract holds
@@ -79,50 +73,65 @@ object Bench {
     results.foreach { case (k, v, ok) =>
       System.err.println(s"[bench] $k ${if (ok) ms(v) else "FAILED"}")
     }
-    // per-query values at 2 decimals in the JSON line (3-decimal full
-    // precision stays on stderr / BASELINE.md): at 129 queries the
-    // 3-decimal line is ~1700 chars, one catalog batch from the 1800
-    // structural-degradation cut — 2 decimals buys ~10 more queries
-    // of headroom before per-query data would drop from the line
-    def ms2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    println(jsonLine(results, sfDir, n))
+    spark.stop()
+  }
+
+  private def ms(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Build the driver-contract JSON line from per-query results
+    * (name, min seconds, all-samples-ok). Pure — BenchLineSpec pins
+    * the three emission regimes:
+    *
+    *  1. normal: full per-query map, qNN-prefix keys, 2-decimal
+    *     values (3-decimal precision stays on stderr / BASELINE.md —
+    *     at 129 queries the 3-decimal line sat ~100 chars under the
+    *     cut);
+    *  2. > 1800 chars (the BENCH_r01/r02 failure mode — the driver
+    *     captures only the last ~2000 chars and a head-truncated line
+    *     parses as null): drop the per-query map, keep the headline
+    *     metrics;
+    *  3. a mass-failure run whose failed LIST alone overflows:
+    *     degrade the list to a count.
+    *
+    * subset43 (the like-for-like gate vs the 21.7 s round-1 baseline)
+    * FAILS CLOSED: any failed subset query reports -1 rather than a
+    * passers-only sum that would make a broken subset look fast. */
+  private[graft] def jsonLine(
+      results: Seq[(String, Double, Boolean)],
+      sfDir: String, n: Int): String = {
+    val failed = results.collect { case (name, _, false) => name }
+    def short(name: String): String = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    def ms2(v: Double): String =
+      "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
       "\"" + short(k) + "\":" + (if (ok) ms2(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    // the like-for-like gate number (BASELINE.md): the q01-q43 subset
-    // is the round-1 catalog the 21.7 s baseline measured; everything
-    // later is new surface. FAIL CLOSED: if any subset query failed,
-    // report -1 — summing only the passers would make a broken subset
-    // look FASTER than the gate, not invalid
     def inSubset(name: String): Boolean =
       name.matches("q\\d\\d_.*") && name.substring(1, 3).toInt <= 43
     val subset43 =
       if (results.exists { case (name, _, ok) => inSubset(name) && !ok }) -1.0
       else results.collect { case (name, v, true) if inSubset(name) => v }.sum
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
-    // HARD guard (the BENCH_r01/r02 failure mode): a line that outgrows
-    // the driver's ~2000-char tail capture is truncated at the HEAD and
-    // silently records parsed:null. Degrade structurally instead of
-    // warning: drop the per-query map (full timings stay on stderr and
-    // in BASELINE.md) so the headline metrics always parse.
-    val line =
-      if (full.length <= 1800) full
+    def line(queries: String, failedField: String): String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedField}"""
+    val full = line(qs, failedJson)
+    if (full.length <= 1800) full
+    else {
+      System.err.println(s"[bench] json line ${full.length} chars >" +
+        " 1800 budget — emitting reduced line without per-query map")
+      val reduced = line("{}", failedJson)
+      if (reduced.length <= 1800) reduced
       else {
-        System.err.println(s"[bench] json line ${full.length} chars >" +
-          " 1800 budget — emitting reduced line without per-query map")
-        val reduced =
-          s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedJson}"""
-        // a mass-failure run can overflow on the failed LIST alone —
-        // re-check and degrade to a count so the line always parses
-        if (reduced.length <= 1800) reduced
-        else {
-          System.err.println(s"[bench] reduced line still " +
-            s"${reduced.length} chars — degrading failed list to a count")
-          s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":[],"n_failed":${failed.length}}"""
-        }
+        System.err.println(s"[bench] reduced line still " +
+          s"${reduced.length} chars — degrading failed list to a count")
+        line("{}", s"""[],"n_failed":${failed.length}""")
       }
-    println(line)
-    spark.stop()
+    }
   }
 }

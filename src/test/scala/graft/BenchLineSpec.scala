@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-contract JSON line's three emission regimes
+  * (Bench.jsonLine): the driver captures only the last ~2000 chars of
+  * output and a head-truncated line silently parses as null
+  * (BENCH_r01/r02), so the line must degrade structurally, never
+  * overflow. Parsed with Jackson (on Spark's classpath) so "parses"
+  * means parses, not matches-a-regex. */
+class BenchLineSpec extends AnyFunSuite {
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("normal regime: full per-query map, qNN keys, 2-decimal values") {
+    val line = Bench.jsonLine(Seq(
+      ("q01_pricing_summary", 1.234, true),
+      ("q107_portable_hll", 0.5, true)), "/sf", 3)
+    assert(line.length <= 1800)
+    val j = om.readTree(line)
+    assert(j.get("queries").get("q01").asDouble() === 1.23)
+    assert(j.get("queries").get("q107").asDouble() === 0.5)
+    assert(j.get("value").asDouble() === 1.734) // totals keep 3 decimals
+    assert(j.get("subset43").asDouble() === 1.234) // q107 is not subset
+    assert(j.get("failed").size() === 0)
+    assert(j.get("n").asInt() === 3)
+  }
+
+  test("failed query: -1 in the map, named in failed, subset43 fails closed") {
+    val line = Bench.jsonLine(Seq(
+      ("q02_revenue", 1.0, false),
+      ("q99_cross_source", 2.0, true)), "/sf", 1)
+    val j = om.readTree(line)
+    assert(j.get("queries").get("q02").asInt() === -1)
+    assert(j.get("subset43").asDouble() === -1.0) // NOT a passers-only sum
+    assert(j.get("value").asDouble() === 2.0) // passers only in total
+    assert(j.get("failed").get(0).asText() === "q02")
+  }
+
+  test("oversize regime: per-query map drops, headline metrics survive") {
+    val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, true))
+    val line = Bench.jsonLine(many, "/sf", 3)
+    assert(line.length <= 1800)
+    val j = om.readTree(line)
+    assert(j.get("queries").size() === 0) // map dropped
+    assert(j.get("value").asDouble() === 300.0)
+    assert(j.get("failed").size() === 0)
+  }
+
+  test("mass-failure regime: the failed list itself degrades to a count") {
+    val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, false))
+    val line = Bench.jsonLine(many, "/sf", 3)
+    assert(line.length <= 1800)
+    val j = om.readTree(line)
+    assert(j.get("queries").size() === 0)
+    assert(j.get("failed").size() === 0) // list degraded...
+    assert(j.get("n_failed").asInt() === 300) // ...to a count
+  }
+}
