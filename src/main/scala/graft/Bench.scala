@@ -73,8 +73,11 @@ object Bench {
     results.foreach { case (k, v, ok) =>
       System.err.println(s"[bench] $k ${if (ok) ms(v) else "FAILED"}")
     }
-    println(jsonLine(results, sfDir, n))
+    // stop BEFORE printing: Spark's stop()-time WARN chatter shares
+    // the driver's merged tail window, and the contract is that the
+    // JSON line is the last thing printed on either stream
     spark.stop()
+    println(jsonLine(results, sfDir, n))
   }
 
   private def ms(v: Double): String =
@@ -114,12 +117,20 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     def inSubset(name: String): Boolean =
       name.matches("q\\d\\d_.*") && name.substring(1, 3).toInt <= 43
+    // -1 = fail-closed OR not-measured: a failed subset query and a
+    // run with no subset queries at all (SPARK_GRAFT_BENCH_ONLY
+    // filtering) both must not read as a (fast) gate number
     val subset43 =
-      if (results.exists { case (name, _, ok) => inSubset(name) && !ok }) -1.0
+      if (!results.exists { case (name, _, _) => inSubset(name) }) -1.0
+      else if (results.exists { case (name, _, ok) => inSubset(name) && !ok })
+        -1.0
       else results.collect { case (name, v, true) if inSubset(name) => v }.sum
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    // the one interpolated free string: escape it, or a path with a
+    // quote/backslash yields invalid JSON past every structural guard
+    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     def line(queries: String, failedField: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"subset43":${ms(subset43)},"sf":"$sfDir","n":$n,"failed":$failedField}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"subset43":${ms(subset43)},"sf":"$sfJson","n":$n,"failed":$failedField}"""
     val full = line(qs, failedJson)
     if (full.length <= 1800) full
     else {

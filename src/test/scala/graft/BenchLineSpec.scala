@@ -55,4 +55,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("failed").size() === 0) // list degraded...
     assert(j.get("n_failed").asInt() === 300) // ...to a count
   }
+
+  test("no subset queries ran: subset43 is -1 (not measured), never 0.000") {
+    val line = Bench.jsonLine(Seq(("q99_only_new", 2.0, true)), "/sf", 1)
+    assert(om.readTree(line).get("subset43").asDouble() === -1.0)
+  }
+
+  test("sfDir with quotes and backslashes still yields parseable JSON") {
+    val line = Bench.jsonLine(Seq(("q01_x", 1.0, true)),
+      """C:\data\"sf0.1"""", 1)
+    assert(om.readTree(line).get("sf").asText() === """C:\data\"sf0.1"""")
+  }
 }
