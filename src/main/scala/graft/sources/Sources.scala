@@ -73,6 +73,14 @@ object Writers {
     w.format("parquet").saveAsTable(table)
   }
 
+  /** Second columnar format: ORC (in every Spark distribution — no
+    * extra jar). Same write/read/pushdown contract as parquet; useful
+    * when the surrounding lake is ORC-standardized (Hive heritage).
+    * Predicate pushdown reaches the ORC reader exactly as it does the
+    * parquet one (pinned in ScaleOpsSpec). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Scale path: range-clustered parquet — `repartitionByRange` gives
     * each output file a DISJOINT key range and the within-partition
     * sort makes parquet row-group min/max stats tight, so later

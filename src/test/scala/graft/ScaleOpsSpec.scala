@@ -86,6 +86,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q.count() === expected)
   }
 
+  test("ORC roundtrip: values survive and predicates push down to the " +
+      "ORC reader") {
+    val dir = GraftTestSpark.tmpDir("graftorc")
+    val tt = Tables(spark, "/root/testdata/sf0.001")
+    Writers.orc(tt.orders
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority"),
+      s"$dir/orders")
+    val back = spark.read.orc(s"$dir/orders")
+    val q = back.where($"o_totalprice" > 400000.0)
+    // pushdown reaches the ORC scan, same contract as parquet
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,400000.0)]"), s"no ORC pushdown in:\n$plan")
+    // and the data is intact
+    val viaParquet = tt.orders.where($"o_totalprice" > 400000.0)
+      .select($"o_orderkey").as[Long].collect().sorted
+    assert(q.select($"o_orderkey").as[Long].collect().sorted
+      === viaParquet)
+  }
+
   test("native functions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Seq((1L, "The Fast key the fast")).toDF("id", "text")
