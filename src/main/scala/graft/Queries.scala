@@ -21,7 +21,15 @@ import graft.operators.{Analytics, Dedup, Similarity}
   *  - every result has a total ORDER BY with tie-breaks;
   *  - `first()`-style carries use window row_number (reference's
   *    non-deterministic `first()` — SURVEY §2.5 A6);
-  *  - pivot values are pinned (A8).
+  *  - pivot values are pinned (A8);
+  *  - any float that must be SUMMED across rows rides as fixed-point
+  *    integers first (round per row, sum longs, divide once — q119
+  *    micro-units, q121/q125 basis points, q126 integer ranks);
+  *  - OUTPUT-visible hashes are md5 (engine-portable); internal join
+  *    keys may be xxhash64 (16-byte shuffle rows — never reaches an
+  *    output);
+  *  - float literals shared with oracle SQL use e-notation (DuckDB
+  *    parses plain decimals as DECIMAL, tainting downstream types).
   */
 object Queries {
 
