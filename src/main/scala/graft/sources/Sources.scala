@@ -38,6 +38,29 @@ object Sources {
     val s = if (stringFills.nonEmpty) df.na.fill(stringFills) else df
     if (numericFills.nonEmpty) s.na.fill(numericFills) else s
   }
+
+  /** Schema-evolving parquet read: a lake directory written across
+    * schema versions (columns added over time) reads as the UNION
+    * schema with old files null-filled — `mergeSchema` pays a footer
+    * scan per file, so it is an explicit opt-in here, never a default
+    * (at 100 TB the footer pass alone is a job). */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Quarantining CSV ingest: PERMISSIVE parse with the raw line of
+    * every malformed row captured in `_corrupt` — the batch mirror of
+    * the streaming contract (bad JSON → all-null row, S2). Callers
+    * split on `_corrupt IS NULL`: clean rows flow on, quarantined
+    * raw lines land wherever the pipeline keeps its dead letters.
+    * One pass, no inference, no job-killing FAILFAST. */
+  def csvQuarantine(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
 }
 
 /** Batch write surface (SURVEY §2.2 K5-K6 + the scale path).

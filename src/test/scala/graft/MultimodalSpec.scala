@@ -48,6 +48,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df(2L) === 0)
   }
 
+  test("schema evolution: mergeSchema unions versions, null-fills old files") {
+    val dir = GraftTestSpark.tmpDir("graftevo")
+    // v1 files (2 columns), then the pipeline adds a quality column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/tbl/v=1")
+    Seq((3L, "gamma", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/tbl/v=2")
+    val merged = Sources.parquetMergeSchema(spark, s"$dir/tbl")
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality", "v"))
+    val rows = merged.orderBy(col("doc_id")).collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality"))) // old file
+    assert(rows(2).getDouble(rows(2).fieldIndex("quality")) === 0.9)
+  }
+
+  test("CSV quarantine: malformed rows carry their raw line, clean rows flow") {
+    val dir = GraftTestSpark.tmpDir("graftquar")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "doc_id,followers\n1,100\nnot_a_number,oops\n3,300\n")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("followers", LongType)))
+    val df = Sources.csvQuarantine(spark, s"$dir/in.csv", schema)
+      .cache() // PERMISSIVE corrupt capture requires referencing _corrupt
+    val clean = df.where(col("_corrupt").isNull)
+    val quarantined = df.where(col("_corrupt").isNotNull)
+    assert(clean.count() === 2)
+    assert(clean.select(sum(col("followers"))).head.getLong(0) === 400L)
+    val bad = quarantined.select(col("_corrupt")).head.getString(0)
+    assert(bad === "not_a_number,oops")
+    df.unpersist()
+  }
+
   test("headerless CSV source with positional rename + null repair") {
     val dir = GraftTestSpark.tmpDir("graftcsv")
     java.nio.file.Files.writeString(
