@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.BoundLevenshteinRule)
     // whole-operator extension: as-of join logical node → merge exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // whole-operator extension: cosine-threshold join — naive
+    // cosine_sim(a,b) >= t join conditions rewrite to the dedicated
+    // node; the strategy picks broadcast-gate vs banded LSH by stats
+    ext.injectOptimizerRule(_ => graft.plans.SimilarityJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.SimilarityJoinStrategy)
     ext.injectFunction((FunctionIdentifier("tokenize"),
       info("tokenize", "tokenize(text) - lowercased whitespace tokens"),
       exprs => Tokenize(exprs.head)))

@@ -2255,7 +2255,59 @@ object Oracles {
          |round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
          |  AS DOUBLE)/count(*), 4) AS oov_rate
          |FROM tok t LEFT JOIN vc v ON t.token = v.token
-         |GROUP BY t.source ORDER BY t.source""".stripMargin)
+         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    // q130: exact cosine-threshold join (broadcast-gate regime of the
+    // injected similarity-join operator) — the oracle is the literal
+    // threshold join; the exec gates on the RAW sequential-fold
+    // cosine, output rounds to 4 dp
+    "q130_simjoin_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_dot_product(qv, e)
+        |   /(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(e, e)))
+        |  AS sim
+        |FROM q JOIN v ON query_id <> vec_id)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM s
+        |WHERE sim >= 0.35 ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q131: banded-LSH regime — replay the integer Rademacher
+    // signature (bit i of vec = sign of sum_d sgn(i,d)*round(e[d]*1e6)
+    // with sgn from the LCG mix), 8 bands x 8 bits, candidates =
+    // band-bucket collisions, exact raw-cosine gate
+    "q131_simjoin_banded" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, e,
+        |  list_transform(e, x -> CAST(round(x*1e6) AS BIGINT)) AS q FROM v),
+        |bit AS (SELECT vec_id, b.i AS bit,
+        |  CASE WHEN sum(CASE WHEN
+        |      (((1103515245*(b.i*1000003 + d.d) + 12345) % 2147483648)
+        |        >> 16) & 1 = 1
+        |    THEN q[CAST(d.d+1 AS INT)] ELSE -q[CAST(d.d+1 AS INT)] END) > 0
+        |  THEN '1' ELSE '0' END AS bv
+        |FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i) b
+        |  CROSS JOIN (SELECT unnest(range(64)) AS d) d
+        |GROUP BY vec_id, b.i),
+        |sig AS (SELECT vec_id, string_agg(bv, '' ORDER BY bit) AS bits
+        |FROM bit GROUP BY vec_id),
+        |banded AS (SELECT vec_id, b.b AS band,
+        |  substring(bits, CAST(b.b*8+1 AS INT), 8) AS bucket
+        |FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) b),
+        |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |FROM banded l JOIN banded r
+        |  ON l.band = r.band AND l.bucket = r.bucket
+        |  AND l.vec_id < r.vec_id),
+        |s AS (SELECT c.id_a, c.id_b,
+        |  list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e)))
+        |  AS sim
+        |FROM cand c JOIN v a ON a.vec_id = c.id_a
+        |  JOIN v b ON b.vec_id = c.id_b)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
+        |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2883,6 +2883,51 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Cosine-threshold join via the injected Catalyst extension
+    * ([[graft.plans.SimilarityJoinPlan]] → stats-picked exec), exact
+    * broadcast-gate regime: 8 query vectors against the full corpus.
+    * The point vs q25 (brute-force compose): the JOIN ITSELF is the
+    * custom operator — the physical plan is SimilarityBroadcastGateExec
+    * with the query side collected/broadcast and per-vector norms
+    * hoisted, no BroadcastNestedLoopJoin, no window rank machinery —
+    * and the same declaration would plan the banded-LSH shuffle
+    * (q131's shape) if the small side outgrew the broadcast
+    * threshold. Oracle: the literal exact threshold join. */
+  def q130SimJoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    Similarity.cosineJoin(queries, corpus, "qv", "cv", 0.35,
+        graft.plans.SimJoinRegime.Exact)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 4).as("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** The banded-LSH regime of the same operator — the large-large
+    * shape where neither side broadcasts: full corpus self-join at
+    * cosine ≥ 0.35 through 8 bands × 8 hyperplane bits. The
+    * approximation ITSELF is deterministic (integer Rademacher
+    * signatures over 1e-6-quantized components), so the oracle replays
+    * banding + gate bit-for-bit in SQL and the hash match proves the
+    * distributed shuffle (band-replicated rows, first-common-band
+    * dedup, no global distinct) computes exactly the declared
+    * candidate set — same contract as q23/q40. */
+  def q131SimJoinBanded(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    Similarity.cosineJoin(a, b, "va", "vb", 0.35,
+        graft.plans.SimJoinRegime.Banded)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3014,5 +3059,7 @@ object Queries {
     "q126_histogram_quantiles" -> (q126HistogramQuantiles _),
     "q127_modality_agreement" -> (q127ModalityAgreement _),
     "q128_forget_cascade" -> (q128ForgetCascade _),
-    "q129_oov_rate" -> (q129OovRate _))
+    "q129_oov_rate" -> (q129OovRate _),
+    "q130_simjoin_exact" -> (q130SimJoinExact _),
+    "q131_simjoin_banded" -> (q131SimJoinBanded _))
 }

@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+import graft.plans.{SimilarityJoinPlan, SimilarityJoinStrategy, SimJoinRegime}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (SURVEY §7.4 extension surface).
@@ -143,6 +146,54 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Cosine-threshold join as a whole-operator Catalyst extension
+    * (SURVEY §7.3 option c, the round-3 roadmap's "injected
+    * SparkStrategy for similarity range joins"): emits every (l, r)
+    * pair with `cosine(leftVecCol, rightVecCol) >= threshold`. The
+    * planner — not this method — picks the physical shape
+    * ([[graft.plans.SimilarityJoinStrategy]]):
+    *
+    *  - `Exact`: norm-cached broadcast gate (build side = smaller by
+    *    statistics). Exact result; the regime the SQL rewrite uses.
+    *  - `Banded`: banded random-hyperplane LSH bucket join — the
+    *    large-large 100 TB shape; deterministic recall < 1 (pairs
+    *    must collide in ≥ 1 signature band; collision probability
+    *    rises with similarity).
+    *  - `Auto` (default): statistics decide, like BroadcastHashJoin
+    *    vs SortMergeJoin — broadcast when a side fits
+    *    autoBroadcastJoinThreshold, banded otherwise. Auto callers
+    *    accept the documented banded recall in the large-large case
+    *    (MLlib approxSimilarityJoin's contract).
+    *
+    * Column names must be disjoint across the two sides (rename
+    * before joining — a self-join passes the same table through
+    * `toDF` twice). Vector columns are cast to array<double>.
+    */
+  def cosineJoin(left: DataFrame, right: DataFrame,
+      leftVecCol: String, rightVecCol: String, threshold: Double,
+      regime: SimJoinRegime = SimJoinRegime.Auto,
+      bands: Int = 8, bandBits: Int = 8): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"cosineJoin sides must have disjoint column names; shared: $overlap")
+    val spark = left.sparkSession
+    PlanBridge.addStrategy(spark, SimilarityJoinStrategy)
+    val l = left.withColumn(leftVecCol, col(leftVecCol).cast("array<double>"))
+    // re-alias the right side so a self-join never carries duplicate
+    // expression ids into the joined output
+    val r0 = right.withColumn(rightVecCol,
+      col(rightVecCol).cast("array<double>"))
+    val r = r0.select(r0.columns.map(c => col(c).as(c)): _*)
+    val lPlan = PlanBridge.analyzed(l)
+    val rPlan = PlanBridge.analyzed(r)
+    val lv = lPlan.output.find(_.name == leftVecCol).getOrElse(
+      sys.error(s"no column $leftVecCol on the left side"))
+    val rv = rPlan.output.find(_.name == rightVecCol).getOrElse(
+      sys.error(s"no column $rightVecCol on the right side"))
+    PlanBridge.ofRows(spark, SimilarityJoinPlan(lPlan, rPlan, lv, rv,
+      threshold, regime, bands, bandBits))
   }
 
   /** Symmetric int8 quantization of the `v` column (q97's scheme):

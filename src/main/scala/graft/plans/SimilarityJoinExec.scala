@@ -1,0 +1,263 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Shared kernels for the two similarity-join operators. All
+  * signature arithmetic is integer (quantized 1e-6 fixed point,
+  * half-away-from-zero rounding — the same quantization contract as
+  * `Similarity.fitCentroids` and DuckDB's `round()`), so signatures
+  * are bit-identical across engines and partitionings — the property
+  * that makes the banded operator's output oracle-checkable even
+  * though it is an approximation.
+  */
+object SimilarityJoinKernels {
+
+  /** Half-away-from-zero rounding of `v * 1e6` — matches Spark SQL's
+    * and DuckDB's `round()` (java's `Math.round` is half-UP, which
+    * disagrees on negative half-quanta). */
+  def quantize(v: Double): Long =
+    if (v >= 0) math.floor(v * 1e6 + 0.5).toLong
+    else math.ceil(v * 1e6 - 0.5).toLong
+
+  /** Rademacher hyperplane entry for (bit, dim): a deterministic
+    * LCG-style integer mix, +1 or -1. Kept to +, *, %, >>, & so the
+    * DuckDB oracle can replay it verbatim in SQL. */
+  def hyperplaneSign(bit: Int, dim: Int): Long = {
+    val x = (1103515245L * (bit * 1000003L + dim) + 12345L) % 2147483648L
+    if (((x >> 16) & 1L) == 1L) 1L else -1L
+  }
+
+  /** nbits-bit random-hyperplane signature of `vec` (bit i set iff the
+    * quantized projection onto hyperplane i is strictly positive).
+    * Integer accumulation → order-independent → engine-portable. */
+  def signature(vec: Array[Double], nbits: Int): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < nbits) {
+      var acc = 0L
+      var d = 0
+      while (d < vec.length) {
+        acc += hyperplaneSign(i, d) * quantize(vec(d))
+        d += 1
+      }
+      if (acc > 0L) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** The lowest band index on which the two signatures agree, or -1.
+    * Distributed dedup: a pair colliding in several bands is emitted
+    * only by the bucket of its FIRST common band — no post-shuffle
+    * distinct needed. */
+  def firstCommonBand(sigA: Long, sigB: Long, bands: Int,
+      bandBits: Int): Int = {
+    val mask = (1L << bandBits) - 1L
+    var b = 0
+    while (b < bands) {
+      val shift = b * bandBits
+      if (((sigA >> shift) & mask) == ((sigB >> shift) & mask)) return b
+      b += 1
+    }
+    -1
+  }
+
+  /** dot / (||a||·||b||) with precomputed norms (callers hoist the
+    * norms so each vector's self-product is computed once, not once
+    * per candidate pair — the constant-factor point of these operators
+    * over BroadcastNestedLoopJoin re-evaluating full cosine_sim). Dot
+    * is the same sequential fold as [[graft.expressions.VectorKernels
+    * .cosine]], so gate decisions are bit-identical to the naive
+    * plan's. */
+  def gatedSim(a: Array[Double], b: Array[Double], normA: Double,
+      normB: Double): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    dot / (normA * normB)
+  }
+
+  def norm(a: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/** A row decoded once: the original row plus its extracted vector and
+  * hoisted norm. */
+private[plans] final case class VecRow(row: UnsafeRow, vec: Array[Double],
+    norm: Double) extends Serializable
+
+/** Exact cosine-threshold join, broadcast regime: collect the build
+  * side (chosen by statistics — the smaller side), decode each build
+  * vector and its norm ONCE, broadcast, and stream the other side
+  * with its own per-row norm hoisted. vs the BroadcastNestedLoopJoin
+  * Spark would otherwise plan: same asymptotics, but cosine_sim there
+  * re-walks both arrays (dot + both self-products) per PAIR — this
+  * operator does one array walk per pair (the dot), norms amortized.
+  *
+  * 100 TB shape: the streamed side is never shuffled or collected;
+  * driver memory is bounded by the build side exactly as for any
+  * broadcast join.
+  */
+case class SimilarityBroadcastGateExec(
+    left: SparkPlan, right: SparkPlan,
+    leftVec: Expression, rightVec: Expression,
+    threshold: Double, buildRight: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SimilarityBroadcastGateExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    import SimilarityJoinKernels._
+    val (build, stream) = if (buildRight) (right, left) else (left, right)
+    val (buildVecE, streamVecE) =
+      if (buildRight) (rightVec, leftVec) else (leftVec, rightVec)
+
+    val buildVecProj = UnsafeProjection.create(Seq(buildVecE), build.output)
+    val buildRows: Array[VecRow] = build.executeCollect().map { r =>
+      val u = r.asInstanceOf[UnsafeRow]
+      val arr = buildVecProj(u).getArray(0)
+      val vec =
+        if (arr == null) Array.emptyDoubleArray else arr.toDoubleArray()
+      VecRow(u, vec, norm(vec))
+    }
+    val bc = sparkContext.broadcast(buildRows)
+    val t = threshold
+    val bRight = buildRight
+    val streamOut = stream.output
+    val outAttrs = output
+
+    stream.execute().mapPartitions { iter =>
+      val vecProj = UnsafeProjection.create(Seq(streamVecE), streamOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val builds = bc.value
+      iter.flatMap { row =>
+        val arr = vecProj(row).getArray(0)
+        if (arr == null) Iterator.empty
+        else {
+          val vec = arr.toDoubleArray()
+          val nrm = norm(vec)
+          builds.iterator.collect {
+            case b if gatedSim(vec, b.vec, nrm, b.norm) >= t =>
+              resultProj(
+                if (bRight) joined(row, b.row) else joined(b.row, row))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Approximate cosine-threshold join, banded LSH regime — the
+  * large-large shape where neither side fits a broadcast: each row
+  * computes one signature (bands × bandBits hyperplane bits packed in
+  * a long), replicates itself `bands` times keyed by (band,
+  * band-signature), the shuffle co-locates band collisions, and only
+  * same-bucket cross pairs are scored with the exact cosine gate.
+  * Deterministic recall < 1: a qualifying pair appears iff it collides
+  * in ≥ 1 band (probability rises with similarity — the standard
+  * signed-random-projection LSH contract; band geometry is
+  * caller-tunable: more/wider bands per the corpus size and
+  * threshold).
+  *
+  * Scale shape: shuffle volume is bands × (sig, projected row); with
+  * 2^bandBits buckets per band the per-bucket pairing is
+  * |bucket_l| × |bucket_r| gated dots, and the first-common-band rule
+  * dedups WITHOUT a global distinct. No O(n·m) stage anywhere.
+  */
+case class SimilarityBandedJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftVec: Expression, rightVec: Expression,
+    threshold: Double, bands: Int, bandBits: Int) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SimilarityBandedJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** (bucketKey → (signature, row)) with bands-fold replication.
+    * bucketKey packs (band, band-signature) into one long. */
+  private def keyed(plan: SparkPlan, vecE: Expression)
+      : RDD[(Long, (Long, UnsafeRow))] = {
+    val nbits = bands * bandBits
+    val nBands = bands
+    val nBandBits = bandBits
+    val planOut = plan.output
+    plan.execute().mapPartitions { iter =>
+      val vecProj = UnsafeProjection.create(Seq(vecE), planOut)
+      iter.flatMap { row =>
+        val arr = vecProj(row).getArray(0)
+        if (arr == null) Iterator.empty
+        else {
+          val sig = SimilarityJoinKernels.signature(
+            arr.toDoubleArray(), nbits)
+          val copy = row.asInstanceOf[UnsafeRow].copy()
+          val mask = (1L << nBandBits) - 1L
+          (0 until nBands).iterator.map { b =>
+            val bucket =
+              (b.toLong << nBandBits) | ((sig >> (b * nBandBits)) & mask)
+            (bucket, (sig, copy))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    import SimilarityJoinKernels._
+    val t = threshold
+    val nBands = bands
+    val nBandBits = bandBits
+    val outAttrs = output
+    val lOut = left.output
+    val rOut = right.output
+    val lVecE = leftVec
+    val rVecE = rightVec
+
+    keyed(left, leftVec).cogroup(keyed(right, rightVec),
+        conf.numShufflePartitions)
+      .mapPartitions { buckets =>
+        val lProj = UnsafeProjection.create(Seq(lVecE), lOut)
+        val rProj = UnsafeProjection.create(Seq(rVecE), rOut)
+        val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        buckets.flatMap { case (bucket, (ls, rs)) =>
+          if (ls.isEmpty || rs.isEmpty) Iterator.empty
+          else {
+            val band = (bucket >> nBandBits).toInt
+            // decode vectors + norms once per bucket entry, then the
+            // bucket-local pairing is pure gated dot products
+            val lRows = ls.iterator.map { case (sig, row) =>
+              val vec = lProj(row).getArray(0).toDoubleArray()
+              (sig, VecRow(row, vec, norm(vec)))
+            }.toArray
+            val rRows = rs.iterator.map { case (sig, row) =>
+              val vec = rProj(row).getArray(0).toDoubleArray()
+              (sig, VecRow(row, vec, norm(vec)))
+            }.toArray
+            lRows.iterator.flatMap { case (lSig, l) =>
+              rRows.iterator.collect {
+                case (rSig, r)
+                    if firstCommonBand(lSig, rSig, nBands, nBandBits) ==
+                      band &&
+                      gatedSim(l.vec, r.vec, l.norm, r.norm) >= t =>
+                  resultProj(joined(l.row, r.row))
+              }
+            }
+          }
+        }
+      }
+  }
+}

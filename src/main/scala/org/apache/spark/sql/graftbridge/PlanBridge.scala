@@ -46,4 +46,15 @@ object PlanBridge {
     if (!exp.extraStrategies.contains(s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Idempotently add an extra optimizer rule to a live session (the
+    * `experimental.extraOptimizations` batch runs after the main
+    * optimizer, so rewrites here see constant-folded, predicate-pushed
+    * plans). Same role as [[addStrategy]] for rule injection. */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }
