@@ -270,8 +270,9 @@ object StreamOps {
     * as asofJoinBroadcast — it is collapsed to one sorted array per
     * key and broadcast); the re-list + re-broadcast cost is per
     * TRIGGER, not per row, so a 60 s trigger amortizes it. For dims
-    * too big to broadcast, snapshot-join the stream in foreachBatch
-    * with [[graft.operators.Analytics.asofJoinExec]] instead. */
+    * too big to broadcast, use [[ScdAsof.asofEnrichScdState]] — the
+    * keyed-state regime where the dim history is co-partitioned with
+    * the facts instead of broadcast. */
   def asofEnrichScd(stream: DataFrame, dimProvider: () => DataFrame,
       key: String, leftTime: String, rightTime: String,
       asofCols: Seq[String])(
