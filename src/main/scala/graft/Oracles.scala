@@ -2307,7 +2307,40 @@ object Oracles {
         |FROM cand c JOIN v a ON a.vec_id = c.id_a
         |  JOIN v b ON b.vec_id = c.id_b)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
-        |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin)
+        |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    // q132: stream-stream LEFT OUTER interval join, replayed. Inner
+    // matches are watermark-independent; a NULL row exists only for
+    // unmatched purchases the final EFFECTIVE watermark has passed
+    // (inclusive <=, measured: OuterProbeSpec-era probes). Effective =
+    // min over the two watermark nodes, and because Catalyst pushes
+    // the event-type filters BELOW the watermark operators, each node
+    // tracks only ITS OWN subset's max event time (floored to ms —
+    // EventTimeStats works in epoch millis) minus the 2-minute delay
+    "q132_attribution_outer" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value, ts
+        |  FROM events),
+        |wm AS (SELECT make_timestamp(
+        |  (epoch_us(least(
+        |    (SELECT max(ts) FROM ev WHERE event_type = 'purchase'),
+        |    (SELECT max(ts) FROM ev WHERE event_type = 'view')))
+        |   //1000)*1000) - INTERVAL 2 MINUTE AS w),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+        |  FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+        |  FROM ev WHERE event_type = 'view'),
+        |m AS (SELECT p.purchase_id, p.user_id, v.view_id, p.value
+        |FROM p JOIN v ON p.user_id = v.v_user
+        |  AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts < p.p_ts),
+        |un AS (SELECT p.purchase_id, p.user_id,
+        |  CAST(NULL AS BIGINT) AS view_id, p.value
+        |FROM p
+        |WHERE p.p_ts <= (SELECT w FROM wm)
+        |  AND NOT EXISTS (SELECT 1 FROM m
+        |    WHERE m.purchase_id = p.purchase_id))
+        |SELECT purchase_id, user_id, view_id, value FROM (
+        |  SELECT * FROM m UNION ALL SELECT * FROM un)
+        |ORDER BY purchase_id, coalesce(view_id, -1)""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2928,6 +2928,29 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Stream-stream LEFT OUTER interval join through a real replay
+    * (checkpoint + parquet sink, AvailableNow) — closing the round-3
+    * roadmap's "outer-join replay oracle" caveat: outer null rows
+    * materialize only when the WATERMARK proves no matching view can
+    * still arrive, so the batch oracle must be lag-aware — it emits a
+    * null row only for unmatched purchases at or below the replay's
+    * final EFFECTIVE watermark; purchases above it stay pending in
+    * state forever, exactly as a live query would hold them. Inner
+    * matches are watermark-independent.
+    *
+    * The effective watermark is subtler than max(ts) - delay, and the
+    * oracle encodes what probing measured: Catalyst pushes the
+    * event-type filters BELOW the two EventTimeWatermark nodes, so
+    * the purchase-side node tracks only max PURCHASE time and the
+    * view-side node only max VIEW time; the global watermark is their
+    * MIN (multipleWatermarkPolicy default), each floored to epoch
+    * milliseconds (EventTimeStats granularity) minus the delay, and
+    * eviction is INCLUSIVE (p_ts <= watermark emits). */
+  def q132AttributionOuter(spark: SparkSession, dir: String): DataFrame =
+    replayToParquet(spark, dir, "q132")(stream =>
+      graft.streaming.StreamOps.purchaseAttributionOuter(stream))
+      .orderBy(col("purchase_id"), coalesce(col("view_id"), lit(-1L)))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3061,5 +3084,6 @@ object Queries {
     "q128_forget_cascade" -> (q128ForgetCascade _),
     "q129_oov_rate" -> (q129OovRate _),
     "q130_simjoin_exact" -> (q130SimJoinExact _),
-    "q131_simjoin_banded" -> (q131SimJoinBanded _))
+    "q131_simjoin_banded" -> (q131SimJoinBanded _),
+    "q132_attribution_outer" -> (q132AttributionOuter _))
 }
