@@ -2340,7 +2340,27 @@ object Oracles {
         |    WHERE m.purchase_id = p.purchase_id))
         |SELECT purchase_id, user_id, view_id, value FROM (
         |  SELECT * FROM m UNION ALL SELECT * FROM un)
-        |ORDER BY purchase_id, coalesce(view_id, -1)""".stripMargin)
+        |ORDER BY purchase_id, coalesce(view_id, -1)""".stripMargin,
+
+    // q133: delta-of-the-cap maintenance must equal the full re-mine
+    // over corpus ∪ incoming at the same (tight) df cap of 8
+    "q133_delta_cap_pairs" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle
+         |  HAVING count(*) <= 8),
+         |fp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p
+         |  JOIN keep k ON p.shingle = k.shingle),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM fp a JOIN fp b ON a.shingle = b.shingle
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, shared, jaccard FROM (
+         |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
+         |FROM pairs)
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

@@ -2951,6 +2951,31 @@ object Queries {
       graft.streaming.StreamOps.purchaseAttributionOuter(stream))
       .orderBy(col("purchase_id"), coalesce(col("view_id"), lit(-1L)))
 
+  /** Delta-of-the-cap incremental pair maintenance — the production
+    * ingest path that q116 approximates: the STORED corpus pair table
+    * is adjusted in place (decrement `shared` for pairs touching
+    * shingles the incoming batch pushed over the df cap, drop pairs
+    * falling below threshold — additions are impossible, removal only
+    * shrinks intersections) and only the incoming slice mines through
+    * the posting index. maxDf = 8 here so the cap actually bites at
+    * the test SFs (1/0/3031 crossing shingles and 28/25/5 result rows
+    * at sf0.001/0.01/0.1 — the tight-vocabulary data pushes most
+    * shingles over any small cap by sf0.1); the crossing-erases-a-
+    * stored-pair semantics are additionally pinned at unit scale in
+    * OperatorsSpec. The oracle is the full re-mine over corpus ∪
+    * incoming at the same cap, so the hash match proves
+    * adjust-in-place ≡ from-scratch. */
+  def q133DeltaCapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+    val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+    val incoming = d.where(pmod(col("doc_id"), lit(10)) === 7)
+    val stored = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.2, maxDf = 8)
+    Dedup.deltaCapJaccardPairs(stored, corpus, incoming, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDf = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3085,5 +3110,6 @@ object Queries {
     "q129_oov_rate" -> (q129OovRate _),
     "q130_simjoin_exact" -> (q130SimJoinExact _),
     "q131_simjoin_banded" -> (q131SimJoinBanded _),
-    "q132_attribution_outer" -> (q132AttributionOuter _))
+    "q132_attribution_outer" -> (q132AttributionOuter _),
+    "q133_delta_cap_pairs" -> (q133DeltaCapPairs _))
 }

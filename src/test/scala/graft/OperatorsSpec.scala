@@ -494,6 +494,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids.contains((20L, 21L)), s"delta pair lost: $ids")
   }
 
+  test("deltaCapJaccardPairs adjusts the STORED pair table in place " +
+      "and matches a full re-mine on the cap-crossing case") {
+    // same fixture as the incremental test, but the existing side is
+    // maintained from the stored table: the pre-mined (1,2) pair must
+    // be ERASED by the decrement path (its shingles cross the cap),
+    // (10,11) must pass through untouched, (20,21) arrives via delta
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (10L, "one two three four five"),
+      (11L, "one two three four six"),
+      (20L, "red green blue yellow")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (3L, "alpha beta gamma delta"),
+      (21L, "red green blue purple"),
+      (12L, "seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"id_a", $"id_b").collect().toSeq
+    val stored = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.2, maxDf = 2)
+    // the stored table really contains the pair the delta must erase
+    assert(stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 2L)))
+    val delta = norm(Dedup.deltaCapJaccardPairs(stored, corpus, incoming,
+      "doc_id", "text", n = 3, threshold = 0.2, maxDf = 2))
+    graft.operators.Caches.releaseAll()
+    val full = norm(Dedup.jaccardPairs(
+      corpus.unionByName(incoming), "doc_id", "text", n = 3,
+      threshold = 0.2, maxDf = 2))
+    graft.operators.Caches.releaseAll()
+    assert(delta === full)
+    val ids = delta.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.contains((1L, 2L)), s"stored pair not erased: $ids")
+    assert(ids.contains((10L, 11L)) && ids.contains((20L, 21L)), s"$ids")
+  }
+
   // ---- quantized IVF rerank ----
 
   test("quantizedIvfTopK recall vs brute force, and rerank scores are " +
