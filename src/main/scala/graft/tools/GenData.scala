@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * isolation and the generator parallelizes trivially (`spark.range`
   * → column algebra → parquet; no driver-side data).
   *
-  * Usage: runMain graft.tools.GenData <outDir> <mult>
-  *   mult=1 ≈ sf0.1 row counts; mult=10 ≈ sf1.0.
+  * Usage: runMain graft.tools.GenData <outDir> <mult> [tables]
+  *   mult=1 ≈ sf0.1 row counts; mult=10 ≈ sf1.0. The optional third
+  *   arg is a comma-separated table subset (e.g. "documents") — the
+  *   post-cap soak generates 1M docs (mult 200) without paying for
+  *   120M lineitem rows nobody reads.
   */
 object GenData {
   private val Vocab = Seq(
@@ -43,6 +46,8 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val mult = args(1).toInt
+    val tables: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,14 +56,16 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    gen(spark, outDir, mult)
+    gen(spark, outDir, mult, tables)
     spark.stop()
   }
 
-  def gen(spark: SparkSession, outDir: String, mult: Int): Unit = {
+  def gen(spark: SparkSession, outDir: String, mult: Int,
+      tables: Option[Set[String]] = None): Unit = {
     def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      if (tables.forall(_.contains(name)))
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
 
     val nCust = 15000L * mult
     val nPart = 20000L * mult
