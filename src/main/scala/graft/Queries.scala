@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity, VectorIndex}
 
 /** The query catalog: every operator family from SURVEY §2 re-expressed
   * Spark-first over the TESTDATA tables, plus the training-data
@@ -2976,6 +2976,31 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Saved-index ANN probe — q41's IVF compose through the persisted
+    * lifecycle ([[graft.operators.VectorIndex]]): build the index once
+    * (write centroids + cent_id-partitioned assignments to parquet),
+    * read it back, probe the saved layout. The probe's bucket filter
+    * is a literal `cent_id IN (...)`, so the assignments scan opens
+    * only the probed partition directories (static file-level
+    * partition pruning — the vector-store serving path, where the
+    * full-corpus assignment pass is paid once at build time, not per
+    * query). Oracle: identical to q41 — the saved-index probe must
+    * EQUAL the in-memory compose, which is the lifecycle's whole
+    * contract. */
+  def q134IvfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 250 === 0)
+    val queries = emb.where(col("id") < 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q134_").toFile
+    deleteRecursivelyOnExit(tmp)
+    VectorIndex.write(emb, centroids, tmp.getAbsolutePath)
+    val idx = VectorIndex.read(spark, tmp.getAbsolutePath)
+    VectorIndex.probe(idx, queries, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3111,5 +3136,6 @@ object Queries {
     "q130_simjoin_exact" -> (q130SimJoinExact _),
     "q131_simjoin_banded" -> (q131SimJoinBanded _),
     "q132_attribution_outer" -> (q132AttributionOuter _),
-    "q133_delta_cap_pairs" -> (q133DeltaCapPairs _))
+    "q133_delta_cap_pairs" -> (q133DeltaCapPairs _),
+    "q134_ivf_index_probe" -> (q134IvfIndexProbe _))
 }

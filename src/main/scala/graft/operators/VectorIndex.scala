@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF vector index — the saved-index lifecycle that
+  * completes the vector-store story (round-4 roadmap): [[Similarity]]
+  * recomputes the centroid assignment per query; a production vector
+  * store builds the index ONCE (the expensive full-corpus pass),
+  * persists it, and serves every subsequent probe from the saved
+  * layout.
+  *
+  * Layout on disk:
+  *  - `path/centroids`: (id, vec array<double>) — the coarse
+  *    quantizer, small by construction (nlist rows).
+  *  - `path/assignments`: (neighbor_id, cv array<double>) PARTITIONED
+  *    BY cent_id — one parquet directory per IVF bucket. This is the
+  *    load-bearing choice: a probe filters on the probed bucket ids,
+  *    so the scan touches only nprobe×queries partition directories
+  *    and the other (nlist − probed) buckets are never opened. At
+  *    100 TB the index is the full corpus re-laid-out; the probe reads
+  *    the probed fraction of it (file-level partition pruning, visible
+  *    as `PartitionFilters` in the scan node).
+  *
+  * Determinism: doubles round-trip parquet bit-exactly and the probe
+  * replays [[Similarity.ivfTopK]]'s exact ranking arithmetic, so a
+  * probe of the saved index EQUALS the in-memory compose — q134's
+  * oracle-checked contract.
+  */
+object VectorIndex {
+
+  /** A loaded index (both frames lazily read from the saved layout). */
+  final case class Index(centroids: DataFrame, assignments: DataFrame)
+
+  /** Build and persist the index: one full-corpus assignment pass
+    * (broadcast the centroid set, deterministic nearest-centroid with
+    * id tie-break — [[Similarity.nearestCentroids]]), written bucketed
+    * by `cent_id`. `corpus`/`centroids`: (id, vec). */
+  def write(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+    centroids
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .coalesce(1) // nlist rows — one file, one footer to open per probe
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Similarity.nearestCentroids(corpus, centroids, "neighbor_id", keep = 1)
+      .withColumnRenamed("v", "cv")
+      .write.mode("overwrite")
+      .partitionBy("cent_id")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Load a saved index. Partition-column type inference may narrow
+    * `cent_id` to int; restore long so probe joins stay cast-free. */
+  def read(spark: SparkSession, path: String): Index = Index(
+    centroids = spark.read.parquet(s"$path/centroids"),
+    assignments = spark.read.parquet(s"$path/assignments")
+      .withColumn("cent_id", col("cent_id").cast("long")))
+
+  /** Top-`k` cosine neighbors per query from the saved index, probing
+    * each query's `nprobe` nearest buckets. Ranking arithmetic is
+    * identical to [[Similarity.ivfTopK]] (4-dp rounding before rank,
+    * id tie-breaks) — same inputs, same result.
+    *
+    * The probed bucket ids are collected to the driver to become a
+    * LITERAL `cent_id IN (...)` predicate on the assignments scan —
+    * that is what turns the filter into static file-level partition
+    * pruning. The collect is bounded by queries×nprobe scalars (the
+    * probe set is small by construction; this is an index LOOKUP
+    * path, not a pair-mining path — for corpus-scale "query" sets use
+    * [[Similarity.cosineNearDupPairs]]). */
+  def probe(index: Index, queries: DataFrame, k: Int, nprobe: Int)
+      : DataFrame = {
+    val probed = Caches.persistTracked(
+      Similarity.nearestCentroids(queries, index.centroids, "query_id",
+          keep = nprobe)
+        .withColumnRenamed("v", "qv"))
+    val buckets = probed.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = index.assignments.where(col("cent_id").isin(buckets: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(pruned, Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 4).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}
