@@ -30,6 +30,37 @@ object Oracles {
   private val BOT_REGEX = TweetFunctions.KnownBots
     .map(_.toLowerCase).mkString("|")
 
+  /** q41's IVF probe, shared verbatim with q134: the saved-index probe
+    * must EQUAL the in-memory compose (same centroids vec_id%250=0,
+    * queries vec_id<8, k=5, nprobe=2) — that equality IS the persisted
+    * lifecycle's contract, so both keys carry one oracle. */
+  private val IVF_PROBE_SQL =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 250 = 0),
+      |assigned AS (SELECT vec_id AS neighbor_id, e AS cv, cent_id FROM (
+      |SELECT v.vec_id, v.e, c.cent_id,
+      |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |  round(list_dot_product(v.e, c.ce)
+      |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+      |  DESC, c.cent_id) AS crank
+      |FROM v CROSS JOIN cent c) WHERE crank = 1),
+      |probed AS (SELECT vec_id AS query_id, e AS qv, cent_id FROM (
+      |SELECT v.vec_id, v.e, c.cent_id,
+      |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |  round(list_dot_product(v.e, c.ce)
+      |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+      |  DESC, c.cent_id) AS crank
+      |FROM v CROSS JOIN cent c WHERE v.vec_id < 8) WHERE crank <= 2),
+      |s AS (SELECT DISTINCT p.query_id, a.neighbor_id,
+      |round(list_dot_product(p.qv, a.cv)
+      | /(sqrt(list_dot_product(p.qv, p.qv))*sqrt(list_dot_product(a.cv, a.cv))), 4) AS sim
+      |FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
+      |WHERE p.query_id <> a.neighbor_id)
+      |SELECT query_id, "rank", neighbor_id, sim FROM (
+      |SELECT query_id, neighbor_id, sim,
+      |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
+      |FROM s) WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   /** Portable tokenizer mirror of TextFunctions.tokens. */
   private val TOKS =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
@@ -524,32 +555,12 @@ object Oracles {
          |    != substring(bits_b, CAST(i AS INT), 1))) AS INT) AS hamming
          |FROM cand) WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
-    "q41_ann_ivf" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 250 = 0),
-        |assigned AS (SELECT vec_id AS neighbor_id, e AS cv, cent_id FROM (
-        |SELECT v.vec_id, v.e, c.cent_id,
-        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |  round(list_dot_product(v.e, c.ce)
-        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
-        |  DESC, c.cent_id) AS crank
-        |FROM v CROSS JOIN cent c) WHERE crank = 1),
-        |probed AS (SELECT vec_id AS query_id, e AS qv, cent_id FROM (
-        |SELECT v.vec_id, v.e, c.cent_id,
-        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |  round(list_dot_product(v.e, c.ce)
-        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
-        |  DESC, c.cent_id) AS crank
-        |FROM v CROSS JOIN cent c WHERE v.vec_id < 8) WHERE crank <= 2),
-        |s AS (SELECT DISTINCT p.query_id, a.neighbor_id,
-        |round(list_dot_product(p.qv, a.cv)
-        | /(sqrt(list_dot_product(p.qv, p.qv))*sqrt(list_dot_product(a.cv, a.cv))), 4) AS sim
-        |FROM probed p JOIN assigned a ON p.cent_id = a.cent_id
-        |WHERE p.query_id <> a.neighbor_id)
-        |SELECT query_id, "rank", neighbor_id, sim FROM (
-        |SELECT query_id, neighbor_id, sim,
-        |row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS "rank"
-        |FROM s) WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "q41_ann_ivf" -> IVF_PROBE_SQL,
+
+    // q134: the saved-index probe must EQUAL the in-memory IVF compose
+    // (same centroids, queries, k, nprobe) — that equality IS the
+    // persisted-index lifecycle's contract, so the oracle is q41's.
+    "q134_ivf_index_probe" -> IVF_PROBE_SQL,
 
     "q42_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),

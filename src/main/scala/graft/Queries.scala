@@ -35,13 +35,22 @@ object Queries {
 
   // ---------- shared helpers ----------
 
-  /** events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it only as
-    * long (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
-    * identical to DuckDB's ns→us cast. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+    * generator versions and TIMESTAMP(MICROS) in others — adapt to
+    * whichever this dir carries. Nanos: Spark 4 reads it only as long
+    * (spark.sql.legacy.parquet.nanosAsLong), truncate to micros —
+    * identical to DuckDB's ns→us cast. Micros: arrives as a timestamp
+    * type already; normalize NTZ → session-UTC timestamp so both
+    * shapes produce the same downstream column type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def t(spark: SparkSession, dir: String): Tables = Tables(spark, dir)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity, VectorIndex}
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = GraftTestSpark.spark
@@ -561,5 +561,31 @@ class OperatorsSpec extends AnyFunSuite {
     sims.foreach { case (key, s) =>
       reference.get(key).foreach(ref => assert(s === ref, key.toString))
     }
+  }
+
+  test("VectorIndex: saved-index probe equals in-memory IVF compose, scan is partition-pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centroids = emb.where($"id" % 250 === 0)
+    val queries = emb.where($"id" < 8)
+    val path = GraftTestSpark.tmpDir("graft_vecidx")
+
+    VectorIndex.write(emb, centroids, path)
+    val idx = VectorIndex.read(spark, path)
+    val probe = VectorIndex.probe(idx, queries, k = 5, nprobe = 2)
+    val saved = probe
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val mem = Similarity.ivfTopK(queries, emb, centroids, k = 5, nprobe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(saved === mem) // the lifecycle contract: persistence is invisible
+
+    // the probed-bucket literal must reach the scan as a PARTITION
+    // filter (file-level pruning), not a post-scan data filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_id"),
+      s"expected cent_id partition filter in scan:\n$plan")
+    graft.operators.Caches.releaseAll()
   }
 }
