@@ -61,6 +61,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(om.readTree(line).get("subset43").asDouble() === -1.0)
   }
 
+  test("calib context is emitted and survives the degraded regimes") {
+    val calib = Some((0.031, 0.124, 2))
+    val line = Bench.jsonLine(Seq(("q01_x", 1.0, true)), "/sf", 3, calib)
+    val j = om.readTree(line)
+    assert(j.get("calib").get("min").asDouble() === 0.031)
+    assert(j.get("calib").get("max").asDouble() === 0.124)
+    assert(j.get("calib").get("drift").asDouble() === 4.0)
+    assert(j.get("calib").get("reruns").asInt() === 2)
+    // oversize regime: per-query map drops, calib must NOT — it is the
+    // load record that explains a slow degraded run
+    val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, true))
+    val big = Bench.jsonLine(many, "/sf", 3, calib)
+    assert(big.length <= 1800)
+    val jb = om.readTree(big)
+    assert(jb.get("queries").size() === 0)
+    assert(jb.get("calib").get("drift").asDouble() === 4.0)
+    // absent calib (a unit-test caller) emits no field at all
+    val none = Bench.jsonLine(Seq(("q01_x", 1.0, true)), "/sf", 3)
+    assert(om.readTree(none).get("calib") === null)
+  }
+
   test("sfDir with quotes and backslashes still yields parseable JSON") {
     val line = Bench.jsonLine(Seq(("q01_x", 1.0, true)),
       """C:\data\"sf0.1"""", 1)
