@@ -44,6 +44,13 @@ object Queries {
     * shapes produce the same downstream column type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The micros branch's NTZ→timestamp cast reads the wall clock in
+    // the SESSION timezone, while the nanos branch (timestamp_micros)
+    // is timezone-independent — a non-UTC session would shift one
+    // branch and not the other. Every entry point (Bench/Verify/
+    // GenData/tests) already pins UTC; force it here too so embedding
+    // Queries in a foreign session cannot silently diverge.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -64,19 +64,32 @@ object VectorIndex {
     * The probed bucket ids are collected to the driver to become a
     * LITERAL `cent_id IN (...)` predicate on the assignments scan —
     * that is what turns the filter into static file-level partition
-    * pruning. The collect is bounded by queries×nprobe scalars (the
-    * probe set is small by construction; this is an index LOOKUP
-    * path, not a pair-mining path — for corpus-scale "query" sets use
-    * [[Similarity.cosineNearDupPairs]]). */
-  def probe(index: Index, queries: DataFrame, k: Int, nprobe: Int)
-      : DataFrame = {
+    * pruning. The collect is bounded by min(queries×nprobe, nlist)
+    * DISTINCT scalars (the probe set is small by construction; this is
+    * an index LOOKUP path, not a pair-mining path — for corpus-scale
+    * "query" sets use [[Similarity.cosineNearDupPairs]]), and
+    * structurally capped at `maxProbeLiterals`: a pathological query
+    * batch that probes more buckets than that falls back to joining
+    * the assignments on `cent_id` directly — no driver materialization
+    * at all, at the cost of losing static pruning (the join still
+    * restricts rows; a batch that big is touching most of the index
+    * anyway, so a full scan is the honest plan). */
+  def probe(index: Index, queries: DataFrame, k: Int, nprobe: Int,
+      maxProbeLiterals: Int = 4096): DataFrame = {
     val probed = Caches.persistTracked(
       Similarity.nearestCentroids(queries, index.centroids, "query_id",
           keep = nprobe)
         .withColumnRenamed("v", "qv"))
+    // limit(cap+1) bounds the collect BEFORE it happens — the driver
+    // never holds more than maxProbeLiterals+1 ids even when the probe
+    // set is huge
     val buckets = probed.select(col("cent_id")).distinct()
+      .limit(maxProbeLiterals + 1)
       .collect().map(_.getLong(0)).toSeq
-    val pruned = index.assignments.where(col("cent_id").isin(buckets: _*))
+    val pruned =
+      if (buckets.length <= maxProbeLiterals)
+        index.assignments.where(col("cent_id").isin(buckets: _*))
+      else index.assignments
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     probed.join(pruned, Seq("cent_id"))

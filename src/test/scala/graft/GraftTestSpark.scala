@@ -13,6 +13,13 @@ object GraftTestSpark {
     d.toString
   }
 
+  /** Run a test body that persists tracked frames / reliable
+    * checkpoints, guaranteeing Caches.releaseAll() even when an
+    * assertion fails mid-body — otherwise the failed test's cached
+    * frames bleed memory into every later test in the shared session. */
+  def withCaches[A](body: => A): A =
+    try body finally graft.operators.Caches.releaseAll()
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
