@@ -22,13 +22,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (near-dup pairs, not documents), and every derivation is a keyed
   * shuffle over it — re-reading a columnar file per stage is the cheap
   * part; re-SHINGLING the corpus per stage (what the independent
-  * queries must do) is the expensive part this stage removes.
+  * queries must do) is the expensive part this stage removes. The
+  * materialization is a BUCKETED table on `id_a` (sorted id_a, id_b),
+  * not flat parquet: every consumer keys on id_a (cluster labels,
+  * survivor picks, per-doc pair counts), so a bucketed scan arrives
+  * already hash-partitioned and the derivation's first aggregation
+  * runs with NO Exchange (pinned in ScaleOpsSpec). At 100 TB that is
+  * one saved pair-table shuffle per derivation stage.
   */
 object PairTable {
   /** Mining parameters — shared with q22's contract (word-3-gram
     * shingles, jaccard ≥ 0.2, stop-shingle df cap 1000). */
   val ShingleN = 3
   val Threshold = 0.2
+
+  /** Bucket count for the materialized tables. Sized for the pair
+    * table (pairs, not documents — small relative to corpus); a
+    * cluster deployment reading a 100 TB corpus's pair table would
+    * raise it, the derivation plans are bucket-count-agnostic. */
+  val NBuckets = 16
 
   private val memo =
     scala.collection.concurrent.TrieMap[String, String]()
@@ -70,19 +82,28 @@ object PairTable {
   private def materialized(spark: SparkSession, dir: String,
       kind: String)(mine: SparkSession => DataFrame): DataFrame = {
     val key = s"$dir|$kind"
-    val path = memo.get(key) match {
-      case Some(p) => p
+    val table = memo.get(key) match {
+      case Some(t) => t
       case None => this.synchronized {
         memo.getOrElseUpdate(key, {
           val root = java.nio.file.Files
             .createTempDirectory(s"graft_pairs_${kind}_").toFile
           TempDirs.deleteRecursivelyOnExit(root)
           val out = new java.io.File(root, "pairs").getAbsolutePath
-          mine(spark).write.mode("overwrite").parquet(out)
-          out
+          // table name must be unique per (dir, kind) within the
+          // session catalog — hash the dir rather than sanitizing it
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(8)
+          val name = s"graft_pairs_${kind}_$digest"
+          // external bucketed table: data in the exit-deleted temp
+          // dir, bucket metadata in the (in-memory) session catalog
+          graft.sources.Writers.bucketedTable(mine(spark), name,
+            Seq("id_a"), NBuckets, Seq("id_a", "id_b"), Some(out))
+          name
         })
       }
     }
-    spark.read.parquet(path)
+    spark.table(table)
   }
 }

@@ -87,12 +87,19 @@ object Writers {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   /** Scale path: bucketed table — co-locates join/agg keys so repeated
-    * joins on `bucketCols` skip the shuffle entirely. */
+    * joins on `bucketCols` skip the shuffle entirely. With `path` the
+    * table is EXTERNAL: data lands at the given location (a caller's
+    * temp/object-store dir) instead of the session warehouse, while
+    * the bucket metadata still registers in the catalog — that
+    * metadata is what lets later scans report hash-partitioned output
+    * and drop the Exchange. */
   def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
-      nBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+      nBuckets: Int, sortCols: Seq[String] = Seq.empty,
+      path: Option[String] = None): Unit = {
     var w = df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
     w.format("parquet").saveAsTable(table)
   }
 

@@ -38,6 +38,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE bkt_a"); spark.sql("DROP TABLE bkt_b")
   }
 
+  test("materialized pair tables are bucketed: id_a derivations plan with no Exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.PairTable.pairs(spark, dir)
+    // the canonical derivation key: per-doc pair aggregation (cluster
+    // labels / survivor picks / q110-q113 all start here) must read
+    // the bucketed layout as already-hash-partitioned input
+    val agg = pairs.groupBy($"id_a").agg(count(lit(1)).as("n_pairs"))
+    val aplan = agg.queryExecution.executedPlan.toString
+    assert(!aplan.contains("Exchange hashpartitioning"),
+      s"bucketed pair-table aggregation should not shuffle:\n$aplan")
+    assert(agg.count() > 0)
+    // derivation-joins-derivation (survivor pick against per-doc max)
+    // co-locates too — force the sort-merge path so the assertion is
+    // about bucketing, not about a broadcast hiding the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val best = pairs.groupBy($"id_a").agg(max($"jaccard").as("best"))
+      val joined = pairs.join(best, Seq("id_a"))
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange hashpartitioning"),
+        s"bucketed pair-table self-derivation join should not shuffle:\n$jplan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the embedding pair table shares the layout contract
+    val embed = graft.operators.PairTable.embedPairs(spark, dir)
+    val eplan = embed.groupBy($"id_a").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!eplan.contains("Exchange hashpartitioning"),
+      s"bucketed embed-pair aggregation should not shuffle:\n$eplan")
+  }
+
   test("range-clustered write: disjoint per-file key ranges, tight stats") {
     import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
     val dir = GraftTestSpark.tmpDir("graftrange")
