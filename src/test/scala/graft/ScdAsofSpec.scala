@@ -95,4 +95,83 @@ class ScdAsofSpec extends AnyFunSuite {
       } finally q.stop()
     } finally StateStores.useDefault(spark)
   }
+
+  test("checkpoint restart mid-backlog: buffered facts, versions and " +
+      "timers recover, enriched output is exactly-once") {
+    // T11 applied to the newest stateful operator: incarnation 1
+    // ingests the WHOLE fact/dim history but terminates with every
+    // fact still buffered in RocksDB state (the watermark never
+    // reaches them); incarnation 2 restarts against the same
+    // checkpoint and ingests only the watermark pushers. Every real
+    // fact must then emit exactly once, resolved against dim versions
+    // that arrived in the PREVIOUS incarnation — proving buffered
+    // facts, version history and the armed timer all survive restart.
+    StateStores.useRocksDb(spark)
+    try {
+      val factDir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-scdr-f"))
+      val dimDir = java.nio.file.Paths.get(GraftTestSpark.tmpDir("graft-scdr-d"))
+      val outDir = GraftTestSpark.tmpDir("graft-scdr-out")
+      val chkDir = GraftTestSpark.tmpDir("graft-scdr-chk")
+      def writeFile(dir: java.nio.file.Path, name: String,
+          lines: Seq[String]): Unit =
+        java.nio.file.Files.write(dir.resolve(name),
+          String.join("\n", lines: _*).getBytes("UTF-8"))
+      def run(): Unit = {
+        val facts = spark.readStream
+          .schema("event_id long, user_id long, ts_s string")
+          .csv(factDir.toString)
+          .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+          .withWatermark("ts", "2 hours")
+        val dims = spark.readStream
+          .schema("user_id long, ts_s string, tier string")
+          .csv(dimDir.toString)
+          .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+          .withWatermark("ts", "2 hours")
+        val q = ScdAsof.asofEnrichScdState(facts, dims, spark)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", chkDir).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // the same history as the parity test, later dim version first
+      writeFile(factDir, "f1.csv", Seq(
+        "2,1,2024-01-01 10:30:00", "3,1,2024-01-01 10:29:00",
+        "1,1,2024-01-01 10:05:00", "5,2,2024-01-01 10:20:00",
+        "4,2,2024-01-01 10:05:00", "6,3,2024-01-01 10:15:00"))
+      writeFile(dimDir, "d1.csv", Seq(
+        "1,2024-01-01 10:30:00,B", "1,2024-01-01 10:00:00,A",
+        "2,2024-01-01 10:10:00,C"))
+      run() // incarnation 1 terminates with ALL facts still pending
+      val outSchema = "event_id long, user_id long, ts timestamp, asof_tier string"
+      assert(spark.read.schema(outSchema).parquet(outDir).count() === 0,
+        "fixture must stop MID-backlog: watermark (10:30 - 2h) cannot " +
+          "have released any fact in incarnation 1")
+
+      // incarnation 2: only the pushers (20:00 - 2h = 18:00 > all facts)
+      writeFile(factDir, "f2.csv", Seq("99,9,2024-01-01 20:00:00"))
+      writeFile(dimDir, "d2.csv", Seq("9,2024-01-01 20:00:00,Z"))
+      run()
+
+      val got = spark.read.schema(outSchema).parquet(outDir)
+        .select($"event_id", $"asof_tier").as[(Long, String)].collect()
+      // exactly-once: each fact appears once, none lost, none doubled
+      assert(got.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L),
+        s"restart broke exactly-once: ${got.toSeq.sortBy(_._1)}")
+      // and resolution used state written before the restart
+      val expected = Analytics.asofJoin(
+        Seq((1L, 1L, "2024-01-01 10:05:00"), (2L, 1L, "2024-01-01 10:30:00"),
+          (3L, 1L, "2024-01-01 10:29:00"), (4L, 2L, "2024-01-01 10:05:00"),
+          (5L, 2L, "2024-01-01 10:20:00"), (6L, 3L, "2024-01-01 10:15:00"))
+          .toDF("event_id", "user_id", "ts_s")
+          .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s"),
+        Seq((1L, "2024-01-01 10:00:00", "A"), (1L, "2024-01-01 10:30:00", "B"),
+          (2L, "2024-01-01 10:10:00", "C"))
+          .toDF("user_id", "ts_s", "tier")
+          .withColumn("d_ts", to_timestamp(col("ts_s"))).drop("ts_s"),
+        "user_id", "ts", "d_ts", Seq("tier"))
+        .select($"event_id", $"asof_tier").as[(Long, String)].collect().toSet
+      assert(got.toSet === expected)
+    } finally StateStores.useDefault(spark)
+  }
 }
