@@ -2286,22 +2286,29 @@ object Oracles {
 
     // q131: banded-LSH regime — replay the integer Rademacher
     // signature (bit i of vec = sign of sum_d sgn(i,d)*round(e[d]*1e6)
-    // with sgn from the LCG mix), 8 bands x 8 bits, candidates =
-    // band-bucket collisions, exact raw-cosine gate
+    // with sgn from the Wang-hash avalanche mix, see
+    // SimilarityJoinKernels.hyperplaneSign), 8 bands x 8 bits,
+    // candidates = band-bucket collisions, exact raw-cosine gate
     "q131_simjoin_banded" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),
         |qv AS (SELECT vec_id, e,
         |  list_transform(e, x -> CAST(round(x*1e6) AS BIGINT)) AS q FROM v),
-        |bit AS (SELECT vec_id, b.i AS bit,
-        |  CASE WHEN sum(CASE WHEN
-        |      (((1103515245*(b.i*1000003 + d.d) + 12345) % 2147483648)
-        |        >> 16) & 1 = 1
-        |    THEN q[CAST(d.d+1 AS INT)] ELSE -q[CAST(d.d+1 AS INT)] END) > 0
+        |sgn AS (SELECT bit, dim,
+        |  CASE WHEN ((xor(x4, x4 >> 15) >> 16) & 1) = 1
+        |    THEN 1 ELSE -1 END AS s
+        |FROM (SELECT bit, dim,
+        |    (xor(x2, x2 >> 4) * 668265261) % 4294967296 AS x4
+        |  FROM (SELECT bit, dim,
+        |      (xor(xor(s0, 61), s0 >> 16) * 9) % 4294967296 AS x2
+        |    FROM (SELECT b.i AS bit, d.d AS dim, b.i*1000003 + d.d AS s0
+        |      FROM (SELECT unnest(range(64)) AS i) b
+        |      CROSS JOIN (SELECT unnest(range(64)) AS d) d)))),
+        |bit AS (SELECT vec_id, g.bit AS bit,
+        |  CASE WHEN sum(g.s * q[CAST(g.dim+1 AS INT)]) > 0
         |  THEN '1' ELSE '0' END AS bv
-        |FROM qv CROSS JOIN (SELECT unnest(range(64)) AS i) b
-        |  CROSS JOIN (SELECT unnest(range(64)) AS d) d
-        |GROUP BY vec_id, b.i),
+        |FROM qv CROSS JOIN sgn g
+        |GROUP BY vec_id, g.bit),
         |sig AS (SELECT vec_id, string_agg(bv, '' ORDER BY bit) AS bits
         |FROM bit GROUP BY vec_id),
         |banded AS (SELECT vec_id, b.b AS band,

@@ -2936,8 +2936,11 @@ object Queries {
     val emb = t(spark, dir).embeddings
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    // geometry pinned EXPLICITLY at 8×8: the DuckDB oracle replays
+    // exactly this banding; the operator default (0,0 = auto-derived
+    // from threshold + recall target) is covered by SimilarityJoinSpec
     Similarity.cosineJoin(a, b, "va", "vb", 0.35,
-        graft.plans.SimJoinRegime.Banded)
+        graft.plans.SimJoinRegime.Banded, bands = 8, bandBits = 8)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))

@@ -160,7 +160,11 @@ object Similarity {
     *  - `Banded`: banded random-hyperplane LSH bucket join — the
     *    large-large 100 TB shape; deterministic recall < 1 (pairs
     *    must collide in ≥ 1 signature band; collision probability
-    *    rises with similarity).
+    *    rises with similarity). Band geometry defaults to AUTO
+    *    (`bands = bandBits = 0`): the strategy derives the widest
+    *    bands meeting [[graft.plans.BandGeometry.DefaultTargetRecall]]
+    *    at the threshold from the S-curve; pass explicit values only
+    *    to pin a specific replayable geometry (q131's oracle).
     *  - `Auto` (default): statistics decide, like BroadcastHashJoin
     *    vs SortMergeJoin — broadcast when a side fits
     *    autoBroadcastJoinThreshold, banded otherwise. Auto callers
@@ -174,7 +178,7 @@ object Similarity {
   def cosineJoin(left: DataFrame, right: DataFrame,
       leftVecCol: String, rightVecCol: String, threshold: Double,
       regime: SimJoinRegime = SimJoinRegime.Auto,
-      bands: Int = 8, bandBits: Int = 8): DataFrame = {
+      bands: Int = 0, bandBits: Int = 0): DataFrame = {
     val overlap = left.columns.toSet intersect right.columns.toSet
     require(overlap.isEmpty,
       s"cosineJoin sides must have disjoint column names; shared: $overlap")

@@ -35,6 +35,40 @@ object SimJoinRegime {
   case object Auto extends SimJoinRegime
 }
 
+/** S-curve band-geometry math for the banded LSH regime (signed
+  * random projection): a bit agrees for a pair at cosine `s` with
+  * probability `1 − arccos(s)/π`, a band of `r` bits with `p^r`, and
+  * at least one of `b` bands with `1 − (1 − p^r)^b`. [[derive]]
+  * inverts that: given the join threshold and a target recall AT the
+  * threshold (the worst qualifying pair — recall only rises above
+  * it), pick the WIDEST bands (most selective buckets, fewest false
+  * candidates) whose 64-bit-budget band count still meets the target.
+  * This is the geometry analogue of the strategy's stats-driven
+  * exact-vs-banded pick: callers state intent (threshold, recall),
+  * the planner picks the knobs.
+  */
+object BandGeometry {
+  val DefaultTargetRecall = 0.9
+
+  /** P(one signature bit agrees) for a pair at cosine `s`. */
+  def bitProb(s: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
+
+  /** P(pair at cosine `s` collides in ≥ 1 band) — the S-curve. */
+  def recallAt(s: Double, bands: Int, bandBits: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(bitProb(s), bandBits), bands)
+
+  /** (bands, bandBits): widest band width `r ≤ 16` whose `⌊64/r⌋`
+    * bands still give `recallAt(threshold) ≥ targetRecall`; (64, 1)
+    * — the highest-recall geometry the budget allows — if none does. */
+  def derive(threshold: Double,
+      targetRecall: Double = DefaultTargetRecall): (Int, Int) =
+    (16 to 1 by -1).iterator
+      .map(r => (64 / r, r))
+      .find { case (b, r) => recallAt(threshold, b, r) >= targetRecall }
+      .getOrElse((64, 1))
+}
+
 /** Logical cosine-threshold join: emit (l, r) row pairs where
   * `cosine(leftVec, rightVec) >= threshold` (raw double compare — the
   * same predicate a naive `JOIN ... ON cosine_sim(a,b) >= t` query
@@ -58,8 +92,12 @@ case class SimilarityJoinPlan(
     regime: SimJoinRegime,
     bands: Int, bandBits: Int) extends BinaryNode {
 
-  require(bands > 0 && bandBits > 0 && bands * bandBits <= 64,
-    s"signature must fit one long: bands=$bands bandBits=$bandBits")
+  // (0, 0) = auto: the strategy derives geometry from the threshold
+  // via BandGeometry.derive at planning time
+  require((bands == 0 && bandBits == 0) ||
+    (bands > 0 && bandBits > 0 && bands * bandBits <= 64),
+    s"signature must fit one long (or 0,0 for auto): " +
+      s"bands=$bands bandBits=$bandBits")
 
   // inner join: no nullability change on either side
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -84,9 +122,17 @@ object SimilarityJoinStrategy extends SparkStrategy {
       def broadcastGate = SimilarityBroadcastGateExec(
         planLater(p.left), planLater(p.right),
         p.leftVec, p.rightVec, p.threshold, buildRight) :: Nil
-      def banded = SimilarityBandedJoinExec(
-        planLater(p.left), planLater(p.right),
-        p.leftVec, p.rightVec, p.threshold, p.bands, p.bandBits) :: Nil
+      def banded = {
+        // explicit geometry is honored verbatim (q131's oracle replays
+        // 8×8 bit-for-bit); (0,0) derives from the threshold so the
+        // default banded plan meets the documented recall target
+        val (b, r) =
+          if (p.bands > 0) (p.bands, p.bandBits)
+          else BandGeometry.derive(p.threshold)
+        SimilarityBandedJoinExec(
+          planLater(p.left), planLater(p.right),
+          p.leftVec, p.rightVec, p.threshold, b, r) :: Nil
+      }
       p.regime match {
         case SimJoinRegime.Exact => broadcastGate
         case SimJoinRegime.Banded => banded
@@ -161,7 +207,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       extract(cond, l, r) match {
         case Some((lv, rv, t, residual)) =>
           val sim = SimilarityJoinPlan(l, r, lv, rv, t,
-            SimJoinRegime.Exact, bands = 8, bandBits = 8)
+            SimJoinRegime.Exact, bands = 0, bandBits = 0)
           residual.reduceOption(And).map(Filter(_, sim)).getOrElse(sim)
         case None => j
       }

@@ -23,11 +23,32 @@ object SimilarityJoinKernels {
     else math.ceil(v * 1e6 - 0.5).toLong
 
   /** Rademacher hyperplane entry for (bit, dim): a deterministic
-    * LCG-style integer mix, +1 or -1. Kept to +, *, %, >>, & so the
-    * DuckDB oracle can replay it verbatim in SQL. */
+    * Wang-hash avalanche mix, +1 or -1. Kept to ^, *, %, >>, & with
+    * every intermediate below 2^62 so the DuckDB oracle can replay it
+    * verbatim in signed-64 SQL (DuckDB errors on BIGINT overflow
+    * rather than wrapping — max product here is 2^32 · 668265261 ≈
+    * 2.9e18 < 2^63).
+    *
+    * Why avalanche and not a one-step LCG: consecutive (bit, dim)
+    * seeds differ by 1, and one LCG step maps consecutive seeds to
+    * strongly related outputs — measured on the previous family: only
+    * 46 of the 64 hyperplane sign patterns were distinct in 32 dims
+    * and mean |inter-plane correlation| was 0.49 (random expectation
+    * 0.14), so ~18 signature bits carried no information and banded
+    * recall at cos 0.77 with (16, 4) was 0.82 where the S-curve
+    * predicts 0.9997. The Wang mix measures 64/64 distinct planes,
+    * 0.14 mean |correlation|, and empirical recall matching the
+    * S-curve — which is what lets [[graft.plans.BandGeometry]] derive
+    * geometry from the curve and trust the result. */
   def hyperplaneSign(bit: Int, dim: Int): Long = {
-    val x = (1103515245L * (bit * 1000003L + dim) + 12345L) % 2147483648L
-    if (((x >> 16) & 1L) == 1L) 1L else -1L
+    val m32 = 4294967296L
+    val s = bit * 1000003L + dim
+    val x1 = (s ^ 61L) ^ (s >> 16)
+    val x2 = (x1 * 9L) % m32
+    val x3 = x2 ^ (x2 >> 4)
+    val x4 = (x3 * 668265261L) % m32
+    val x5 = x4 ^ (x4 >> 15)
+    if (((x5 >> 16) & 1L) == 1L) 1L else -1L
   }
 
   /** nbits-bit random-hyperplane signature of `vec` (bit i set iff the

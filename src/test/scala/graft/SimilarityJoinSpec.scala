@@ -124,6 +124,81 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(got === exactPairs(0.9))
   }
 
+  test("auto band geometry: derive meets the S-curve target with the " +
+      "widest bands that fit the 64-bit budget") {
+    import graft.plans.BandGeometry._
+    // high threshold → wide selective bands suffice
+    assert(derive(0.9) === ((8, 8)))
+    // low threshold → narrow bands, many of them
+    assert(derive(0.35) === ((16, 4)))
+    // widest-that-fits: one band wider and the target is missed
+    assert(recallAt(0.9, 64 / 9, 9) < 0.9 && recallAt(0.9, 8, 8) >= 0.9)
+    assert(recallAt(0.35, 12, 5) < 0.9 && recallAt(0.35, 16, 4) >= 0.9)
+    // degenerate thresholds still yield a legal geometry
+    val (b0, r0) = derive(0.0)
+    assert(b0 > 0 && r0 > 0 && b0 * r0 <= 64)
+    val (b1, r1) = derive(0.9999, targetRecall = 0.999999)
+    assert(b1 > 0 && r1 > 0 && b1 * r1 <= 64)
+  }
+
+  test("auto-derived geometry recovers planted moderate-sim pairs on " +
+      "heavy-tailed vectors; a fixed wide-band 8x8 drops them") {
+    // 40 planted pairs at cosine ≈ cos(50°) ≈ 0.643 — well above the
+    // 0.35 threshold but far below the near-dup regime the tight
+    // clusters exercise — over 32-dim heavy-tailed 1/(d+1) component
+    // magnitudes (the realistic embedding shape: a few dominant
+    // dimensions; 32 dims keeps the fixed hyperplane bits from
+    // degenerating into full correlation, which an 8-dim fixture
+    // measurably does). S-curve at 0.643 with the derived (16, 4):
+    // ≈ 0.99 expected recall; with the old fixed (8, 8): ≈ 0.46.
+    val theta = math.toRadians(50.0)
+    val dims = 32
+    // a real avalanche mix — a linear-congruence formula here makes u
+    // and x near-parallel (constant offset mod m), which degenerates
+    // the Gram-Schmidt plane into structured axes the fixed hyperplane
+    // family resolves badly
+    def pseudo(k: Int, d: Int, salt: Int): Double = {
+      var h = k * 1000003 + d * 10007 + salt * 999983
+      h = (h ^ (h >>> 13)) * 0x5bd1e995
+      h = h ^ (h >>> 15)
+      ((h & 0xfffff) / 1048576.0 - 0.5) / math.sqrt(d + 1.0)
+    }
+    val rows: Seq[(Long, Array[Double])] = (0 until 40).flatMap { k =>
+      val u = Array.tabulate(dims)(d => pseudo(k, d, 1))
+      val x = Array.tabulate(dims)(d => pseudo(k, d, 2))
+      // Gram-Schmidt: w ⟂ u, then v = cosθ·û + sinθ·ŵ so cos(u,v)=cosθ
+      val uu = u.map(a => a * a).sum
+      val xu = x.zip(u).map { case (a, b) => a * b }.sum
+      val w = x.zip(u).map { case (a, b) => a - b * xu / uu }
+      val un = math.sqrt(uu)
+      val wn = math.sqrt(w.map(a => a * a).sum)
+      val v = Array.tabulate(dims)(d =>
+        math.cos(theta) * u(d) / un + math.sin(theta) * w(d) / wn)
+      Seq((2L * k, u), (2L * k + 1, v))
+    } ++ (0 until 40).map { j =>
+      (1000L + j, Array.tabulate(dims)(d => pseudo(j + 500, d, 3)))
+    }
+    def side(idCol: String, vecCol: String): DataFrame =
+      rows.toDF(idCol, vecCol)
+    val plantedPairs = (0 until 40).map(k => (2L * k, 2L * k + 1)).toSet
+
+    val auto = Similarity.cosineJoin(side("id_a", "va"), side("id_b", "vb"),
+      "va", "vb", 0.35, SimJoinRegime.Banded)
+    val geom = findExec(auto) { case e: SimilarityBandedJoinExec => e }
+    assert(geom.map(e => (e.bands, e.bandBits)) === Seq((16, 4)),
+      "strategy must derive (16, 4) from threshold 0.35")
+    val autoHits = collectPairs(auto).toSet intersect plantedPairs
+    assert(autoHits.size >= 36, // target recall 0.9 on 40 planted pairs
+      s"auto geometry recall ${autoHits.size}/40 below the 0.9 target")
+
+    val fixed = Similarity.cosineJoin(side("id_a", "va"), side("id_b", "vb"),
+      "va", "vb", 0.35, SimJoinRegime.Banded, bands = 8, bandBits = 8)
+    val fixedHits = collectPairs(fixed).toSet intersect plantedPairs
+    assert(fixedHits.size < autoHits.size,
+      s"fixed 8x8 (${fixedHits.size}/40) should trail the derived " +
+        s"geometry (${autoHits.size}/40) at moderate similarity")
+  }
+
   test("kernels: quantize rounds half away from zero; signature is " +
       "invariant to array copies; firstCommonBand finds the lowest") {
     assert(SimilarityJoinKernels.quantize(1e-6) === 1L)
