@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSim, HammingDist, MinhashSig, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
+import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
 
 /** `spark.sql.extensions` entry point — the zero-code-change way to
   * get the engine's native SQL surface (SURVEY §7.3's preferred
@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // node; the strategy picks broadcast-gate vs banded LSH by stats
     ext.injectOptimizerRule(_ => graft.plans.SimilarityJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.SimilarityJoinStrategy)
+    // whole-operator extension: jaccard-threshold join — naive
+    // jaccard_sim(a,b,n) >= t join conditions rewrite to the exact
+    // shingle inverted-index join (no broadcast gate needed: the
+    // inverted index is exact at any size)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.JaccardJoinStrategy)
     ext.injectFunction((FunctionIdentifier("tokenize"),
       info("tokenize", "tokenize(text) - lowercased whitespace tokens"),
       exprs => Tokenize(exprs.head)))
@@ -55,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine of two double arrays"),
       exprs => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim",
+        "jaccard_sim(a, b[, n]) - word-n-gram jaccard of two texts (n defaults to 3)"),
+      exprs => JaccardSim(exprs.head, exprs(1),
+        if (exprs.length > 2) intArg(exprs(2)) else 3)))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text, w, t) - winnowed rolling-hash sketch"),

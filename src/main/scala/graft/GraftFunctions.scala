@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{CosineSim, HammingDist, MinhashSig, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
+import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
 
 /** SQL-surface registration: exposes the native expressions to
   * `spark.sql(...)` users, so the engine's text primitives are usable
@@ -25,6 +25,10 @@ object GraftFunctions {
       exprs => HammingDist(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sim",
+      exprs => JaccardSim(exprs.head, exprs(1),
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
+        else 3), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => WinnowFingerprints(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),

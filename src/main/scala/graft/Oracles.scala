@@ -562,6 +562,25 @@ object Oracles {
     // persisted-index lifecycle's contract, so the oracle is q41's.
     "q134_ivf_index_probe" -> IVF_PROBE_SQL,
 
+    // q135: the naive jaccard-threshold join after the inverted-index
+    // rewrite — oracle is the literal exact pairwise jaccard over
+    // shingle sets with NO df cap (the rewrite implements the user's
+    // predicate verbatim; contrast q22, whose mining contract caps
+    // stop-shingles). Threshold filters the UNROUNDED value, exactly
+    // like the Spark predicate; rounding is display-only.
+    "q135_jaccard_join" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM post a JOIN post b ON a.shingle = b.shingle
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
+         |FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q42_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -3020,6 +3020,32 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Naive jaccard-threshold join — `a JOIN b ON jaccard_sim(a.text,
+    * b.text, 3) >= 0.2 AND a.id < b.id` written as the plain join
+    * predicate a SQL user would — through the injected
+    * [[graft.plans.JaccardJoinRewrite]]: the optimizer rewrites the
+    * condition onto [[graft.plans.JaccardInvertedJoinExec]] (q22's
+    * shingle inverted index as a whole-operator planner extension), so
+    * the physical plan is keyed shuffles with exact intersection
+    * counts — no BroadcastNestedLoopJoin, no CartesianProduct, and no
+    * recall trade (the inverted index is exact at any size, unlike
+    * q131's banded regime). Oracle: the literal exact pairwise jaccard
+    * with NO df cap — the rewrite implements the user's predicate
+    * verbatim, not the capped mining heuristic. */
+  def q135JaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.addOptimization(spark, graft.plans.JaccardJoinRewrite)
+    PlanBridge.addStrategy(spark, graft.plans.JaccardJoinStrategy)
+    val docs = t(spark, dir).documents
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val jac = graft.expressions.TextExpressions
+      .jaccardSim(col("text_a"), col("text_b"), 3)
+    a.join(b, jac >= lit(0.2) && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3156,5 +3182,6 @@ object Queries {
     "q131_simjoin_banded" -> (q131SimJoinBanded _),
     "q132_attribution_outer" -> (q132AttributionOuter _),
     "q133_delta_cap_pairs" -> (q133DeltaCapPairs _),
-    "q134_ivf_index_probe" -> (q134IvfIndexProbe _))
+    "q134_ivf_index_probe" -> (q134IvfIndexProbe _),
+    "q135_jaccard_join" -> (q135JaccardJoin _))
 }

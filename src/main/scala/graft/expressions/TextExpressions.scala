@@ -188,6 +188,68 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  private def shingleStrings(input: UTF8String, n: Int)
+      : java.util.LinkedHashSet[String] = {
+    val toks = input.toString
+      .toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
+
+  /** Exact word-n-gram jaccard of two texts: |A∩B| / |A∪B| over the
+    * distinct shingle sets ([[wordShingles]] semantics); 0.0 when the
+    * union is empty — so for any threshold t > 0, texts too short to
+    * shingle can never qualify (the invariant the inverted-index join
+    * rewrite relies on). */
+  def jaccardSim(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleStrings(a, n)
+    val sb = shingleStrings(b, n)
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else {
+      var inter = 0
+      val it = sa.iterator
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** Distinct xxhash64 keys (seed 42, matching Spark's `xxhash64`) of
+    * a text's word-n-gram shingles — the fixed-width posting keys the
+    * inverted-index join shuffles instead of shingle strings. Hash
+    * collisions within a doc would shrink the set (and across docs
+    * inflate `shared`); at 2^-64 per shingle pair this is the same
+    * accepted risk as the q22 miner, and the set size here IS the
+    * count the jaccard denominator uses, so the exec stays internally
+    * consistent. */
+  def shingleHashKeys(input: UTF8String, n: Int): Array[Long] = {
+    val strings = shingleStrings(input, n)
+    val keys = new java.util.TreeSet[java.lang.Long]
+    val it = strings.iterator
+    while (it.hasNext) {
+      val u = UTF8String.fromString(it.next())
+      keys.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+    }
+    val out = new Array[Long](keys.size)
+    val kit = keys.iterator
+    var k = 0
+    while (kit.hasNext) { out(k) = kit.next().longValue(); k += 1 }
+    out
+  }
+
   /** Codepoint positions differing between two strings of equal
     * numChars. Iterates by codepoint, not UTF-16 unit: the caller's
     * guard compares numChars (codepoints), so supplementary-plane
@@ -252,6 +314,31 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
+}
+
+/** Exact word-n-gram jaccard similarity of two text columns —
+  * `|A∩B| / |A∪B|` over [[WordShingles]] sets, 0.0 on an empty union.
+  * The naive-SQL predicate `jaccard_sim(a.text, b.text, n) >= t` in a
+  * join condition is what [[graft.plans.JaccardJoinRewrite]] rewrites
+  * onto the inverted-index join; this expression is both the user
+  * surface and the semantic ground truth that rewrite must preserve. */
+case class JaccardSim(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.jaccardSim(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextKernels.jaccardSim($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaccardSim = copy(left = l, right = r)
 }
 
 /** One-pass portable MinHash signature (lex-min md5 per seed). */
@@ -348,6 +435,11 @@ object TextExpressions {
   /** Whitespace tokens of a text column (native). */
   def tokenize(text: Column): Column =
     ColumnBridge.column(Tokenize(ColumnBridge.expression(text)))
+
+  /** Exact word-n-gram jaccard of two text columns (native). */
+  def jaccardSim(a: Column, b: Column, n: Int): Column =
+    ColumnBridge.column(JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), n))
 
   /** Portable MinHash signature of a shingle-array column (native). */
   def minhashSig(shingles: Column, numHashes: Int): Column =

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{TextExpressions, TextKernels}
+import graft.plans.{JaccardInvertedJoinExec, JaccardJoinRewrite, JaccardJoinStrategy}
+
+/** The jaccard-threshold join extension: naive SQL/DataFrame join
+  * predicates on jaccard_sim rewrite onto the exact shingle
+  * inverted-index exec — q22's machinery as a planner extension. */
+class JaccardJoinSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private def install(): Unit = {
+    PlanBridge.addOptimization(spark, JaccardJoinRewrite)
+    PlanBridge.addStrategy(spark, JaccardJoinStrategy)
+    GraftFunctions.register(spark)
+  }
+
+  private val docRows = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (4L, "completely unrelated text about something else entirely"),
+    (5L, "too short"),                                     // no 3-gram
+    (6L, "quick brown fox jumps over the lazy dog today")) // overlaps 1
+
+  private def side(idCol: String, textCol: String): DataFrame =
+    docRows.toDF(idCol, textCol)
+
+  /** Ground truth via the scalar kernel — independent of any join
+    * machinery, rewrite on or off. */
+  private def expected(t: Double): Set[(Long, Long)] =
+    (for {
+      (ia, ta) <- docRows; (ib, tb) <- docRows
+      if ia < ib
+      if TextKernels.jaccardSim(UTF8String.fromString(ta),
+        UTF8String.fromString(tb), 3) >= t
+    } yield (ia, ib)).toSet
+
+  private def pairs(df: DataFrame): Seq[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+
+  // string checks so an AdaptiveSparkPlanExec wrapper (present as soon
+  // as an input repartition adds an exchange) can't hide the node from
+  // a collect()
+  private def hasExec(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("JaccardInvertedJoin")
+
+  private def hasNaiveShape(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+  }
+
+  test("naive SQL jaccard_sim join rewrites to the inverted-index exec " +
+      "and matches the scalar ground truth") {
+    install()
+    side("id_a", "text_a").createOrReplaceTempView("jj_a")
+    side("id_b", "text_b").createOrReplaceTempView("jj_b")
+    val out = spark.sql(
+      """SELECT id_a, id_b FROM jj_a JOIN jj_b
+        |ON jaccard_sim(text_a, text_b, 3) >= 0.3 AND id_a < id_b""".stripMargin)
+    assert(hasExec(out), "rewrite must fire on the SQL join condition")
+    assert(!hasNaiveShape(out), "the O(n·m) BNLJ/cartesian shape must be gone")
+    val got = pairs(out)
+    assert(got.toSet === expected(0.3))
+    assert(got.size === got.toSet.size, "no duplicate pair emissions")
+    // the residual id_a < id_b conjunct survived as a filter
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("DataFrame-built naive predicate rewrites too; flipped literal " +
+      "form and 2-arg default shingle width both match") {
+    install()
+    val jac = TextExpressions.jaccardSim(col("text_a"), col("text_b"), 3)
+    val df = side("id_a", "text_a").join(side("id_b", "text_b"),
+      jac >= lit(0.3) && col("id_a") < col("id_b"))
+    assert(hasExec(df))
+    assert(pairs(df).toSet === expected(0.3))
+    // t <= jaccard_sim(...) (flipped) and the 2-arg SQL default n=3
+    side("id_a", "text_a").createOrReplaceTempView("jj_a")
+    side("id_b", "text_b").createOrReplaceTempView("jj_b")
+    val flipped = spark.sql(
+      """SELECT id_a, id_b FROM jj_a JOIN jj_b
+        |ON 0.3 <= jaccard_sim(text_a, text_b) AND id_a < id_b""".stripMargin)
+    assert(hasExec(flipped))
+    assert(pairs(flipped).toSet === expected(0.3))
+  }
+
+  test("join semantics are per row pair: duplicate-content rows each " +
+      "emit, and null/short texts never qualify") {
+    install()
+    // ids 1 and 2 are identical content: every pair one of them forms,
+    // the other must form too — the exec must not collapse identical
+    // texts into one row
+    val got = expected(0.5)
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((1L, 6L)) && got.contains((2L, 6L)),
+      s"identical rows 1 and 2 must pair symmetrically: $got")
+    val jac = TextExpressions.jaccardSim(col("text_a"), col("text_b"), 3)
+    val df = side("id_a", "text_a").join(side("id_b", "text_b"),
+      jac >= lit(0.5) && col("id_a") < col("id_b"))
+    assert(pairs(df).toSet === got)
+    // doc 5 ("too short") has no 3-gram shingles: jaccard 0 vs
+    // everything, absent from every result
+    assert(!pairs(df).exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("threshold 0 does NOT rewrite (a no-shared-shingle pair would " +
+      "qualify, which the inverted index cannot see)") {
+    install()
+    val jac = TextExpressions.jaccardSim(col("text_a"), col("text_b"), 3)
+    val df = side("id_a", "text_a").join(side("id_b", "text_b"),
+      jac >= lit(0.0) && col("id_a") < col("id_b"))
+    assert(!hasExec(df), "t = 0 must stay on the literal plan")
+    // and the literal plan is still correct: every a<b pair qualifies
+    assert(pairs(df).toSet === expected(0.0))
+  }
+
+  test("exec result is stable under input repartitioning") {
+    install()
+    val jac = TextExpressions.jaccardSim(col("text_a"), col("text_b"), 3)
+    val df = side("id_a", "text_a").repartition(5)
+      .join(side("id_b", "text_b").repartition(3),
+        jac >= lit(0.3) && col("id_a") < col("id_b"))
+    assert(hasExec(df))
+    assert(pairs(df).toSet === expected(0.3))
+  }
+}
