@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   * isolation and the generator parallelizes trivially (`spark.range`
   * → column algebra → parquet; no driver-side data).
   *
-  * Usage: runMain graft.tools.GenData <outDir> <mult> [tables]
+  * Usage: runMain graft.tools.GenData <outDir> <mult> [tables] [vocab]
   *   mult=1 ≈ sf0.1 row counts; mult=10 ≈ sf1.0. The optional third
   *   arg is a comma-separated table subset (e.g. "documents") — the
   *   post-cap soak generates 1M docs (mult 200) without paying for
-  *   120M lineitem rows nobody reads.
+  *   120M lineitem rows nobody reads. The optional fourth arg picks
+  *   the document vocabulary: `tight` (default — the 31-word closed
+  *   vocab matching the driver data, the WORST case for capped exact
+  *   mining: every shingle is hot) or `zipf` (a ~1e5-token vocabulary
+  *   drawn log-uniformly by rank, i.e. pmf ∝ 1/rank — Zipf s≈1, the
+  *   realistic web-corpus df distribution where the cap engages only
+  *   on head-token shingles). Pass "-" for tables to keep all tables
+  *   with a vocab choice.
   */
 object GenData {
   private val Vocab = Seq(
@@ -47,7 +54,9 @@ object GenData {
     val outDir = args(0)
     val mult = args(1).toInt
     val tables: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && args(2) != "-") Some(args(2).split(",").toSet)
+      else None
+    val zipfVocab = args.length > 3 && args(3) == "zipf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,12 +65,13 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    gen(spark, outDir, mult, tables)
+    gen(spark, outDir, mult, tables, zipfVocab)
     spark.stop()
   }
 
   def gen(spark: SparkSession, outDir: String, mult: Int,
-      tables: Option[Set[String]] = None): Unit = {
+      tables: Option[Set[String]] = None,
+      zipfVocab: Boolean = false): Unit = {
     def write(df: DataFrame, name: String, parts: Int): Unit =
       if (tables.forall(_.contains(name)))
         df.repartition(parts).write.mode("overwrite")
@@ -180,12 +190,24 @@ object GenData {
           .otherwise(col("doc_id")))
       .withColumn("perturb", col("doc_id") % 100 === 99)
     val nToks = pmod(h(col("src_id"), 31), lit(91)) + 10
+    // vocab draw per token position: tight = uniform over the 31-word
+    // closed vocab; zipf = rank r = floor(V^u) for u uniform in [0,1)
+    // over V = 1e5 ranks — P(rank <= r) = ln r / ln V, pmf ∝ 1/r, the
+    // Zipf s≈1 shape. Same hash stream either way, so the planted
+    // near/exact-dup structure (src_id copy + perturbation sites) is
+    // identical across modes and soaks compare like for like.
+    def vocabToken(src: Column, i: Column): Column =
+      if (!zipfVocab)
+        element_at(array(Vocab.map(lit): _*),
+          pmod(hash(src * 131 + i, lit(32)), lit(31)).cast("int") + 1)
+      else
+        concat(lit("t"), floor(pow(lit(100000.0),
+          pmod(hash(src * 131 + i, lit(32)), lit(1000000))
+            .cast("double") / 1000000.0)).cast("long"))
     val toks = transform(sequence(lit(0L), nToks - 1), i =>
       when(col("perturb") && pmod(i + col("doc_id") * 7, lit(13)) === 0,
         concat(lit("u"), col("doc_id"), lit("x"), i))
-        .otherwise(element_at(array(Vocab.map(lit): _*),
-          pmod(hash(col("src_id") * 131 + i, lit(32)), lit(31))
-            .cast("int") + 1)))
+        .otherwise(vocabToken(col("src_id"), i)))
     val docs = srcSwitched
       .withColumn("text", array_join(toks, " "))
       .select(col("doc_id"), col("text"),
@@ -215,6 +237,6 @@ object GenData {
       pmod(h(col("id"), 37), lit(10)).cast("int").as("label"))
     write(emb, "embeddings", 1 * mult)
 
-    println(s"""{"gen":"$outDir","mult":$mult,"lineitem":$nLines,"events":$nEvents,"documents":$nDocs,"embeddings":$nVecs}""")
+    println(s"""{"gen":"$outDir","mult":$mult,"lineitem":$nLines,"events":$nEvents,"documents":$nDocs,"embeddings":$nVecs,"vocab":"${if (zipfVocab) "zipf" else "tight"}"}""")
   }
 }
