@@ -575,6 +575,25 @@ object Dedup {
     * tiny verified candidate set. Carrying the arrays through the
     * candidate shuffles instead would cost
     * O(candidates × avg-shingle-set-bytes) — the arrays dominate. */
+  /** [[minhashLshPairs]] with S-curve-derived band geometry: the
+    * caller states intent — guarantee `targetRecall` for pairs at
+    * jaccard ≥ `simTarget` — and
+    * [[graft.plans.BandGeometry.deriveMinhash]] picks the cheapest
+    * (bands, rowsPerBand) that delivers it (q23's pinned 4×2 is the
+    * derived answer for the 0.7/0.9 defaults). `threshold` remains the
+    * verify-stage filter; recall at the threshold itself is
+    * intentionally NOT the target (guaranteeing recall at a low
+    * threshold forces near-single-hash bands whose buckets admit
+    * everything — the candidate-generator contract guarantees recall
+    * where near-dups live and lets it taper below). */
+  def minhashLshPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, simTarget: Double = 0.7,
+      targetRecall: Double = 0.9): DataFrame = {
+    val (bands, rowsPerBand) =
+      graft.plans.BandGeometry.deriveMinhash(simTarget, targetRecall)
+    minhashLshPairs(docs, idCol, textCol, n, bands, rowsPerBand, threshold)
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {

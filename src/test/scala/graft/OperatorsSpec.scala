@@ -220,6 +220,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L))
   }
 
+  test("minhashLshPairsAuto derives q23's geometry and matches the explicit call") {
+    GraftTestSpark.withCaches {
+      val auto = Dedup.minhashLshPairsAuto(docs, "doc_id", "text",
+        n = 3, threshold = 0.2).orderBy($"id_a", $"id_b").collect().toSeq
+      graft.operators.Caches.releaseAll()
+      val explicit = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.2)
+        .orderBy($"id_a", $"id_b").collect().toSeq
+      assert(auto === explicit) // (0.7, 0.9) derives exactly (4, 2)
+      assert(auto.nonEmpty)
+    }
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs (no false positives after verify)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
