@@ -8,6 +8,41 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.expressions.TextKernels
 
+/** Primitive-array kernel for the pair-count stage: an in-place
+  * 3-column quicksort ordering (lids, rids, sizes) by (lid, rid).
+  * Exists because the quadratic occurrence slice must live as packed
+  * longs, never as boxed records in a Spark-tracked collection (see
+  * [[JaccardInvertedJoinExec.doExecute]]'s memory note). */
+private[graft] object JaccardJoinKernels {
+  def sortByPair(l: Array[Long], r: Array[Long], s: Array[Long],
+      lo: Int, hi: Int): Unit = {
+    if (lo >= hi) return
+    // median-of-three pivot guards the sorted/reverse-sorted inputs a
+    // hash-partitioned stream can approximate
+    val mid = lo + (hi - lo) / 2
+    if (less(l, r, mid, lo)) swap(l, r, s, lo, mid)
+    if (less(l, r, hi, lo)) swap(l, r, s, lo, hi)
+    if (less(l, r, hi, mid)) swap(l, r, s, mid, hi)
+    val pl = l(mid); val pr = r(mid)
+    var i = lo; var j = hi
+    while (i <= j) {
+      while (l(i) < pl || (l(i) == pl && r(i) < pr)) i += 1
+      while (l(j) > pl || (l(j) == pl && r(j) > pr)) j -= 1
+      if (i <= j) { swap(l, r, s, i, j); i += 1; j -= 1 }
+    }
+    sortByPair(l, r, s, lo, j)
+    sortByPair(l, r, s, i, hi)
+  }
+  private def less(l: Array[Long], r: Array[Long], a: Int, b: Int): Boolean =
+    l(a) < l(b) || (l(a) == l(b) && r(a) < r(b))
+  private def swap(l: Array[Long], r: Array[Long], s: Array[Long],
+      a: Int, b: Int): Unit = {
+    val tl = l(a); l(a) = l(b); l(b) = tl
+    val tr = r(a); r(a) = r(b); r(b) = tr
+    val ts = s(a); s(a) = s(b); s(b) = ts
+  }
+}
+
 /** Exact jaccard-threshold join via a shingle inverted index — the
   * distributed shape of [[graft.operators.Dedup.jaccardPairs]] applied
   * to two arbitrary row streams inside the planner (q22 operates on an
@@ -27,10 +62,14 @@ import graft.expressions.TextKernels
   *     keys and two scalars per posting, never the shingle string and
   *     never the row (the same slim-shuffle contract as q22).
   *  3. pair counts: cogroup postings by shingle key; a pair sharing k
-  *     shingles meets in exactly k buckets, so counting bucket
-  *     co-occurrences per (lId, rId) IS the exact intersection size.
-  *     jaccard = shared / (na + nb − shared), filter ≥ threshold —
-  *     identical integer arithmetic to
+  *     shingles meets in exactly k buckets, so its co-occurrence count
+  *     IS the exact intersection size — computed by streaming the
+  *     occurrences through a buffer-free shuffle write, then sorting
+  *     each partition's slice in packed primitive long columns and
+  *     counting consecutive (lId, rId) runs (never a boxed hash or
+  *     tracked sorter over the quadratic candidate set; see the
+  *     doExecute memory note). jaccard = shared / (na + nb − shared),
+  *     filter ≥ threshold — identical integer arithmetic to
   *     [[graft.expressions.TextKernels.jaccardSim]], so the boundary
   *     double compares equal and the rewrite is semantics-preserving.
   *  4. join-back: the (small) qualifying pair set joins each indexed
@@ -102,7 +141,26 @@ case class JaccardInvertedJoinExec(
     val lIdx = indexed(left)
     val rIdx = indexed(right)
 
-    val qualifying: RDD[(Long, Long)] =
+    // The pair-count stage's input is QUADRATIC in per-shingle df
+    // (the driver data measures 100× candidate growth for 10× docs
+    // while true pairs stay linear — 237M occurrences at 50k docs on
+    // a hot closed vocabulary), so it must never sit in a tracked
+    // Spark collection: both a reduceByKey's combiner maps and a
+    // repartitionAndSort's ExternalSorter OOM'd an 8 GB local[32]
+    // heap here — SizeEstimator undercounts boxed nested tuples, so
+    // 32 concurrent tasks legally acquire more execution memory than
+    // the heap physically holds before any spill triggers. The shape
+    // that survives: (a) the shuffle WRITE streams — the partitioner
+    // stays at/below spark.shuffle.sort.bypassMergeThreshold's
+    // default (200), so BypassMergeSortShuffleWriter writes records
+    // straight to per-partition files with zero buffering; (b) the
+    // per-partition grouping runs in OUR primitive long columns
+    // (24 bytes/record, no estimator in the loop): pack, 3-column
+    // quicksort on (lid, rid), streaming run count. A partition's
+    // slice must fit as 24 B/record in task memory — ~40M records
+    // per task at typical budgets, far past the measured hot-corpus
+    // load and width-tunable via the partitioner if ever reached.
+    val occurrences: RDD[((Long, Long), Long)] =
       postings(lIdx, lTextE, lOut, shingleN)
         .cogroup(postings(rIdx, rTextE, rOut, shingleN), nPart)
         .flatMap { case (_, (ls, rs)) =>
@@ -110,16 +168,40 @@ case class JaccardInvertedJoinExec(
           else {
             val la = ls.toArray
             rs.iterator.flatMap { case (rid, nb) =>
-              la.iterator.map { case (lid, na) => ((lid, rid, na, nb), 1) }
+              la.iterator.map { case (lid, na) =>
+                ((lid, rid), (na.toLong << 32) | (nb.toLong & 0xffffffffL))
+              }
             }
           }
         }
-        .reduceByKey(_ + _, nPart)
-        .flatMap { case ((lid, rid, na, nb), shared) =>
-          if (shared.toDouble / (na + nb - shared) >= t)
-            Iterator((lid, rid))
-          else Iterator.empty
+    val qualifying: RDD[(Long, Long)] = occurrences
+      .partitionBy(new org.apache.spark.HashPartitioner(
+        math.min(nPart * 8, 200)))
+      .mapPartitions { iter =>
+        val lids = new scala.collection.mutable.ArrayBuilder.ofLong
+        val rids = new scala.collection.mutable.ArrayBuilder.ofLong
+        val sizes = new scala.collection.mutable.ArrayBuilder.ofLong
+        iter.foreach { case ((lid, rid), packed) =>
+          lids += lid; rids += rid; sizes += packed
         }
+        val l = lids.result(); val r = rids.result(); val s = sizes.result()
+        JaccardJoinKernels.sortByPair(l, r, s, 0, l.length - 1)
+        // count consecutive identical (lid, rid) runs = exact
+        // intersection sizes; emit pairs meeting the threshold
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < l.length) {
+          var j = i + 1
+          while (j < l.length && l(j) == l(i) && r(j) == r(i)) j += 1
+          val shared = j - i
+          val na = (s(i) >>> 32).toInt
+          val nb = (s(i) & 0xffffffffL).toInt
+          if (shared.toDouble / (na + nb - shared) >= t)
+            out += ((l(i), r(i)))
+          i = j
+        }
+        out.iterator
+      }
 
     qualifying
       .join(lIdx, nPart)

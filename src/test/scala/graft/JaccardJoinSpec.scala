@@ -122,6 +122,32 @@ class JaccardJoinSpec extends AnyFunSuite {
     assert(pairs(df).toSet === expected(0.0))
   }
 
+  test("sortByPair kernel: 3-column quicksort matches a reference sort " +
+      "on adversarial patterns") {
+    import graft.plans.JaccardJoinKernels.sortByPair
+    def check(pairs: Seq[(Long, Long, Long)]): Unit = {
+      val l = pairs.map(_._1).toArray
+      val r = pairs.map(_._2).toArray
+      val s = pairs.map(_._3).toArray
+      sortByPair(l, r, s, 0, l.length - 1)
+      val expected = pairs.sortBy(p => (p._1, p._2))
+      assert(l.toSeq === expected.map(_._1))
+      assert(r.toSeq === expected.map(_._2))
+      // sizes must travel WITH their pair (not get orphaned by swaps):
+      // multiset of full rows is preserved
+      assert(l.indices.map(i => (l(i), r(i), s(i))).sorted ===
+        expected.sorted)
+    }
+    check(Seq.empty)
+    check(Seq((5L, 1L, 10L)))
+    check(Seq.tabulate(500)(i => (i.toLong, i.toLong, i.toLong)))          // sorted
+    check(Seq.tabulate(500)(i => (500L - i, i.toLong, i.toLong)))          // reversed
+    check(Seq.fill(300)((7L, 7L, 42L)))                                    // all equal
+    val mixed = Seq.tabulate(997)(i =>
+      (((i * 2654435761L) % 13).abs, ((i * 40503L) % 97).abs, i.toLong))
+    check(mixed)                                                            // heavy duplicates
+  }
+
   test("exec result is stable under input repartitioning") {
     install()
     val jac = TextExpressions.jaccardSim(col("text_a"), col("text_b"), 3)
