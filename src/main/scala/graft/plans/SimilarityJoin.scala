@@ -60,7 +60,16 @@ object BandGeometry {
 
   /** (bands, bandBits): widest band width `r ≤ 16` whose `⌊64/r⌋`
     * bands still give `recallAt(threshold) ≥ targetRecall`; (64, 1)
-    * — the highest-recall geometry the budget allows — if none does. */
+    * — the highest-recall geometry the budget allows — if none does.
+    *
+    * Scale caveat the caller owns: guaranteeing recall AT a low
+    * threshold forces narrow bands (0.35 → 4-bit bands = 16 buckets
+    * per band), and coarse buckets mean large within-bucket cross
+    * products on a big corpus — that cost is the S-curve's honest
+    * price, not a tunable. A corpus-scale join that only needs
+    * near-dup recall should derive at the similarity level it
+    * actually cares about (e.g. 0.8), which yields wide selective
+    * bands, exactly as [[deriveMinhash]]'s simTarget contract does. */
   def derive(threshold: Double,
       targetRecall: Double = DefaultTargetRecall): (Int, Int) =
     (16 to 1 by -1).iterator
