@@ -41,6 +41,93 @@ private[graft] object JaccardJoinKernels {
     val tr = r(a); r(a) = r(b); r(b) = tr
     val ts = s(a); s(a) = s(b); s(b) = ts
   }
+
+  /** Records an in-memory buffer may hold before the task switches to
+    * sub-bucket spill files (~96 MB of packed columns). */
+  val MaxInMemoryRecords: Int = 4 << 20
+
+  /** Sort a (lids, rids, sizes) block by pair and emit the pairs whose
+    * run length (= exact intersection) meets the jaccard threshold. */
+  private def countRuns(l: Array[Long], r: Array[Long], s: Array[Long],
+      count: Int, t: Double): Iterator[(Long, Long)] = {
+    sortByPair(l, r, s, 0, count - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < count) {
+      var j = i + 1
+      while (j < count && l(j) == l(i) && r(j) == r(i)) j += 1
+      val shared = j - i
+      val na = (s(i) >>> 32).toInt
+      val nb = (s(i) & 0xffffffffL).toInt
+      if (shared.toDouble / (na + nb - shared) >= t) out += ((l(i), r(i)))
+      i = j
+    }
+    out.iterator
+  }
+
+  /** The hybrid per-partition grouping (see the exec's doExecute
+    * comment): in-memory up to [[MaxInMemoryRecords]], task-local
+    * sub-bucket spill files past it. */
+  def groupAndFilter(iter: Iterator[((Long, Long), Long)], t: Double,
+      max: Int = MaxInMemoryRecords): Iterator[(Long, Long)] = {
+    var l = new Array[Long](1024)
+    var r = new Array[Long](1024)
+    var s = new Array[Long](1024)
+    var n = 0
+    var spilled = false
+    var result: Iterator[(Long, Long)] = Iterator.empty
+    while (iter.hasNext && !spilled) {
+      val ((lid, rid), packed) = iter.next()
+      if (n >= max) spilled = true
+      else if (n == l.length) {
+        val cap = math.max(math.min(max, n * 2), n + 1)
+        l = java.util.Arrays.copyOf(l, cap)
+        r = java.util.Arrays.copyOf(r, cap)
+        s = java.util.Arrays.copyOf(s, cap)
+      }
+      if (!spilled) { l(n) = lid; r(n) = rid; s(n) = packed; n += 1 }
+      else {
+        // flush the buffered prefix + the rest of the stream to files
+        import java.io._
+        val SubBuckets = 16
+        val files = Array.fill(SubBuckets)(
+          File.createTempFile("graft_jaccard_occ", ".bin"))
+        // failure-safe cleanup: files die with the task, not the JVM
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => files.foreach(_.delete())))
+        val outs = files.map(f => new DataOutputStream(
+          new BufferedOutputStream(new FileOutputStream(f), 1 << 16)))
+        def write(lid: Long, rid: Long, packed: Long): Unit = {
+          val h = (java.lang.Long.hashCode(lid) * 31
+            + java.lang.Long.hashCode(rid)) & (SubBuckets - 1)
+          val o = outs(h)
+          o.writeLong(lid); o.writeLong(rid); o.writeLong(packed)
+        }
+        var i = 0
+        while (i < n) { write(l(i), r(i), s(i)); i += 1 }
+        write(lid, rid, packed)
+        iter.foreach { case ((il, ir), p) => write(il, ir, p) }
+        outs.foreach(_.close())
+        result = files.iterator.flatMap { f =>
+          val count = (f.length() / 24).toInt
+          val fl = new Array[Long](count)
+          val fr = new Array[Long](count)
+          val fs = new Array[Long](count)
+          val in = new DataInputStream(
+            new BufferedInputStream(new FileInputStream(f), 1 << 16))
+          var i = 0
+          while (i < count) {
+            fl(i) = in.readLong(); fr(i) = in.readLong()
+            fs(i) = in.readLong(); i += 1
+          }
+          in.close()
+          f.delete(): Unit
+          countRuns(fl, fr, fs, count, t)
+        }
+      }
+    }
+    if (!spilled) countRuns(l, r, s, n, t) else result
+  }
 }
 
 /** Exact jaccard-threshold join via a shingle inverted index — the
@@ -160,9 +247,15 @@ case class JaccardInvertedJoinExec(
     // slice must fit as 24 B/record in task memory — ~40M records
     // per task at typical budgets, far past the measured hot-corpus
     // load and width-tunable via the partitioner if ever reached.
+    // the cogroup is widened independently of the pair partitioner:
+    // its read-side ExternalAppendOnlyMap holds every shingle KEY of
+    // the partition (46M distinct keys at 1M heavy-tailed docs —
+    // 1.4M keys of CompactBuffers per task at nPart OOM'd; 8× wider
+    // bounds it), while the pair stage below must stay ≤ 200
+    // partitions for the buffer-free bypass write
     val occurrences: RDD[((Long, Long), Long)] =
       postings(lIdx, lTextE, lOut, shingleN)
-        .cogroup(postings(rIdx, rTextE, rOut, shingleN), nPart)
+        .cogroup(postings(rIdx, rTextE, rOut, shingleN), nPart * 8)
         .flatMap { case (_, (ls, rs)) =>
           if (ls.isEmpty || rs.isEmpty) Iterator.empty
           else {
@@ -174,33 +267,21 @@ case class JaccardInvertedJoinExec(
             }
           }
         }
+    // Per task, the slice is grouped in packed primitive columns with
+    // a HYBRID memory bound: up to 4M records (~96 MB) buffer and
+    // sort in memory; past that, everything streams to 16 task-local
+    // sub-bucket spill files by pair hash (24-byte fixed records,
+    // sequential IO) and each sub-bucket loads, sorts and run-counts
+    // ALONE — peak task memory is then slice/16 regardless of corpus
+    // (1.15B occurrences at 1M heavy-tailed docs ÷ 200 partitions
+    // ÷ 16 ≈ 9 MB loads; the unchunked version held the whole 140 MB
+    // slice × 32 concurrent tasks and OOM'd on allocation transients,
+    // while the always-spill version taxed the common small case).
     val qualifying: RDD[(Long, Long)] = occurrences
       .partitionBy(new org.apache.spark.HashPartitioner(
         math.min(nPart * 8, 200)))
       .mapPartitions { iter =>
-        val lids = new scala.collection.mutable.ArrayBuilder.ofLong
-        val rids = new scala.collection.mutable.ArrayBuilder.ofLong
-        val sizes = new scala.collection.mutable.ArrayBuilder.ofLong
-        iter.foreach { case ((lid, rid), packed) =>
-          lids += lid; rids += rid; sizes += packed
-        }
-        val l = lids.result(); val r = rids.result(); val s = sizes.result()
-        JaccardJoinKernels.sortByPair(l, r, s, 0, l.length - 1)
-        // count consecutive identical (lid, rid) runs = exact
-        // intersection sizes; emit pairs meeting the threshold
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < l.length) {
-          var j = i + 1
-          while (j < l.length && l(j) == l(i) && r(j) == r(i)) j += 1
-          val shared = j - i
-          val na = (s(i) >>> 32).toInt
-          val nb = (s(i) & 0xffffffffL).toInt
-          if (shared.toDouble / (na + nb - shared) >= t)
-            out += ((l(i), r(i)))
-          i = j
-        }
-        out.iterator
+        JaccardJoinKernels.groupAndFilter(iter, t)
       }
 
     qualifying

@@ -148,6 +148,27 @@ class JaccardJoinSpec extends AnyFunSuite {
     check(mixed)                                                            // heavy duplicates
   }
 
+  test("groupAndFilter: spill path (forced tiny budget) equals the " +
+      "in-memory path on interleaved duplicate pairs") {
+    import graft.plans.JaccardJoinKernels.groupAndFilter
+    def pack(na: Int, nb: Int): Long =
+      (na.toLong << 32) | (nb.toLong & 0xffffffffL)
+    // pair (1,2) shares 3 shingles of na=4, nb=4 → jaccard 3/5 = 0.6;
+    // pair (1,3) shares 1 of 4,6 → 1/9 ≈ 0.11; pair (2,9) shares 2 of
+    // 3,3 → 0.5 — interleaved arrival order like a real shuffle
+    val occ = Seq(
+      ((1L, 2L), pack(4, 4)), ((1L, 3L), pack(4, 6)), ((2L, 9L), pack(3, 3)),
+      ((1L, 2L), pack(4, 4)), ((2L, 9L), pack(3, 3)), ((1L, 2L), pack(4, 4)))
+    val inMem = groupAndFilter(occ.iterator, 0.5).toSet
+    assert(inMem === Set((1L, 2L), (2L, 9L)))
+    // budget of 2 records forces the spill path mid-stream
+    val spilled = groupAndFilter(occ.iterator, 0.5, max = 2).toSet
+    assert(spilled === inMem)
+    // threshold excludes the weaker pair in both paths
+    assert(groupAndFilter(occ.iterator, 0.55, max = 2).toSet ===
+      Set((1L, 2L)))
+  }
+
   test("exec result is stable under input repartitioning") {
     install()
     val jac = TextExpressions.jaccardSim(col("text_a"), col("text_b"), 3)
