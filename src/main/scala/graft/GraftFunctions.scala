@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
+import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, OverlapSim, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
 
 /** SQL-surface registration: exposes the native expressions to
   * `spark.sql(...)` users, so the engine's text primitives are usable
@@ -27,6 +27,10 @@ object GraftFunctions {
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("jaccard_sim",
       exprs => JaccardSim(exprs.head, exprs(1),
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
+        else 3), "built-in")
+    reg.createOrReplaceTempFunction("overlap_sim",
+      exprs => OverlapSim(exprs.head, exprs(1),
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
         else 3), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",

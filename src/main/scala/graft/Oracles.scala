@@ -581,6 +581,21 @@ object Oracles {
          |FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // q136: the containment twin — same uncapped posting join, score
+    // = shared/min(na, nb), threshold on the unrounded value
+    "q136_overlap_join" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM post a JOIN post b ON a.shingle = b.shingle
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |round(CAST(shared AS DOUBLE)/least(na, nb), 4) AS overlap
+         |FROM pairs WHERE CAST(shared AS DOUBLE)/least(na, nb) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q42_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

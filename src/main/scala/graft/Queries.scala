@@ -3046,6 +3046,29 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The containment twin of q135: `a JOIN b ON overlap_sim(a.text,
+    * b.text, 3) >= 0.5 AND a.id < b.id` through the same
+    * [[graft.plans.JaccardJoinRewrite]] — the rule recognizes both
+    * set-similarity scalars and tags the plan with the metric, so one
+    * inverted-index exec serves both (only the final score arithmetic
+    * differs: shared/min(na,nb) instead of shared/union). Overlap
+    * catches a short doc embedded in a long one, which jaccard
+    * dilutes (q70's metric, here as naive-SQL surface). Oracle:
+    * literal uncapped pairwise containment. */
+  def q136OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.addOptimization(spark, graft.plans.JaccardJoinRewrite)
+    PlanBridge.addStrategy(spark, graft.plans.JaccardJoinStrategy)
+    val docs = t(spark, dir).documents
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val ov = graft.expressions.TextExpressions
+      .overlapSim(col("text_a"), col("text_b"), 3)
+    a.join(b, ov >= lit(0.5) && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(ov, 4).as("overlap"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3183,5 +3206,6 @@ object Queries {
     "q132_attribution_outer" -> (q132AttributionOuter _),
     "q133_delta_cap_pairs" -> (q133DeltaCapPairs _),
     "q134_ivf_index_probe" -> (q134IvfIndexProbe _),
-    "q135_jaccard_join" -> (q135JaccardJoin _))
+    "q135_jaccard_join" -> (q135JaccardJoin _),
+    "q136_overlap_join" -> (q136OverlapJoin _))
 }

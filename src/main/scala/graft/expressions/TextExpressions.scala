@@ -226,6 +226,23 @@ object TextKernels {
     }
   }
 
+  /** Overlap (containment) coefficient of two texts:
+    * |A∩B| / min(|A|,|B|) over the distinct shingle sets — catches a
+    * short document embedded in a long one, which jaccard dilutes.
+    * 0.0 when either set is empty (same t > 0 invariant as
+    * [[jaccardSim]]). */
+  def overlapSim(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleStrings(a, n)
+    val sb = shingleStrings(b, n)
+    if (sa.isEmpty || sb.isEmpty) 0.0
+    else {
+      var inter = 0
+      val it = sa.iterator
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      inter.toDouble / math.min(sa.size, sb.size)
+    }
+  }
+
   /** Distinct xxhash64 keys (seed 42, matching Spark's `xxhash64`) of
     * a text's word-n-gram shingles — the fixed-width posting keys the
     * inverted-index join shuffles instead of shingle strings. Hash
@@ -341,6 +358,30 @@ case class JaccardSim(left: Expression, right: Expression, n: Int)
       l: Expression, r: Expression): JaccardSim = copy(left = l, right = r)
 }
 
+/** Overlap (containment) coefficient of two text columns —
+  * `|A∩B| / min(|A|,|B|)` over [[WordShingles]] sets, 0.0 when either
+  * set is empty. The join-condition form rewrites onto the same
+  * inverted-index exec as [[JaccardSim]]
+  * ([[graft.plans.JaccardJoinRewrite]], Overlap metric). */
+case class OverlapSim(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "overlap_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.overlapSim(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextKernels.overlapSim($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): OverlapSim = copy(left = l, right = r)
+}
+
 /** One-pass portable MinHash signature (lex-min md5 per seed). */
 case class MinhashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -439,6 +480,11 @@ object TextExpressions {
   /** Exact word-n-gram jaccard of two text columns (native). */
   def jaccardSim(a: Column, b: Column, n: Int): Column =
     ColumnBridge.column(JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), n))
+
+  /** Overlap (containment) coefficient of two text columns (native). */
+  def overlapSim(a: Column, b: Column, n: Int): Column =
+    ColumnBridge.column(OverlapSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b), n))
 
   /** Portable MinHash signature of a shingle-array column (native). */

@@ -7,7 +7,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.expressions.JaccardSim
+import graft.expressions.{JaccardSim, OverlapSim}
+
+/** Which set-similarity score the inverted-index join filters on —
+  * both share the identical candidate machinery (pairs meeting on
+  * ≥ 1 shingle with exact intersection counts); only the final
+  * score arithmetic differs. */
+sealed trait SetSimMetric
+object SetSimMetric {
+  /** |A∩B| / |A∪B| */
+  case object Jaccard extends SetSimMetric
+  /** |A∩B| / min(|A|,|B|) — containment */
+  case object Overlap extends SetSimMetric
+}
 
 /** Logical jaccard-threshold join: emit (l, r) row pairs where
   * `jaccard_sim(leftText, rightText, n) >= threshold` — the same
@@ -30,7 +42,8 @@ import graft.expressions.JaccardSim
 case class JaccardJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftText: Expression, rightText: Expression,
-    n: Int, threshold: Double) extends BinaryNode {
+    n: Int, threshold: Double,
+    metric: SetSimMetric = SetSimMetric.Jaccard) extends BinaryNode {
 
   require(n >= 1, "shingle size must be >= 1")
   require(threshold > 0,
@@ -52,7 +65,7 @@ object JaccardJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: JaccardJoinPlan =>
       JaccardInvertedJoinExec(planLater(p.left), planLater(p.right),
-        p.leftText, p.rightText, p.n, p.threshold) :: Nil
+        p.leftText, p.rightText, p.n, p.threshold, p.metric) :: Nil
     case _ => Nil
   }
 }
@@ -76,32 +89,45 @@ object JaccardJoinStrategy extends SparkStrategy {
   */
 object JaccardJoinRewrite extends Rule[LogicalPlan] {
 
-  /** Splits `cond` into (jaccard-threshold predicate, residuals). */
+  /** Recognizes a set-similarity scalar: (operands, n, metric). */
+  private def setSim(e: Expression)
+      : Option[(Expression, Expression, Int, SetSimMetric)] = e match {
+    case j: JaccardSim =>
+      Some((j.left, j.right, j.n, SetSimMetric.Jaccard))
+    case o: OverlapSim =>
+      Some((o.left, o.right, o.n, SetSimMetric.Overlap))
+    case _ => None
+  }
+
+  /** Splits `cond` into (set-sim-threshold predicate, residuals). */
   private def extract(cond: Expression, l: LogicalPlan, r: LogicalPlan)
-      : Option[(Expression, Expression, Int, Double, Seq[Expression])] = {
+      : Option[(Expression, Expression, Int, Double, SetSimMetric,
+        Seq[Expression])] = {
     val conjuncts = splitConjunctivePredicates(cond)
     conjuncts.iterator.map {
-      case GreaterThanOrEqual(j: JaccardSim, Literal(t: Double, DoubleType))
-          if t > 0 =>
-        sided(j, l, r).map { case (lt, rt) => (lt, rt, j.n, t) }
-      case LessThanOrEqual(Literal(t: Double, DoubleType), j: JaccardSim)
-          if t > 0 =>
-        sided(j, l, r).map { case (lt, rt) => (lt, rt, j.n, t) }
+      case GreaterThanOrEqual(e, Literal(t: Double, DoubleType)) if t > 0 =>
+        setSim(e).flatMap { case (a, b, n, m) =>
+          sided(a, b, l, r).map { case (lt, rt) => (lt, rt, n, t, m) }
+        }
+      case LessThanOrEqual(Literal(t: Double, DoubleType), e) if t > 0 =>
+        setSim(e).flatMap { case (a, b, n, m) =>
+          sided(a, b, l, r).map { case (lt, rt) => (lt, rt, n, t, m) }
+        }
       case _ => None
-    }.zipWithIndex.collectFirst { case (Some((lt, rt, n, t)), i) =>
-      (lt, rt, n, t, conjuncts.take(i) ++ conjuncts.drop(i + 1))
+    }.zipWithIndex.collectFirst { case (Some((lt, rt, n, t, m)), i) =>
+      (lt, rt, n, t, m, conjuncts.take(i) ++ conjuncts.drop(i + 1))
     }
   }
 
-  /** Orients the jaccard's operands: one must resolve entirely against
-    * the left child, the other against the right (jaccard is
+  /** Orients the metric's operands: one must resolve entirely against
+    * the left child, the other against the right (both metrics are
     * symmetric, so flipping is free). */
-  private def sided(j: JaccardSim, l: LogicalPlan, r: LogicalPlan)
-      : Option[(Expression, Expression)] =
-    if (j.left.references.subsetOf(l.outputSet) &&
-        j.right.references.subsetOf(r.outputSet)) Some((j.left, j.right))
-    else if (j.right.references.subsetOf(l.outputSet) &&
-        j.left.references.subsetOf(r.outputSet)) Some((j.right, j.left))
+  private def sided(a: Expression, b: Expression,
+      l: LogicalPlan, r: LogicalPlan): Option[(Expression, Expression)] =
+    if (a.references.subsetOf(l.outputSet) &&
+        b.references.subsetOf(r.outputSet)) Some((a, b))
+    else if (b.references.subsetOf(l.outputSet) &&
+        a.references.subsetOf(r.outputSet)) Some((b, a))
     else None
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
@@ -114,8 +140,8 @@ object JaccardJoinRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner | Cross, Some(cond), _) =>
       extract(cond, l, r) match {
-        case Some((lt, rt, n, t, residual)) =>
-          val jac = JaccardJoinPlan(l, r, lt, rt, n, t)
+        case Some((lt, rt, n, t, m, residual)) =>
+          val jac = JaccardJoinPlan(l, r, lt, rt, n, t, m)
           residual.reduceOption(And).map(Filter(_, jac)).getOrElse(jac)
         case None => j
       }

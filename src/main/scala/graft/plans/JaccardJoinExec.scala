@@ -47,9 +47,10 @@ private[graft] object JaccardJoinKernels {
   val MaxInMemoryRecords: Int = 4 << 20
 
   /** Sort a (lids, rids, sizes) block by pair and emit the pairs whose
-    * run length (= exact intersection) meets the jaccard threshold. */
+    * run length (= exact intersection) meets the metric threshold —
+    * jaccard `shared/(na+nb-shared)` or overlap `shared/min(na,nb)`. */
   private def countRuns(l: Array[Long], r: Array[Long], s: Array[Long],
-      count: Int, t: Double): Iterator[(Long, Long)] = {
+      count: Int, t: Double, overlap: Boolean): Iterator[(Long, Long)] = {
     sortByPair(l, r, s, 0, count - 1)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var i = 0
@@ -59,7 +60,10 @@ private[graft] object JaccardJoinKernels {
       val shared = j - i
       val na = (s(i) >>> 32).toInt
       val nb = (s(i) & 0xffffffffL).toInt
-      if (shared.toDouble / (na + nb - shared) >= t) out += ((l(i), r(i)))
+      val score =
+        if (overlap) shared.toDouble / math.min(na, nb)
+        else shared.toDouble / (na + nb - shared)
+      if (score >= t) out += ((l(i), r(i)))
       i = j
     }
     out.iterator
@@ -69,7 +73,8 @@ private[graft] object JaccardJoinKernels {
     * comment): in-memory up to [[MaxInMemoryRecords]], task-local
     * sub-bucket spill files past it. */
   def groupAndFilter(iter: Iterator[((Long, Long), Long)], t: Double,
-      max: Int = MaxInMemoryRecords): Iterator[(Long, Long)] = {
+      max: Int = MaxInMemoryRecords,
+      overlap: Boolean = false): Iterator[(Long, Long)] = {
     var l = new Array[Long](1024)
     var r = new Array[Long](1024)
     var s = new Array[Long](1024)
@@ -122,11 +127,11 @@ private[graft] object JaccardJoinKernels {
           }
           in.close()
           f.delete(): Unit
-          countRuns(fl, fr, fs, count, t)
+          countRuns(fl, fr, fs, count, t, overlap)
         }
       }
     }
-    if (!spilled) countRuns(l, r, s, n, t) else result
+    if (!spilled) countRuns(l, r, s, n, t, overlap) else result
   }
 }
 
@@ -176,7 +181,8 @@ private[graft] object JaccardJoinKernels {
 case class JaccardInvertedJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftText: Expression, rightText: Expression,
-    n: Int, threshold: Double) extends BinaryExecNode {
+    n: Int, threshold: Double,
+    metric: SetSimMetric = SetSimMetric.Jaccard) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -218,6 +224,7 @@ case class JaccardInvertedJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val t = threshold
     val shingleN = n
+    val overlap = metric == SetSimMetric.Overlap
     val outAttrs = output
     val lOut = left.output
     val rOut = right.output
@@ -281,7 +288,7 @@ case class JaccardInvertedJoinExec(
       .partitionBy(new org.apache.spark.HashPartitioner(
         math.min(nPart * 8, 200)))
       .mapPartitions { iter =>
-        JaccardJoinKernels.groupAndFilter(iter, t)
+        JaccardJoinKernels.groupAndFilter(iter, t, overlap = overlap)
       }
 
     qualifying

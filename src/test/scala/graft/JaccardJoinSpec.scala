@@ -148,6 +148,37 @@ class JaccardJoinSpec extends AnyFunSuite {
     check(mixed)                                                            // heavy duplicates
   }
 
+  test("overlap_sim join rewrites to the same exec with the containment " +
+      "score: embedded short doc qualifies where jaccard dilutes it") {
+    install()
+    // doc 20 is fully contained in doc 21: overlap 1.0, jaccard ≈ 0.3
+    val contained = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi"),
+      (22L, "totally different words appear here instead now"))
+    def cside(idCol: String, textCol: String): DataFrame =
+      contained.toDF(idCol, textCol)
+    cside("id_a", "text_a").createOrReplaceTempView("ov_a")
+    cside("id_b", "text_b").createOrReplaceTempView("ov_b")
+    val out = spark.sql(
+      """SELECT id_a, id_b FROM ov_a JOIN ov_b
+        |ON overlap_sim(text_a, text_b, 3) >= 0.9 AND id_a < id_b""".stripMargin)
+    assert(hasExec(out) && !hasNaiveShape(out))
+    assert(pairs(out).toSet === Set((20L, 21L)))
+    // the same pair under the jaccard metric at the same threshold: gone
+    val jOut = spark.sql(
+      """SELECT id_a, id_b FROM ov_a JOIN ov_b
+        |ON jaccard_sim(text_a, text_b, 3) >= 0.9 AND id_a < id_b""".stripMargin)
+    assert(pairs(jOut).isEmpty, "jaccard dilutes containment below 0.9")
+    // scalar ground truth agrees with the join result
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    assert(TextKernels.overlapSim(u8(contained(0)._2),
+      u8(contained(1)._2), 3) === 1.0)
+    assert(TextKernels.jaccardSim(u8(contained(0)._2),
+      u8(contained(1)._2), 3) < 0.9)
+  }
+
   test("groupAndFilter: spill path (forced tiny budget) equals the " +
       "in-memory path on interleaved duplicate pairs") {
     import graft.plans.JaccardJoinKernels.groupAndFilter
