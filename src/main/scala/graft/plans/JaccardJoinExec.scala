@@ -257,12 +257,20 @@ case class JaccardInvertedJoinExec(
     // the cogroup is widened independently of the pair partitioner:
     // its read-side ExternalAppendOnlyMap holds every shingle KEY of
     // the partition (46M distinct keys at 1M heavy-tailed docs —
-    // 1.4M keys of CompactBuffers per task at nPart OOM'd; 8× wider
+    // 1.4M keys of CompactBuffers per task at nPart OOM'd; wider
     // bounds it), while the pair stage below must stay ≤ 200
-    // partitions for the buffer-free bypass write
+    // partitions for the buffer-free bypass write. Width scales with
+    // the INPUT's partition count so a small join doesn't pay 450
+    // tasks of scheduling (fixed nPart*8 + 200 measured 2.5× slower
+    // than necessary at sf0.1) while a corpus-scale one still fans
+    // out.
+    val inParts = math.max(lIdx.getNumPartitions, rIdx.getNumPartitions)
+    val cogroupWidth =
+      math.max(nPart, math.min(nPart * 8, inParts * 4))
+    val pairWidth = math.min(200, cogroupWidth)
     val occurrences: RDD[((Long, Long), Long)] =
       postings(lIdx, lTextE, lOut, shingleN)
-        .cogroup(postings(rIdx, rTextE, rOut, shingleN), nPart * 8)
+        .cogroup(postings(rIdx, rTextE, rOut, shingleN), cogroupWidth)
         .flatMap { case (_, (ls, rs)) =>
           if (ls.isEmpty || rs.isEmpty) Iterator.empty
           else {
@@ -285,8 +293,7 @@ case class JaccardInvertedJoinExec(
     // slice × 32 concurrent tasks and OOM'd on allocation transients,
     // while the always-spill version taxed the common small case).
     val qualifying: RDD[(Long, Long)] = occurrences
-      .partitionBy(new org.apache.spark.HashPartitioner(
-        math.min(nPart * 8, 200)))
+      .partitionBy(new org.apache.spark.HashPartitioner(pairWidth))
       .mapPartitions { iter =>
         JaccardJoinKernels.groupAndFilter(iter, t, overlap = overlap)
       }
