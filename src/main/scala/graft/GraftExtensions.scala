@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, OverlapSim, SimHashBits, Tokenize, WinnowFingerprints, WordShingles}
+import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, OverlapSim, SimHashBits, Tokenize, WinnowFingerprints, WordShingles, ZOrderKey}
 
 /** `spark.sql.extensions` entry point — the zero-code-change way to
   * get the engine's native SQL surface (SURVEY §7.3's preferred
@@ -71,6 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "overlap_sim(a, b[, n]) - word-n-gram containment of two texts (n defaults to 3)"),
       exprs => OverlapSim(exprs.head, exprs(1),
         if (exprs.length > 2) intArg(exprs(2)) else 3)))
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(a, b) - Morton interleave of two bigints' low 16 bits"),
+      exprs => ZOrderKey(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text, w, t) - winnowed rolling-hash sketch"),

@@ -596,6 +596,101 @@ object Oracles {
          |FROM pairs WHERE CAST(shared AS DOUBLE)/least(na, nb) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // q137: replay the deterministic 1-iteration k-means fit (q63's
+    // pattern: 6-dp rounded assignment scores, centroid-id tie-break,
+    // fixed-point 1e-6 mean) and the SemDeDup keep-policy — a pair
+    // member drops iff a strictly-more-central qualifying duplicate
+    // exists in its cluster; kept_id = the most central one.
+    "q137_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |c0 AS (SELECT id AS cent_id, vv AS cv FROM v ORDER BY id LIMIT 6),
+        |a1 AS (SELECT id, vv, cent_id FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM v CROSS JOIN c0 c) WHERE rk = 1),
+        |m1 AS (SELECT cent_id, CAST(p.pos AS INT) AS pos,
+        |  CAST(sum(CAST(round(vv[CAST(p.pos AS INT)+1]*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS m
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        |  GROUP BY cent_id, p.pos),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cent_id),
+        |asg AS (SELECT id, vv, cent_id, cscore FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  round(list_dot_product(v.vv, c.cv)
+        |   /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6) AS cscore,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM v CROSS JOIN c1 c) WHERE rk = 1),
+        |pairs AS (SELECT a.cent_id, a.id AS id_a, b.id AS id_b, b.cscore AS cb,
+        |  round(list_dot_product(a.vv, b.vv)
+        |   /(sqrt(list_dot_product(a.vv, a.vv))*sqrt(list_dot_product(b.vv, b.vv))), 4) AS sim
+        |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id <> b.id
+        |  WHERE b.cscore > a.cscore OR (b.cscore = a.cscore AND b.id < a.id)),
+        |q AS (SELECT cent_id, id_a, id_b, sim,
+        |  row_number() OVER (PARTITION BY id_a ORDER BY cb DESC, id_b) AS kr
+        |  FROM pairs WHERE sim >= 0.35)
+        |SELECT cent_id, id_a AS dropped_id, id_b AS kept_id, sim AS drop_sim
+        |FROM q WHERE kr = 1 ORDER BY dropped_id""".stripMargin,
+
+    // q138: build(base) + append(increment) must be indistinguishable
+    // from build(full) — so the oracle is q41's in-memory IVF compose
+    // over the FULL corpus, the same contract q134 pins for the
+    // persisted lifecycle.
+    "q138_ivf_index_append" -> IVF_PROBE_SQL,
+
+    // q139: the exact-gate threshold is the RAW double compare (the
+    // exec's predicate); rounding to 4 dp happens only on the output
+    // score, mirroring the Spark side exactly.
+    "q139_embed_decontaminate" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, e AS evv FROM v WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id AS corpus_id, e AS cvv FROM v WHERE vec_id % 97 <> 0),
+        |hits AS (SELECT corpus_id, eval_id,
+        |  round(list_dot_product(cvv, evv)
+        |   /(sqrt(list_dot_product(cvv, cvv))*sqrt(list_dot_product(evv, evv))), 4) AS sim
+        |FROM c CROSS JOIN ev
+        |WHERE list_dot_product(cvv, evv)
+        |  /(sqrt(list_dot_product(cvv, cvv))*sqrt(list_dot_product(evv, evv))) >= 0.35)
+        |SELECT corpus_id, eval_id AS nearest_eval_id, sim AS max_sim, n_eval_hits FROM (
+        |SELECT corpus_id, eval_id, sim,
+        |  count(*) OVER (PARTITION BY corpus_id) AS n_eval_hits,
+        |  row_number() OVER (PARTITION BY corpus_id ORDER BY sim DESC, eval_id) AS rk
+        |FROM hits) WHERE rk = 1 ORDER BY corpus_id""".stripMargin,
+
+    // q140: the Morton interleave unrolled as 16 shift-or terms per
+    // dimension — bit-for-bit the native kernel's spread.
+    "q140_zorder_keys" -> {
+      val terms = (0 to 15).map(i =>
+        s"((((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT event_id,
+         |user_id % 65536 AS zx,
+         |CAST(round(value*100) AS BIGINT) % 65536 AS zy
+         |FROM events),
+         |k AS (SELECT event_id, zx, zy, ($terms) AS zkey FROM b)
+         |SELECT event_id, zx, zy, zkey,
+         |CAST(floor(zkey / 67108864.0) AS BIGINT) AS zfile
+         |FROM k ORDER BY event_id""".stripMargin
+    },
+
+    // q141: path-derived provenance must round-trip — the oracle
+    // recomputes the shard from the layout formula (doc_id % 8) and
+    // replays q21's survivor rule (min doc_id per fingerprint).
+    "q141_shard_provenance" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+         |md5(array_to_string($TOKS, ' ')) AS fp FROM documents),
+         |k AS (SELECT min(doc_id) AS keep_id FROM d GROUP BY fp)
+         |SELECT shard, count(*) AS n_docs,
+         |CAST(sum(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+         |round((count(*) - sum(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END)) * 10000.0
+         |  / count(*), 4) AS dup_rate_bp
+         |FROM d LEFT JOIN k ON d.doc_id = k.keep_id
+         |GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q42_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -3069,6 +3069,139 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup — semantic deduplication by the published recipe (Abbas
+    * et al. 2023): k-means the embedding space (one deterministic
+    * Lloyd iteration from the k lowest-id seeds — [[Similarity
+    * .fitCentroids]], q55/q63's fixed-point arithmetic), compare only
+    * WITHIN-cluster pairs, and for every pair above the similarity
+    * threshold drop the member farther from its cluster centroid.
+    * Output: one row per dropped doc with its most-central qualifying
+    * duplicate. The O(n²) semantic comparison collapses to Σ cluster²
+    * (k chosen to bound cluster sizes; at corpus scale the fit runs on
+    * a sample, exactly q63's shape) and the keep-policy is pair-local —
+    * no connected components, no global structure. */
+  def q137SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.fitCentroids(emb, k = 6, iters = 1)
+      .select(col("cent_id").as("id"), col("cent_v").as("vec"))
+    Similarity.semanticDedupDrops(emb, cents, threshold = 0.35)
+      .orderBy(col("dropped_id"))
+  }
+
+  /** Incremental IVF index maintenance — build the persisted index on
+    * the base corpus, [[graft.operators.VectorIndex.append]] the
+    * incoming slice against the FIXED centroids (cost scales with the
+    * increment; stored assignment files are never read or rewritten),
+    * then probe the appended layout. Oracle: q41's in-memory IVF
+    * compose over the FULL corpus — build+append must be
+    * indistinguishable from a from-scratch build, the same contract
+    * q116 pins for incremental pair-table maintenance. */
+  def q138IvfIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 250 === 0)
+    val base = emb.where(pmod(col("id"), lit(10)) =!= 3)
+    val incoming = emb.where(pmod(col("id"), lit(10)) === 3)
+    val queries = emb.where(col("id") < 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q138_").toFile
+    deleteRecursivelyOnExit(tmp)
+    VectorIndex.write(base, centroids, tmp.getAbsolutePath)
+    VectorIndex.append(incoming, tmp.getAbsolutePath)
+    val idx = VectorIndex.read(spark, tmp.getAbsolutePath)
+    VectorIndex.probe(idx, queries, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Benchmark decontamination by embedding similarity — the semantic
+    * twin of q60/q89's n-gram contamination checks: flag every corpus
+    * vector whose cosine similarity to ANY eval-set vector clears the
+    * threshold (paraphrased leakage that exact n-gram matching
+    * misses). Physical shape: [[Similarity.cosineJoin]] in the EXACT
+    * regime — the eval set is tiny by construction (benchmarks vs a
+    * 100 TB corpus), so it broadcasts with cached norms and the corpus
+    * side STREAMS through the gate, never shuffled, with recall 1.0
+    * (a decontamination screen must not silently trade recall). Output
+    * per contaminated doc: its nearest eval neighbor (rounded-sim
+    * rank, id tie-break) and how many eval docs it matched. */
+  def q139EmbedDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val evalSet = emb.where(pmod(col("id"), lit(97)) === 0)
+      .select(col("id").as("eval_id"), col("vec").as("ev"))
+    val corpus = emb.where(pmod(col("id"), lit(97)) =!= 0)
+      .select(col("id").as("corpus_id"), col("vec").as("cv"))
+    val hits = Similarity.cosineJoin(corpus, evalSet, "cv", "ev",
+      threshold = 0.35, regime = graft.plans.SimJoinRegime.Exact)
+    val scored = hits.select(col("corpus_id"), col("eval_id"),
+      round(Similarity.cosine(col("cv"), col("ev")), 4).as("sim"))
+    val wN = Window.partitionBy(col("corpus_id"))
+    val wR = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("sim").desc, col("eval_id"))
+    scored
+      .withColumn("n_eval_hits", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wR))
+      .where(col("rk") === 1)
+      .select(col("corpus_id"), col("eval_id").as("nearest_eval_id"),
+        col("sim").as("max_sim"), col("n_eval_hits"))
+      .orderBy(col("corpus_id"))
+  }
+
+  /** Z-order key math — the Morton bit-interleave
+    * ([[graft.expressions.ZOrderKey]], native codegen'd kernel) that
+    * [[graft.sources.Writers.zorderedParquet]] clusters by: rows
+    * sorted by this key land in row groups covering small RECTANGLES
+    * of the (user_id, value-bucket) plane, so parquet min/max stats
+    * prune box predicates on EITHER dimension (ScaleOpsSpec measures
+    * the actual row-group skip). The query emits per-event keys plus
+    * each event's would-be cluster file, making the whole layout
+    * computation oracle-checkable (the interleave replays in SQL as
+    * 16 unrolled shift-or terms). */
+  def q140ZorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val x = pmod(col("user_id"), lit(65536L))
+    val y = pmod(round(col("value") * 100).cast("long"), lit(65536L))
+    ev.select(col("event_id"), x.as("zx"), y.as("zy"),
+        graft.expressions.ZOrderExpressions.zorderKey(
+          x.cast("long"), y.cast("long")).as("zkey"))
+      .withColumn("zfile", floor(col("zkey") / lit(1 << 26)))
+      .orderBy(col("event_id"))
+  }
+
+  /** File-provenance audit — the lineage plumbing a multi-source lake
+    * needs: documents are laid out as a hive-partitioned tree
+    * (`shard=<k>` directories), read back with `input_file_name()`,
+    * and every row's provenance is recovered FROM THE PATH — then
+    * joined against exact-dedup survivorship (q21's rule) to report
+    * which ingest shard contributes duplicates. At 100 TB this is how
+    * blame lands on a source feed without any per-row provenance
+    * column in the data itself. The oracle recomputes the shard from
+    * the same formula the layout used — path-derived provenance must
+    * round-trip exactly. */
+  def q141ShardProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q141_").toFile
+    deleteRecursivelyOnExit(tmp)
+    graft.sources.Writers.partitionedParquet(
+      docs.withColumn("shard", pmod(col("doc_id"), lit(8))),
+      tmp.getAbsolutePath, Seq("shard"))
+    val back = spark.read.parquet(tmp.getAbsolutePath)
+      .withColumn("shard_from_path",
+        regexp_extract(input_file_name(), "shard=(\\d+)", 1).cast("long"))
+    val survivors = Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    back
+      .join(survivors.withColumn("survives", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("shard_from_path").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("survives"), lit(0L))).as("n_survivors"))
+      .withColumn("dup_rate_bp",
+        round((col("n_docs") - col("n_survivors")) * lit(10000L)
+          / col("n_docs"), 4))
+      .orderBy(col("shard"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3207,5 +3340,10 @@ object Queries {
     "q133_delta_cap_pairs" -> (q133DeltaCapPairs _),
     "q134_ivf_index_probe" -> (q134IvfIndexProbe _),
     "q135_jaccard_join" -> (q135JaccardJoin _),
-    "q136_overlap_join" -> (q136OverlapJoin _))
+    "q136_overlap_join" -> (q136OverlapJoin _),
+    "q137_semantic_dedup" -> (q137SemanticDedup _),
+    "q138_ivf_index_append" -> (q138IvfIndexAppend _),
+    "q139_embed_decontaminate" -> (q139EmbedDecontaminate _),
+    "q140_zorder_keys" -> (q140ZorderKeys _),
+    "q141_shard_provenance" -> (q141ShardProvenance _))
 }

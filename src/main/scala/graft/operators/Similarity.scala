@@ -200,6 +200,61 @@ object Similarity {
       threshold, regime, bands, bandBits))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    * SemDeDup: data-efficient learning at web-scale through semantic
+    * deduplication" — public method): cluster the embedding space with
+    * k-means, then compare ONLY within-cluster pairs and drop the
+    * member of each semantic-duplicate pair that sits FARTHER from its
+    * cluster centroid (the published keep-policy: the more central
+    * exemplar is the better representative). Returns one row per
+    * dropped document: (cent_id, dropped_id, kept_id, drop_sim) where
+    * `kept_id` is the dropped doc's most-central qualifying duplicate.
+    *
+    * Scale shape: the O(n²) semantic comparison collapses to
+    * Σ cluster² — k is chosen so clusters bound the pair fanout (the
+    * paper uses k ≈ √n; centroids come from a SAMPLED fit at corpus
+    * scale, q63's pattern). The join is keyed on cent_id (one shuffle
+    * of constant-width rows), the keep-policy is a per-pair local
+    * decision (no iterative connected components), and the final
+    * survivor pick is a per-dropped-id window — never a global
+    * structure. Determinism: centroid sim rounds to 6 dp and pair sim
+    * to 4 dp BEFORE any comparison, ties break on id, so the drop set
+    * is engine-portable (oracle-checked as q137). */
+  def semanticDedupDrops(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val cents = centroids.select(col("id").as("cent_id"),
+      col("vec").cast("array<double>").as("cent_v"))
+    val v = corpus.select(col("id"), col("vec").cast("array<double>").as("v"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val assigned = Caches.persistTracked(v.join(broadcast(cents))
+      .select(col("id"), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") === 1)
+      .drop("crank"))
+    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
+      col("v").as("va"), col("cscore").as("ca"))
+    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("cscore").as("cb"))
+    // oriented dropped→kept: id_b survives iff it is strictly more
+    // central (cscore; id tie-break), so each qualifying pair yields
+    // exactly one candidate-drop row
+    val pairs = a.join(b, Seq("cent_id"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .where(col("sim") >= threshold)
+      .where(col("cb") > col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+    val wk = Window.partitionBy(col("id_a"))
+      .orderBy(col("cb").desc, col("id_b"))
+    pairs
+      .withColumn("krank", row_number().over(wk))
+      .where(col("krank") === 1)
+      .select(col("cent_id"), col("id_a").as("dropped_id"),
+        col("id_b").as("kept_id"), col("sim").as("drop_sim"))
+  }
+
   /** Symmetric int8 quantization of the `v` column (q97's scheme):
     * per-vector scale = max|v_i|, q_i = clamp(round(v_i·127/scale),
     * ±127), carried as longs for exact integer dot products. Adds

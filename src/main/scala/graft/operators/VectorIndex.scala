@@ -49,6 +49,30 @@ object VectorIndex {
       .parquet(s"$path/assignments")
   }
 
+  /** Incremental index maintenance — the nightly-embedding-ingest path
+    * (the vector-store analogue of the q116 incremental pair-table
+    * maintenance): assign ONLY the incoming vectors to the EXISTING
+    * centroids (the coarse quantizer is fixed — re-fitting it would
+    * invalidate every stored assignment) and append them into the
+    * cent_id-partitioned layout. Cost scales with the increment, never
+    * the stored corpus: the append touches only the partition
+    * directories the new vectors land in, and the stored assignment
+    * files are never read or rewritten. Because assignment to fixed
+    * centroids is deterministic (6-dp rounded score, centroid-id
+    * tie-break), build(base) + append(increment) is file-layout-
+    * equivalent to build(base ∪ increment) — q138's oracle-checked
+    * contract (a probe of the appended index EQUALS the in-memory
+    * compose over the full corpus). */
+  def append(increment: DataFrame, path: String): Unit = {
+    val spark = increment.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+    Similarity.nearestCentroids(increment, centroids, "neighbor_id", keep = 1)
+      .withColumnRenamed("v", "cv")
+      .write.mode("append")
+      .partitionBy("cent_id")
+      .parquet(s"$path/assignments")
+  }
+
   /** Load a saved index. Partition-column type inference may narrow
     * `cent_id` to int; restore long so probe joins stay cast-free. */
   def read(spark: SparkSession, path: String): Index = Index(

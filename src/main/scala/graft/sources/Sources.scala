@@ -127,4 +127,66 @@ object Writers {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Scale path: Z-order (Morton-curve) clustered parquet — the
+    * TWO-dimensional extension of [[rangeClusteredParquet]]: rows are
+    * range-partitioned and sorted by the interleaved-bit key of both
+    * cluster columns ([[graft.expressions.ZOrderKey]]), so each
+    * parquet row group covers a small RECTANGLE of the (a, b) space
+    * and min/max stats prune predicates on EITHER column (a
+    * single-column sort leaves the other column's per-group spans at
+    * full width — a filter on it skips nothing). `quantA`/`quantB`
+    * map each column onto the 16-bit grid and MUST use comparable
+    * scales (use [[graft.expressions.ZOrderExpressions.quant16]]
+    * min-max scaling): Morton order is dominated by the higher bit
+    * positions, so an unscaled narrow-range dimension contributes
+    * nothing and the curve degenerates to a single-column sort. The
+    * key is computed, used for layout, and dropped — the written
+    * schema is the input's. */
+  def zorderedParquet(df: DataFrame, path: String,
+      quantA: org.apache.spark.sql.Column,
+      quantB: org.apache.spark.sql.Column, nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keyed = df.withColumn("__zkey",
+      graft.expressions.ZOrderExpressions.zorderKey(
+        quantA.cast("long"), quantB.cast("long")))
+    keyed.repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-file compaction — the ingest-hygiene job every streaming
+    * lake needs: micro-batch sinks and incremental appends leave
+    * thousands of KB-sized files, and at 100 TB the resulting
+    * footer/open overhead (and driver file-listing memory) dominates
+    * scan cost long before data volume does. Reads the directory,
+    * plans `ceil(totalBytes / targetBytes)` output files from the
+    * LISTED sizes (no data pass to decide the layout), and rewrites
+    * in one job. `sortCols` optionally re-clusters while compacting
+    * (range partition + within-file sort — compaction is the natural
+    * moment to restore clustering); empty keeps arrival order with a
+    * plain round-robin repartition. Returns the output file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, targetBytes: Long,
+      sortCols: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(conf)
+    val totalBytes = fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .toInt
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.nonEmpty) {
+        val keys = sortCols.map(col)
+        df.repartitionByRange(nFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+      } else df.repartition(nFiles)
+    out.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

@@ -636,4 +636,98 @@ class OperatorsSpec extends AnyFunSuite {
         s"fallback path must not carry the literal IN filter: $gpfs")
     }
   }
+
+  // ---- SemDeDup (q137's operator) ----
+
+  ctest("semantic dedup drops the less-central member and never the cluster exemplar") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = Similarity.fitCentroids(emb, k = 4, iters = 1)
+      .select($"cent_id".as("id"), $"cent_v".as("vec"))
+    val threshold = 0.35
+    val drops = Similarity.semanticDedupDrops(emb, cents, threshold)
+      .select($"cent_id", $"dropped_id", $"kept_id", $"drop_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(drops.nonEmpty, "expected semantic duplicates on the test corpus")
+    // one verdict per dropped doc
+    assert(drops.map(_._2).distinct.length === drops.length)
+    // every reported pair clears the threshold
+    assert(drops.forall(_._4 >= threshold))
+
+    // replay the assignment to get (id -> cent, cscore)
+    val cc = cents.select($"id".as("cent_id"),
+      $"vec".cast("array<double>").as("cent_v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"id")
+      .orderBy($"cscore".desc, $"cent_id")
+    val assigned = emb
+      .select($"id", $"vec".cast("array<double>").as("v"))
+      .join(broadcast(cc))
+      .select($"id", $"cent_id",
+        round(Similarity.cosine($"v", $"cent_v"), 6).as("cscore"))
+      .withColumn("rk", row_number().over(w)).where($"rk" === 1)
+      .select($"id", $"cent_id", $"cscore")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // dropped and kept share a cluster, and the kept member is
+    // strictly more central (cscore, id tie-break)
+    drops.foreach { case (cent, d, k, _) =>
+      assert(assigned(d)._1 === cent && assigned(k)._1 === cent)
+      val (cd, ck) = (assigned(d)._2, assigned(k)._2)
+      assert(ck > cd || (ck == cd && k < d),
+        s"kept $k (cscore $ck) is not more central than dropped $d ($cd)")
+    }
+    // the most-central member of every cluster is never dropped
+    val dropped = drops.map(_._2).toSet
+    assigned.toSeq.groupBy(_._2._1).foreach { case (_, members) =>
+      val exemplar = members.minBy { case (id, (_, cs)) => (-cs, id) }._1
+      assert(!dropped.contains(exemplar),
+        s"cluster exemplar $exemplar must survive")
+    }
+  }
+
+  // ---- incremental IVF index maintenance (q138's operator) ----
+
+  ctest("index append equals a from-scratch build and never rewrites stored files") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centroids = emb.where($"id" % 100 === 0)
+    val base = emb.where(pmod($"id", lit(10)) =!= 3)
+    val incoming = emb.where(pmod($"id", lit(10)) === 3)
+
+    val incDir = java.nio.file.Files.createTempDirectory("graft_idx_inc_").toFile
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_idx_full_").toFile
+    graft.operators.TempDirs.deleteRecursivelyOnExit(incDir)
+    graft.operators.TempDirs.deleteRecursivelyOnExit(fullDir)
+
+    VectorIndex.write(base, centroids, incDir.getAbsolutePath)
+    // snapshot the stored layout before the append
+    def files(root: java.io.File): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          b += f.getAbsolutePath -> f.lastModified()
+      walk(root); b.result()
+    }
+    val before = files(new java.io.File(incDir, "assignments"))
+    VectorIndex.append(incoming, incDir.getAbsolutePath)
+    val after = files(new java.io.File(incDir, "assignments"))
+    // append-only: every pre-append file survives untouched
+    before.foreach { case (path, mtime) =>
+      assert(after.contains(path), s"append removed stored file $path")
+      assert(after(path) === mtime, s"append rewrote stored file $path")
+    }
+    assert(after.size > before.size, "append added no files")
+
+    VectorIndex.write(emb, centroids, fullDir.getAbsolutePath)
+    def assignments(path: String) =
+      VectorIndex.read(spark, path).assignments
+        .select($"neighbor_id", $"cent_id").as[(Long, Long)].collect().toSet
+    val appended = assignments(incDir.getAbsolutePath)
+    val full = assignments(fullDir.getAbsolutePath)
+    assert(appended === full,
+      "build(base)+append(increment) must equal build(full)")
+  }
 }

@@ -256,6 +256,9 @@ class ScaleOpsSpec extends AnyFunSuite {
       // derived sessions inherit the surface (temp functions would not)
       assert(s2.newSession()
         .sql("SELECT hamming_dist('ab', 'ac')").head().getInt(0) === 1)
+      // zorder_key: 3=(bits 0,1)→even positions {0,2}=5; 5=(bits 0,2)
+      // →odd positions {1,5}=34; 5|34=39
+      assert(s2.sql("SELECT zorder_key(3L, 5L)").head().getLong(0) === 39L)
 
       // injected optimizer rule: levenshtein(a,b) <= k rewrites to the
       // banded O(n·k) threshold form, results unchanged. (A parquet
@@ -309,5 +312,124 @@ class ScaleOpsSpec extends AnyFunSuite {
       conf.set("spark.sql.codegen.factoryMode", oldFactory)
       conf.set("spark.sql.codegen.fallback", oldFallback)
     }
+  }
+
+  // ---- Z-order clustered layout (q140's write path) ----
+
+  /** Per-file (user_id min/max, value min/max) from the parquet
+    * footers — the statistics a scan's row-group/file pruning actually
+    * consults, read directly so the assertion is about the LAYOUT, not
+    * about any particular reader's pruning implementation. */
+  private def footerStats(dir: String)
+      : Seq[(Long, Long, Double, Double)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var uMin = Long.MaxValue; var uMax = Long.MinValue
+          var vMin = Double.MaxValue; var vMax = -Double.MaxValue
+          r.getRowGroups.forEach { bm =>
+            bm.getColumns.forEach { cm =>
+              cm.getPath.toDotString match {
+                case "user_id" =>
+                  val st = cm.getStatistics
+                    .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                  uMin = math.min(uMin, st.getMin); uMax = math.max(uMax, st.getMax)
+                case "value" =>
+                  val st = cm.getStatistics
+                    .asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
+                  vMin = math.min(vMin, st.getMin); vMax = math.max(vMax, st.getMax)
+                case _ =>
+              }
+            }
+          }
+          (uMin, uMax, vMin, vMax)
+        } finally r.close()
+      }
+  }
+
+  test("zorder kernel: interleave pins and 16-bit masking") {
+    import graft.expressions.ZOrderKernels.interleave16
+    assert(interleave16(0xFFFFL, 0L) === 0x55555555L)
+    assert(interleave16(0L, 0xFFFFL) === 0xAAAAAAAAL)
+    assert(interleave16(0xFFFFL, 0xFFFFL) === 0xFFFFFFFFL)
+    assert(interleave16(3L, 5L) === 39L)
+    // only the low 16 bits participate
+    assert(interleave16(0x10003L, 0x20005L) === interleave16(3L, 5L))
+  }
+
+  test("z-order layout bounds BOTH dimensions' file stats; single-column sort leaves the other at full width") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select($"event_id", $"user_id", $"value")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder_").toFile
+    val sDir = java.nio.file.Files.createTempDirectory("graft_usort_").toFile
+    graft.operators.TempDirs.deleteRecursivelyOnExit(zDir)
+    graft.operators.TempDirs.deleteRecursivelyOnExit(sDir)
+    val nFiles = 16
+    // quant16 min-max scaling gives both dimensions equal weight in
+    // the curve (raw values would let the wide `value` range dominate
+    // the key's high bits and the narrow user_id would not cluster)
+    Writers.zorderedParquet(ev, zDir.getAbsolutePath,
+      graft.expressions.ZOrderExpressions.quant16($"user_id", 0, 150),
+      graft.expressions.ZOrderExpressions.quant16($"value", 0, 491), nFiles)
+    Writers.rangeClusteredParquet(ev, sDir.getAbsolutePath,
+      Seq("user_id"), nFiles)
+    // layout must not change the data
+    assert(spark.read.parquet(zDir.getAbsolutePath).count() === ev.count())
+
+    val zStats = footerStats(zDir.getAbsolutePath)
+    val sStats = footerStats(sDir.getAbsolutePath)
+    assert(zStats.size === nFiles && sStats.size === nFiles)
+
+    def touchedByValue(stats: Seq[(Long, Long, Double, Double)],
+        lo: Double, hi: Double): Int =
+      stats.count { case (_, _, vMin, vMax) => vMax >= lo && vMin <= hi }
+    def touchedByUser(stats: Seq[(Long, Long, Double, Double)],
+        lo: Long, hi: Long): Int =
+      stats.count { case (uMin, uMax, _, _) => uMax >= lo && uMin <= hi }
+
+    // a value-dimension box: the user_id-sorted layout cannot prune at
+    // all (every file's value span is ~full width), the z-ordered one
+    // skips most files
+    val sTouched = touchedByValue(sStats, 100.0, 120.0)
+    val zTouched = touchedByValue(zStats, 100.0, 120.0)
+    assert(sTouched === nFiles,
+      s"user_id-sorted layout unexpectedly clusters value: $sTouched")
+    assert(zTouched < nFiles / 2,
+      s"z-order should prune most files on the value dim, touched $zTouched/$nFiles")
+    // and the z-order still prunes on user_id too — both dimensions
+    // are bounded, which is the whole point vs a single-column sort
+    val zUser = touchedByUser(zStats, 10L, 20L)
+    assert(zUser < nFiles,
+      s"z-order should also prune on user_id, touched $zUser/$nFiles")
+  }
+
+  test("compaction rewrites a small-file directory into the planned file count with identical rows") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select($"event_id", $"user_id", $"value")
+    val smallDir = java.nio.file.Files.createTempDirectory("graft_small_").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("graft_compact_").toFile
+    graft.operators.TempDirs.deleteRecursivelyOnExit(smallDir)
+    graft.operators.TempDirs.deleteRecursivelyOnExit(outDir)
+    // simulate micro-batch debris: 40 tiny files
+    ev.repartition(40).write.mode("overwrite").parquet(smallDir.getAbsolutePath)
+    def parquetFiles(d: java.io.File) =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(smallDir).length === 40)
+    val totalBytes = parquetFiles(smallDir).map(_.length).sum
+    val planned = Writers.compactParquet(spark, smallDir.getAbsolutePath,
+      outDir.getAbsolutePath, targetBytes = totalBytes / 4 + 1)
+    assert(parquetFiles(outDir).length === planned)
+    assert(planned <= 4 && planned >= 1)
+    // row identity (id set + checksums, not just count)
+    val a = ev.agg(count(lit(1)), sum($"event_id"),
+      sum(round($"value" * 100).cast("long"))).head()
+    val b = spark.read.parquet(outDir.getAbsolutePath)
+      .agg(count(lit(1)), sum($"event_id"),
+        sum(round($"value" * 100).cast("long"))).head()
+    assert(a === b)
   }
 }
