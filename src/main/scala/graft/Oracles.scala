@@ -677,6 +677,34 @@ object Oracles {
          |FROM k ORDER BY event_id""".stripMargin
     },
 
+    // q142: the full 8-step BPE training trajectory as chained CTEs —
+    // every chosen merge AND its weighted frequency must match, so the
+    // oracle pins the whole training path, not just the final state.
+    "q142_bpe_train" -> {
+      s"""WITH ${bpeCtes(8)}
+         |SELECT step, merge_pair, pair_freq FROM (
+         |${(1 to 8).map(i =>
+              s"SELECT $i AS step, pair AS merge_pair, f AS pair_freq FROM b$i")
+             .mkString("\nUNION ALL ")})
+         |ORDER BY step""".stripMargin
+    },
+
+    // q143: encode distinct words under the q142 trajectory, join the
+    // per-word token counts onto the corpus token stream, per-lang
+    // integer sums (the double division shares exact operands).
+    "q143_bpe_token_stats" -> {
+      s"""WITH ${bpeCtes(8)},
+         |enc AS (SELECT word, len(string_split(seq, ' ')) AS nb FROM w8),
+         |tok AS (SELECT lang, unnest($TOKS) AS word FROM documents)
+         |SELECT lang, count(*) AS n_words,
+         |CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |round(CAST(sum(length(word)) AS DOUBLE)
+         |  / CAST(sum(nb) AS BIGINT), 4) AS chars_per_token
+         |FROM tok JOIN enc USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     // q141: path-derived provenance must round-trip — the oracle
     // recomputes the shard from the layout formula (doc_id % 8) and
     // replays q21's survivor rule (min doc_id per fingerprint).
@@ -2508,6 +2536,31 @@ object Oracles {
          |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
          |FROM pairs)
          |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)
+
+  /** q142/q143 shared: the n-step BPE training trajectory as chained
+    * CTEs. Step i counts adjacent symbol pairs of w(i-1) weighted by
+    * word frequency (b_i = the arg-max with pair-string tie-break)
+    * and rewrites the vocabulary with literal left-to-right
+    * `replace` — mirroring [[graft.operators.Bpe.train]] exactly.
+    * Every chain CTE is MATERIALIZED: DuckDB inlines CTEs by default
+    * and each w_i is referenced twice (by p_{i+1} and w_{i+1}), so an
+    * inlined chain re-evaluates exponentially (2^n vocabulary scans). */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append("vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM (")
+      .append(s"SELECT unnest($TOKS) AS word FROM documents) GROUP BY word),\n")
+    sb.append("w0 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, freq FROM vocab)")
+    for (i <- 1 to n) {
+      sb.append(s",\np$i AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM (")
+        .append("SELECT unnest(list_transform(range(1, len(string_split(seq, ' '))), ")
+        .append("j -> string_split(seq, ' ')[j] || ' ' || string_split(seq, ' ')[j+1])) AS pair, freq ")
+        .append(s"FROM w${i - 1}) GROUP BY pair)")
+      sb.append(s",\nb$i AS MATERIALIZED (SELECT pair, f FROM p$i ORDER BY f DESC, pair LIMIT 1)")
+      sb.append(s",\nw$i AS MATERIALIZED (SELECT word, replace(seq, (SELECT pair FROM b$i), ")
+        .append(s"replace((SELECT pair FROM b$i), ' ', '')) AS seq, freq FROM w${i - 1})")
+    }
+    sb.toString
+  }
 
   /** Word-3-gram posting-list CTE chain over a doc subset CTE `src`
     * (single-line: interpolated into stripMargin blocks). */

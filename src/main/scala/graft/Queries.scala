@@ -3202,6 +3202,48 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** BPE merge induction — q122's single-step probe iterated into the
+    * real trainer ([[graft.operators.Bpe]]): 8 merge steps, each one
+    * aggregation over the DISTINCT-WORD vocabulary weighted by corpus
+    * frequency (never the corpus itself — trainer cost is decoupled
+    * from corpus size), ties broken on the pair string. The oracle
+    * replays the full 8-step trajectory as chained CTEs — every
+    * chosen merge and its frequency must match, which pins the whole
+    * training path, not just the final state. */
+  def q142BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = graft.operators.Bpe.train(
+      graft.operators.Bpe.vocab(t(spark, dir).documents, "text"), 8)
+    merges.toDF("step", "merge_pair", "pair_freq").orderBy(col("step"))
+  }
+
+  /** Tokenizer application at corpus scale: encode every DISTINCT
+    * word under q142's learned merges (vocabulary-sized work), then
+    * join the per-word token counts back onto the corpus token stream
+    * — per-language token economics (words, BPE tokens, chars,
+    * chars-per-token) without ever running the encoder over raw
+    * documents. The join's build side is the vocabulary — broadcast
+    * at real scale. */
+  def q143BpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val v = graft.operators.Caches.persistTracked(
+      graft.operators.Bpe.vocab(docs, "text"))
+    val merges = graft.operators.Bpe.train(v, 8).map(_.pair)
+    val perWord = graft.operators.Bpe.applyMerges(v, "word", merges)
+      .select(col("word"), col("n_bpe_tokens"))
+    val stream = docs.select(col("lang"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    stream.join(broadcast(perWord), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_bpe_tokens").cast("long")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / col("n_bpe_tokens"), 4))
+      .orderBy(col("lang"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3345,5 +3387,7 @@ object Queries {
     "q138_ivf_index_append" -> (q138IvfIndexAppend _),
     "q139_embed_decontaminate" -> (q139EmbedDecontaminate _),
     "q140_zorder_keys" -> (q140ZorderKeys _),
-    "q141_shard_provenance" -> (q141ShardProvenance _))
+    "q141_shard_provenance" -> (q141ShardProvenance _),
+    "q142_bpe_train" -> (q142BpeTrain _),
+    "q143_bpe_token_stats" -> (q143BpeTokenStats _))
 }

@@ -30,6 +30,27 @@ object Sinks {
       f: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.outputMode("append").foreachBatch(f)
 
+  /** Streaming vector ingest — each micro-batch appends into the
+    * persisted IVF index ([[graft.operators.VectorIndex.append]]): the
+    * index stays serveable while a stream of new embeddings lands, and
+    * each batch costs only its own assignment pass (fixed centroids,
+    * stored files untouched — q138's contract driven continuously).
+    * Delivery: foreachBatch is at-least-once against a
+    * non-transactional sink — a crash between the append and the
+    * checkpoint commit replays the batch, duplicating its assignment
+    * rows. Probe ranking already dedups (query_id, neighbor_id) so
+    * SERVING results are unchanged; a strict-storage deployment would
+    * stage per-batchId directories and commit by rename. */
+  def vectorIngest(embStream: DataFrame, indexPath: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    embStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.VectorIndex.append(batch, indexPath)
+      }
+
   /** K2 concrete impl: the reference's per-batch console report
     * (batch count + grouped tallies pretty-printed on the driver —
     * job1_bots.py:271-303). Aggregation happens engine-side; only the

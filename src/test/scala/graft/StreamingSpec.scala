@@ -1057,6 +1057,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterExpiry >= 50L, s"phase-2 state missing: $afterExpiry")
     } finally q.stop()
   }
+
+  test("streaming vector ingest: per-batch index appends equal a from-scratch build") {
+    implicit val ctx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vec"))
+    val centroids = emb.where($"id" % 100 === 0)
+    val base = emb.where(pmod($"id", lit(10)) =!= 3)
+    val incoming = emb.where(pmod($"id", lit(10)) === 3)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val idxDir = GraftTestSpark.tmpDir("graft-vec-ingest")
+    val ckpt = GraftTestSpark.tmpDir("graft-vec-ingest-chk")
+    graft.operators.VectorIndex.write(base, centroids, idxDir)
+
+    // two micro-batches of new embeddings land through the sink
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Sinks.vectorIngest(
+      input.toDF().toDF("id", "vec"), idxDir, ckpt).start()
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val fullDir = GraftTestSpark.tmpDir("graft-vec-full")
+    graft.operators.VectorIndex.write(emb, centroids, fullDir)
+    def assignments(p: String) =
+      graft.operators.VectorIndex.read(spark, p).assignments
+        .select($"neighbor_id", $"cent_id").as[(Long, Long)].collect().toSet
+    assert(assignments(idxDir) === assignments(fullDir),
+      "streamed appends must converge to the from-scratch index")
+  }
 }
 
 /** Static landing zone for executor-side sink writes (local-mode tests
