@@ -705,6 +705,49 @@ object Oracles {
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    // q144: the fit runs on the EXISTING slice only (fixed quantizer),
+    // both slices assign under it, and only incoming × existing
+    // same-cluster pairs are scored — keep-old policy, best match.
+    "q144_semantic_dedup_increment" ->
+      s"""WITH ${semFitCtes("id % 10 <> 7")},
+         |${semAssignCte("id % 10 <> 7", "asge")},
+         |${semAssignCte("id % 10 = 7", "asgi")}
+         |SELECT cent_id, incoming_id, matched_id, match_sim FROM (
+         |SELECT i.cent_id, i.id AS incoming_id, e.id AS matched_id,
+         |  ${semCos("i.vv", "e.vv", 4)} AS match_sim,
+         |  row_number() OVER (PARTITION BY i.id
+         |    ORDER BY ${semCos("i.vv", "e.vv", 4)} DESC, e.id) AS rk
+         |FROM asgi i JOIN asge e ON i.cent_id = e.cent_id
+         |WHERE ${semCos("i.vv", "e.vv", 4)} >= 0.35)
+         |WHERE rk = 1 ORDER BY incoming_id""".stripMargin,
+
+    // q145: q123's sweep on the semantic pair set — pairs mined once
+    // at 0.25, the whole bp grid sweeps pair space.
+    "q145_semantic_retention_sweep" ->
+      s"""WITH ${semFitCtes("TRUE")},
+         |${semAssignCte("TRUE", "asg")},
+         |pr AS (SELECT a.cent_id, a.id AS id_a, b.id AS id_b,
+         |  ${semCos("a.vv", "b.vv", 4)} AS sim
+         |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id
+         |  WHERE ${semCos("a.vv", "b.vv", 4)} >= 0.25),
+         |pb AS (SELECT id_a, id_b, CAST(round(sim*10000) AS INT) AS bp FROM pr),
+         |th AS (SELECT unnest([2500, 3000, 3500, 4000, 4500, 5000,
+         |  5500, 6000]) AS threshold_bp),
+         |e AS (SELECT t.threshold_bp, p.id_a, p.id_b
+         |  FROM pb p JOIN th t ON p.bp >= t.threshold_bp),
+         |a1 AS (SELECT threshold_bp, count(*) AS n_pairs,
+         |  count(DISTINCT id_b) AS n_dropped FROM e GROUP BY 1),
+         |ex AS (SELECT threshold_bp, id_a AS did FROM e
+         |  UNION ALL SELECT threshold_bp, id_b FROM e),
+         |a2 AS (SELECT threshold_bp, count(DISTINCT did) AS n_docs_touched
+         |  FROM ex GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM embeddings)
+         |SELECT a1.threshold_bp, a1.n_pairs, a2.n_docs_touched,
+         |a1.n_dropped,
+         |round(1.0e0 - CAST(a1.n_dropped AS DOUBLE)/n_total, 4) AS retention
+         |FROM a1 JOIN a2 USING (threshold_bp) CROSS JOIN tot
+         |ORDER BY threshold_bp""".stripMargin,
+
     // q141: path-derived provenance must round-trip — the oracle
     // recomputes the shard from the layout formula (doc_id % 8) and
     // replays q21's survivor rule (min doc_id per fingerprint).
@@ -2536,6 +2579,35 @@ object Oracles {
          |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
          |FROM pairs)
          |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)
+
+  private def semCos(a: String, b: String, dp: Int): String =
+    s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), $dp)"
+
+  /** SemDeDup oracle family shared CTEs: k=6 one-iteration k-means
+    * fit over `fitFilter`-selected embeddings (q63's fixed-point
+    * arithmetic) — yields `sv` (all vectors) and `c1` (the fitted
+    * centroids). */
+  private def semFitCtes(fitFilter: String): String =
+    s"""sv AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |fitsrc AS (SELECT * FROM sv WHERE $fitFilter),
+       |c0 AS (SELECT id AS cent_id, vv AS cv FROM fitsrc ORDER BY id LIMIT 6),
+       |fa AS (SELECT id, vv, cent_id FROM (
+       |  SELECT f.id, f.vv, c.cent_id,
+       |  row_number() OVER (PARTITION BY f.id ORDER BY ${semCos("f.vv", "c.cv", 6)} DESC, c.cent_id) AS rk
+       |  FROM fitsrc f CROSS JOIN c0 c) WHERE rk = 1),
+       |m1 AS (SELECT cent_id, CAST(p.pos AS INT) AS pos,
+       |  CAST(sum(CAST(round(vv[CAST(p.pos AS INT)+1]*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS m
+       |  FROM fa CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+       |  GROUP BY cent_id, p.pos),
+       |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cent_id)""".stripMargin
+
+  /** Nearest-c1-centroid assignment of the `srcFilter` slice of `sv`
+    * as CTE `out` (6-dp score, centroid-id tie-break). */
+  private def semAssignCte(srcFilter: String, out: String): String =
+    s"""$out AS (SELECT id, vv, cent_id FROM (
+       |  SELECT s.id, s.vv, c.cent_id,
+       |  row_number() OVER (PARTITION BY s.id ORDER BY ${semCos("s.vv", "c.cv", 6)} DESC, c.cent_id) AS rk
+       |  FROM (SELECT * FROM sv WHERE $srcFilter) s CROSS JOIN c1 c) WHERE rk = 1)""".stripMargin
 
   /** q142/q143 shared: the n-step BPE training trajectory as chained
     * CTEs. Step i counts adjacent symbol pairs of w(i-1) weighted by

@@ -3244,6 +3244,68 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Incremental SemDeDup — q137's semantics at INGEST time (the
+    * q116/q133 maintenance contract applied to the semantic
+    * modality): a nightly slice of new embeddings is assigned under
+    * the FIXED centroids the store was built with and compared only
+    * against the EXISTING members of its cluster; an incoming doc
+    * drops when any existing member clears the threshold (keep-old
+    * policy, best match reported). Fanout is incoming × cluster —
+    * the stored corpus is never self-compared. The fit runs on the
+    * existing slice only: a quantizer that shifted with every
+    * increment would invalidate stored assignments. */
+  def q144SemanticDedupIncrement(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val incoming = emb.where(pmod(col("id"), lit(10)) === 7)
+    val existing = emb.where(pmod(col("id"), lit(10)) =!= 7)
+    val cents = Similarity.fitCentroids(existing, k = 6, iters = 1)
+      .select(col("cent_id").as("id"), col("cent_v").as("vec"))
+    Similarity.semanticDedupIncrement(existing, incoming, cents,
+        threshold = 0.35)
+      .orderBy(col("incoming_id"))
+  }
+
+  /** Semantic retention sweep — q123's threshold-sweep question asked
+    * of the SEMANTIC metric: within-cluster cosine pairs are mined
+    * ONCE at the lowest threshold of interest
+    * ([[graft.operators.Similarity.semanticPairs]]), then the whole
+    * 2500–6000 bp threshold grid sweeps the PAIR SET (integer basis
+    * points, never re-touching the corpus) — pairs, docs touched,
+    * keep-lowest-id drops, and corpus retention per threshold. */
+  def q145SemanticRetentionSweep(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.fitCentroids(emb, k = 6, iters = 1)
+      .select(col("cent_id").as("id"), col("cent_v").as("vec"))
+    val pairs = Similarity.semanticPairs(emb, cents, threshold = 0.25)
+      .withColumn("bp", round(col("sim") * 10000).cast("int"))
+    val thresholds = array((5 to 12).map(k => lit(k * 500)): _*)
+    val e = graft.operators.Caches.persistTracked(
+      pairs
+        .select(explode(thresholds).as("threshold_bp"),
+          col("id_a"), col("id_b"), col("bp"))
+        .where(col("bp") >= col("threshold_bp")))
+    val a1 = e.groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+    val a2 = e
+      .select(col("threshold_bp"),
+        explode(array(col("id_a"), col("id_b"))).as("did"))
+      .groupBy(col("threshold_bp"))
+      .agg(countDistinct(col("did")).as("n_docs_touched"))
+    val total = t(spark, dir).embeddings.agg(count(lit(1)).as("n_total"))
+    a1.join(a2, Seq("threshold_bp"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold_bp"), col("n_pairs"), col("n_docs_touched"),
+        col("n_dropped"),
+        round(lit(1.0) - col("n_dropped").cast("double") / col("n_total"), 4)
+          .as("retention"))
+      .orderBy(col("threshold_bp"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3389,5 +3451,7 @@ object Queries {
     "q140_zorder_keys" -> (q140ZorderKeys _),
     "q141_shard_provenance" -> (q141ShardProvenance _),
     "q142_bpe_train" -> (q142BpeTrain _),
-    "q143_bpe_token_stats" -> (q143BpeTokenStats _))
+    "q143_bpe_token_stats" -> (q143BpeTokenStats _),
+    "q144_semantic_dedup_increment" -> (q144SemanticDedupIncrement _),
+    "q145_semantic_retention_sweep" -> (q145SemanticRetentionSweep _))
 }

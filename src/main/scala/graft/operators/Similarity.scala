@@ -220,19 +220,27 @@ object Similarity {
     * structure. Determinism: centroid sim rounds to 6 dp and pair sim
     * to 4 dp BEFORE any comparison, ties break on id, so the drop set
     * is engine-portable (oracle-checked as q137). */
-  def semanticDedupDrops(corpus: DataFrame, centroids: DataFrame,
-      threshold: Double): DataFrame = {
+  /** Nearest-centroid assignment carrying the centroid similarity:
+    * (id, v, cent_id, cscore 6-dp) — the shared first stage of the
+    * SemDeDup family ([[semanticDedupDrops]], [[semanticDedupIncrement]],
+    * [[semanticPairs]]). */
+  def semanticAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("id").as("cent_id"),
       col("vec").cast("array<double>").as("cent_v"))
     val v = corpus.select(col("id"), col("vec").cast("array<double>").as("v"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cscore").desc, col("cent_id"))
-    val assigned = Caches.persistTracked(v.join(broadcast(cents))
+    v.join(broadcast(cents))
       .select(col("id"), col("v"), col("cent_id"),
         round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
       .withColumn("crank", row_number().over(w))
       .where(col("crank") === 1)
-      .drop("crank"))
+      .drop("crank")
+  }
+
+  def semanticDedupDrops(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = Caches.persistTracked(semanticAssign(corpus, centroids))
     val a = assigned.select(col("cent_id"), col("id").as("id_a"),
       col("v").as("va"), col("cscore").as("ca"))
     val b = assigned.select(col("cent_id"), col("id").as("id_b"),
@@ -253,6 +261,50 @@ object Similarity {
       .where(col("krank") === 1)
       .select(col("cent_id"), col("id_a").as("dropped_id"),
         col("id_b").as("kept_id"), col("sim").as("drop_sim"))
+  }
+
+  /** Incremental SemDeDup — the ingest-time regime (the q116/q133
+    * maintenance contract applied to semantic dedup): only the
+    * INCOMING slice is assigned and compared, against the EXISTING
+    * corpus members of its cluster, under the FIXED centroids the
+    * store was built with (re-fitting would reshuffle every stored
+    * assignment). An incoming doc drops when any existing member
+    * clears the threshold; the keep-old policy reports the best
+    * existing match (sim desc, id tie-break). Fanout is
+    * |incoming| × cluster-size — never existing × existing. */
+  def semanticDedupIncrement(existing: DataFrame, incoming: DataFrame,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val e = semanticAssign(existing, centroids)
+      .select(col("cent_id"), col("id").as("matched_id"), col("v").as("ve"))
+    val i = semanticAssign(incoming, centroids)
+      .select(col("cent_id"), col("id").as("incoming_id"), col("v").as("vi"))
+    val w = Window.partitionBy(col("incoming_id"))
+      .orderBy(col("match_sim").desc, col("matched_id"))
+    i.join(e, Seq("cent_id"))
+      .withColumn("match_sim", round(cosine(col("vi"), col("ve")), 4))
+      .where(col("match_sim") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cent_id"), col("incoming_id"), col("matched_id"),
+        col("match_sim"))
+  }
+
+  /** All within-cluster pairs at or above `threshold` (id_a < id_b,
+    * 4-dp sim) with both members' centroid similarities — the
+    * materialization a threshold SWEEP reads (q145): mined once at
+    * the lowest threshold of interest, swept in pair space. */
+  def semanticPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = Caches.persistTracked(semanticAssign(corpus, centroids))
+    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .where(col("sim") >= threshold)
+      .select(col("cent_id"), col("id_a"), col("id_b"), col("sim"))
   }
 
   /** Symmetric int8 quantization of the `v` column (q97's scheme):

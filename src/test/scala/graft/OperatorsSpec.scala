@@ -686,6 +686,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  ctest("incremental semantic dedup: only incoming docs are flagged, against existing members only") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val incoming = emb.where(pmod($"id", lit(10)) === 7)
+    val existing = emb.where(pmod($"id", lit(10)) =!= 7)
+    val cents = Similarity.fitCentroids(existing, k = 4, iters = 1)
+      .select($"cent_id".as("id"), $"cent_v".as("vec"))
+    val t = 0.35
+    val out = Similarity.semanticDedupIncrement(existing, incoming, cents, t)
+      .select($"incoming_id", $"matched_id", $"match_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val incIds = incoming.select($"id").as[Long].collect().toSet
+    val exIds = existing.select($"id").as[Long].collect().toSet
+    // one verdict per incoming doc; sides never mix
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(r => incIds.contains(r._1) && exIds.contains(r._2)))
+    assert(out.forall(_._3 >= t))
+    // keep-old: an existing doc is never flagged, so running the
+    // increment with an empty slice flags nothing
+    assert(Similarity.semanticDedupIncrement(existing,
+      incoming.limit(0), cents, t).count() === 0L)
+  }
+
   // ---- incremental IVF index maintenance (q138's operator) ----
 
   ctest("index append equals a from-scratch build and never rewrites stored files") {
