@@ -330,11 +330,11 @@ object Oracles {
          |min(score) AS min_score, max(score) AS max_score
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q21_dedup_exact" ->
-      s"""WITH d AS (SELECT doc_id,
-         |md5(array_to_string($TOKS, ' ')) AS fp FROM documents)
-         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
-         |FROM d GROUP BY fp ORDER BY fp""".stripMargin,
+    "q21_dedup_exact" -> EXACT_DEDUP_SQL,
+
+    // q146: incremental maintenance must be indistinguishable from a
+    // full rebuild — the oracle IS q21's whole-corpus re-dedup.
+    "q146_incremental_exact_dedup" -> EXACT_DEDUP_SQL,
 
     "q22_jaccard_pairs" ->
       s"""${SHINGLE_CTES},
@@ -2579,6 +2579,16 @@ object Oracles {
          |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard
          |FROM pairs)
          |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)
+
+  /** q21's whole-corpus exact dedup, shared verbatim with q146: the
+    * incremental merge's oracle is the full rebuild — that equality IS
+    * the maintenance contract (the q41/q134/q138 pattern). */
+  // lazy: defined below `all` textually, referenced during its init
+  private lazy val EXACT_DEDUP_SQL =
+    s"""WITH d AS (SELECT doc_id,
+       |md5(array_to_string($TOKS, ' ')) AS fp FROM documents)
+       |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM d GROUP BY fp ORDER BY fp""".stripMargin
 
   private def semCos(a: String, b: String, dp: Int): String =
     s"round(list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b))), $dp)"

@@ -3306,6 +3306,28 @@ object Queries {
       .orderBy(col("threshold_bp"))
   }
 
+  /** Incremental exact dedup — the ingest-time regime of q21
+    * ([[graft.operators.Dedup.incrementalExact]]), completing the
+    * maintenance matrix across all four dedup modalities (q116
+    * jaccard, q133 delta-cap, q144 semantic): an incoming batch
+    * merges into the STORED fingerprint table without re-reading the
+    * corpus. The batch pre-screens against a bloom sketch of the
+    * stored fingerprints — sketch rejects cannot be stored dups (no
+    * false negatives) and skip the join against the corpus-sized
+    * table entirely; false positives die in the exact join. Oracle:
+    * the updated table must EQUAL q21's full re-dedup of the whole
+    * corpus — maintenance must be indistinguishable from rebuild. */
+  def q146IncrementalExactDedup(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = t(spark, dir).documents
+    val incoming = docs.where(pmod(col("doc_id"), lit(10)) === 5)
+    val existing = docs.where(pmod(col("doc_id"), lit(10)) =!= 5)
+    val stored = Dedup.exact(existing, "doc_id", "text")
+    Dedup.incrementalExact(stored, incoming, "doc_id", "text",
+        expectedStored = 100000L)
+      .orderBy(col("fp"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3453,5 +3475,6 @@ object Queries {
     "q142_bpe_train" -> (q142BpeTrain _),
     "q143_bpe_token_stats" -> (q143BpeTokenStats _),
     "q144_semantic_dedup_increment" -> (q144SemanticDedupIncrement _),
-    "q145_semantic_retention_sweep" -> (q145SemanticRetentionSweep _))
+    "q145_semantic_retention_sweep" -> (q145SemanticRetentionSweep _),
+    "q146_incremental_exact_dedup" -> (q146IncrementalExactDedup _))
 }

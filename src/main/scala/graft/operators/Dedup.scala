@@ -39,6 +39,58 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the ingest-time regime of [[exact]]
+    * (completing the maintenance matrix: q116 jaccard, q133 delta-cap,
+    * q144 semantic, and now the exact modality): merge an incoming
+    * batch into a STORED fingerprint table without re-reading the
+    * corpus. The stored table is corpus-sized at 100 TB, so the batch
+    * is pre-screened by a bloom sketch of the stored fingerprints —
+    * rows the sketch rejects CANNOT be in the store (no false
+    * negatives) and skip the join entirely; only the bloom-hit slice
+    * (true dups + the sketch's small false-positive rate) resolves
+    * against the stored table. False positives die in that exact
+    * join, so the result is exactly `exact(corpus ∪ batch)` — q146's
+    * oracle-checked contract. Returns the updated (fp, keep_id,
+    * n_copies) table. */
+  def incrementalExact(stored: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, expectedStored: Long): DataFrame = {
+    val inc = Caches.persistTracked(
+      incoming
+        .select(col(idCol).as("inc_id"),
+          fingerprint(col(textCol)).as("fp"))
+        .withColumn("maybe_stored",
+          Bloom.mightContain(Bloom.bloomOf(stored, "fp", expectedStored),
+            col("fp"))))
+    // batch-internal grouping first: several copies of the same new
+    // doc may arrive in one batch
+    val incGroups = inc
+      .groupBy(col("fp"))
+      .agg(min(col("inc_id")).as("inc_min_id"),
+        count(lit(1)).as("inc_n"),
+        max(col("maybe_stored")).as("maybe_stored"))
+    // only bloom hits touch the stored table; the exact join clears
+    // false positives
+    val resolved = incGroups.where(col("maybe_stored"))
+      .join(stored.select(col("fp"), col("keep_id"), col("n_copies")),
+        Seq("fp"), "left")
+    val mergedHits = resolved.where(col("keep_id").isNotNull)
+      .select(col("fp"),
+        least(col("keep_id"), col("inc_min_id")).as("keep_id"),
+        (col("n_copies") + col("inc_n")).as("n_copies"))
+    val newFromFp = resolved.where(col("keep_id").isNull)
+      .select(col("fp"), col("inc_min_id").as("keep_id"),
+        col("inc_n").as("n_copies"))
+    val newFresh = incGroups.where(!col("maybe_stored"))
+      .select(col("fp"), col("inc_min_id").as("keep_id"),
+        col("inc_n").as("n_copies"))
+    val untouched = stored.join(incGroups.select(col("fp")),
+      Seq("fp"), "left_anti")
+    untouched
+      .unionByName(mergedHits)
+      .unionByName(newFromFp)
+      .unionByName(newFresh)
+  }
+
   /** Distinct word-n-gram shingle set per doc, with per-doc set size.
     *
     * Uses the native [[graft.expressions.WordShingles]] expression

@@ -637,6 +637,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  ctest("incremental exact dedup equals a full rebuild; bloom screen keeps fresh rows out of the stored join") {
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val incoming = d.where(pmod($"doc_id", lit(10)) === 5)
+    val existing = d.where(pmod($"doc_id", lit(10)) =!= 5)
+    val stored = Dedup.exact(existing, "doc_id", "text")
+    val merged = Dedup.incrementalExact(stored, incoming, "doc_id", "text",
+      expectedStored = 100000L)
+    val full = Dedup.exact(d, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"fp", $"keep_id", $"n_copies")
+        .as[(String, Long, Long)].collect().toSet
+    assert(rows(merged) === rows(full),
+      "incremental merge must equal the whole-corpus rebuild")
+    // the screen itself: a fingerprint certainly absent from the
+    // store is rejected by the sketch (bloom has false positives,
+    // never false negatives — that is what makes the shortcut exact)
+    val sketch = graft.operators.Bloom.bloomOf(stored, "fp", 100000L)
+    val absent = Seq("no-such-fp-1", "no-such-fp-2").toDF("fp")
+    assert(absent.where(graft.operators.Bloom.mightContain(sketch, $"fp"))
+      .count() === 0L)
+  }
+
   // ---- SemDeDup (q137's operator) ----
 
   ctest("semantic dedup drops the less-central member and never the cluster exemplar") {
