@@ -407,6 +407,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"z-order should also prune on user_id, touched $zUser/$nFiles")
   }
 
+  test("observe: quality counters ride the job's own action, no second scan") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"event_type", $"value")
+    val (df, obs) = graft.operators.Telemetry.observed(ev, "quality",
+      count(lit(1)).as("n_rows"),
+      sum(when($"value" < 0, 1).otherwise(0)).as("n_negative"),
+      sum(when($"event_type".isNull, 1).otherwise(0)).as("n_null_type"))
+    // the pipeline's real action — a filtered write-side count; the
+    // metrics still see EVERY input row, not just the filter's output
+    val purchases = df.where($"event_type" === "purchase").count()
+    val m = obs.get
+    assert(m("n_rows") === 1000L)
+    assert(purchases < 1000L && purchases > 0L)
+    assert(m("n_negative") === 0L && m("n_null_type") === 0L)
+  }
+
   test("compaction rewrites a small-file directory into the planned file count with identical rows") {
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
       .select($"event_id", $"user_id", $"value")

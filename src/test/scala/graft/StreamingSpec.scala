@@ -1058,6 +1058,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming observed metrics: the per-batch quality ledger lands in the progress log") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val decoded = StreamOps.decodeJsonEnvelope(input.toDF())
+      .observe("quality",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("n_bad"))
+    val q = decoded.writeStream.format("memory").queryName("obsq")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        json(1, "2024-01-01 10:00:00", 7, "purchase", 42.5),
+        "not json at all"))
+      q.processAllAvailable()
+      // the engine-side ledger: decoded 2 rows, 1 dead letter — read
+      // from the progress log, no collect, no second scan
+      val ledgers = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("quality")))
+      assert(ledgers.exists(r =>
+        r.getAs[Long]("n_rows") === 2L && r.getAs[Long]("n_bad") === 1L),
+        s"no quality ledger with the expected counts in ${ledgers.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("streaming vector ingest: per-batch index appends equal a from-scratch build") {
     implicit val ctx = spark.sqlContext
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
