@@ -748,6 +748,36 @@ object Oracles {
          |FROM a1 JOIN a2 USING (threshold_bp) CROSS JOIN tot
          |ORDER BY threshold_bp""".stripMargin,
 
+    // q147: multi-probe SemDeDup — candidates from the 2-nearest-
+    // bucket assignment (boundary pairs meet in shared secondary
+    // buckets), keep-policy on the PRIMARY-centroid centrality.
+    "q147_semantic_dedup_multiprobe" ->
+      s"""WITH ${semFitCtes("TRUE")},
+         |ma AS (SELECT id, vv, cent_id FROM (
+         |  SELECT s.id, s.vv, c.cent_id,
+         |  row_number() OVER (PARTITION BY s.id ORDER BY ${semCos("s.vv", "c.cv", 6)} DESC, c.cent_id) AS rk
+         |  FROM sv s CROSS JOIN c1 c) WHERE rk <= 2),
+         |p1 AS (SELECT id, cscore FROM (
+         |  SELECT s.id, ${semCos("s.vv", "c.cv", 6)} AS cscore,
+         |  row_number() OVER (PARTITION BY s.id ORDER BY ${semCos("s.vv", "c.cv", 6)} DESC, c.cent_id) AS rk
+         |  FROM sv s CROSS JOIN c1 c) WHERE rk = 1),
+         |prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  ${semCos("a.vv", "b.vv", 4)} AS sim
+         |  FROM ma a JOIN ma b ON a.cent_id = b.cent_id AND a.id < b.id
+         |  WHERE ${semCos("a.vv", "b.vv", 4)} >= 0.35),
+         |cand AS (SELECT id_a AS dropped_id, id_b AS kept_id, sim FROM prs
+         |  UNION ALL SELECT id_b, id_a, sim FROM prs),
+         |j AS (SELECT c.dropped_id, c.kept_id, c.sim,
+         |  pb.cscore AS cb
+         |  FROM cand c JOIN p1 pa ON c.dropped_id = pa.id
+         |  JOIN p1 pb ON c.kept_id = pb.id
+         |  WHERE pb.cscore > pa.cscore
+         |    OR (pb.cscore = pa.cscore AND c.kept_id < c.dropped_id))
+         |SELECT dropped_id, kept_id, sim AS drop_sim FROM (
+         |  SELECT dropped_id, kept_id, sim,
+         |  row_number() OVER (PARTITION BY dropped_id ORDER BY cb DESC, kept_id) AS kr
+         |  FROM j) WHERE kr = 1 ORDER BY dropped_id""".stripMargin,
+
     // q141: path-derived provenance must round-trip — the oracle
     // recomputes the shard from the layout formula (doc_id % 8) and
     // replays q21's survivor rule (min doc_id per fingerprint).

@@ -3328,6 +3328,25 @@ object Queries {
       .orderBy(col("fp"))
   }
 
+  /** Multi-probe SemDeDup — q137's policy over MULTI-probe candidate
+    * pairs ([[graft.operators.Similarity.semanticDedupDropsMulti]]):
+    * every vector sits in its 2 nearest centroid buckets, so
+    * near-duplicates split across a Voronoi boundary still meet —
+    * the boundary-recall mitigation BASELINE.md's k-scaling
+    * measurement calls for, at ~2× candidate cost (never ×n). Same
+    * keep-policy (primary-centroid centrality), strictly wider drop
+    * set than q137. */
+  def q147SemanticDedupMultiprobe(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.fitCentroids(emb, k = 6, iters = 1)
+      .select(col("cent_id").as("id"), col("cent_v").as("vec"))
+    Similarity.semanticDedupDropsMulti(emb, cents, threshold = 0.35,
+        nprobe = 2)
+      .orderBy(col("dropped_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3476,5 +3495,6 @@ object Queries {
     "q143_bpe_token_stats" -> (q143BpeTokenStats _),
     "q144_semantic_dedup_increment" -> (q144SemanticDedupIncrement _),
     "q145_semantic_retention_sweep" -> (q145SemanticRetentionSweep _),
-    "q146_incremental_exact_dedup" -> (q146IncrementalExactDedup _))
+    "q146_incremental_exact_dedup" -> (q146IncrementalExactDedup _),
+    "q147_semantic_dedup_multiprobe" -> (q147SemanticDedupMultiprobe _))
 }

@@ -263,6 +263,40 @@ object Similarity {
         col("id_b").as("kept_id"), col("sim").as("drop_sim"))
   }
 
+  /** Multi-probe SemDeDup — the boundary-recall variant of
+    * [[semanticDedupDrops]]: candidate pairs come from a MULTI-probe
+    * assignment ([[cosineNearDupPairs]] with `nprobe` buckets per
+    * vector), so two near-duplicates split across a Voronoi boundary
+    * still meet in a shared secondary bucket — the recall SemDeDup's
+    * single-cluster scoping structurally loses (measured at gen10:
+    * BASELINE.md round-6, drops fall 10% as k rises). Cost is ~nprobe×
+    * candidates, never ×n. The keep-policy is unchanged (the member
+    * closer to its PRIMARY centroid survives; id tie-break), so this
+    * strictly widens the drop set. */
+  def semanticDedupDropsMulti(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, nprobe: Int): DataFrame = {
+    val asg = Caches.persistTracked(
+      semanticAssign(corpus, centroids).select(col("id"), col("cscore")))
+    val pairs = cosineNearDupPairs(corpus, centroids, threshold, nprobe)
+    val cand = pairs
+      .select(col("id_a").as("dropped_id"), col("id_b").as("kept_id"),
+        col("sim"))
+      .unionByName(pairs.select(col("id_b").as("dropped_id"),
+        col("id_a").as("kept_id"), col("sim")))
+      .join(asg.select(col("id").as("dropped_id"), col("cscore").as("ca")),
+        Seq("dropped_id"))
+      .join(asg.select(col("id").as("kept_id"), col("cscore").as("cb")),
+        Seq("kept_id"))
+      .where(col("cb") > col("ca") ||
+        (col("cb") === col("ca") && col("kept_id") < col("dropped_id")))
+    val wk = Window.partitionBy(col("dropped_id"))
+      .orderBy(col("cb").desc, col("kept_id"))
+    cand
+      .withColumn("krank", row_number().over(wk))
+      .where(col("krank") === 1)
+      .select(col("dropped_id"), col("kept_id"), col("sim").as("drop_sim"))
+  }
+
   /** Incremental SemDeDup — the ingest-time regime (the q116/q133
     * maintenance contract applied to semantic dedup): only the
     * INCOMING slice is assigned and compared, against the EXISTING

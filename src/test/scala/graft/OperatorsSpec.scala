@@ -734,6 +734,25 @@ class OperatorsSpec extends AnyFunSuite {
       incoming.limit(0), cents, t).count() === 0L)
   }
 
+  ctest("multi-probe semantic dedup strictly widens the single-probe drop set") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = Similarity.fitCentroids(emb, k = 4, iters = 1)
+      .select($"cent_id".as("id"), $"cent_v".as("vec"))
+    val single = Similarity.semanticDedupDrops(emb, cents, 0.35)
+      .select($"dropped_id").as[Long].collect().toSet
+    graft.operators.Caches.releaseAll()
+    val multi = Similarity.semanticDedupDropsMulti(emb, cents, 0.35,
+        nprobe = 2)
+      .select($"dropped_id").as[Long].collect().toSet
+    // same policy over a superset of candidate pairs: every
+    // single-probe drop survives, and the boundary pairs add more
+    assert(single.subsetOf(multi),
+      s"multi-probe lost drops: ${(single -- multi).take(5)}")
+    assert(multi.size >= single.size)
+  }
+
   // ---- incremental IVF index maintenance (q138's operator) ----
 
   ctest("index append equals a from-scratch build and never rewrites stored files") {
