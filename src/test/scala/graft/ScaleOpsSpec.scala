@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Bloom, Skew}
-import graft.sources.Writers
+import graft.sources.{FileManifest, Writers}
 
 /** Scale-shape checks: salted join equivalence, bucketed-table join
   * shuffle elimination, SQL registration of native functions. */
@@ -421,6 +421,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(m("n_rows") === 1000L)
     assert(purchases < 1000L && purchases > 0L)
     assert(m("n_negative") === 0L && m("n_null_type") === 0L)
+  }
+
+  test("file manifest: footer-stats skipping shrinks the file list, result rows unchanged") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select($"event_id", $"user_id", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_").toFile
+    graft.operators.TempDirs.deleteRecursivelyOnExit(dir)
+    Writers.zorderedParquet(ev, dir.getAbsolutePath,
+      graft.expressions.ZOrderExpressions.quant16($"user_id", 0, 150),
+      graft.expressions.ZOrderExpressions.quant16($"value", 0, 491), 16)
+    FileManifest.write(spark, dir.getAbsolutePath, Seq("user_id", "value"))
+
+    val pruned = FileManifest.prunedRead(spark, dir.getAbsolutePath,
+        "value", 100.0, 120.0)
+      .where($"value" >= 100.0 && $"value" <= 120.0)
+    val full = spark.read.parquet(dir.getAbsolutePath)
+      .where($"value" >= 100.0 && $"value" <= 120.0)
+    // same rows, fewer files even opened
+    assert(pruned.select($"event_id").as[Long].collect().sorted.toSeq ===
+      full.select($"event_id").as[Long].collect().sorted.toSeq)
+    assert(pruned.inputFiles.length < 16,
+      s"expected file skipping, read ${pruned.inputFiles.length}/16")
+    // a range outside every file's span reads nothing at all
+    val none = FileManifest.prunedRead(spark, dir.getAbsolutePath,
+      "value", 1e6, 2e6)
+    assert(none.count() === 0L)
   }
 
   test("compaction rewrites a small-file directory into the planned file count with identical rows") {
