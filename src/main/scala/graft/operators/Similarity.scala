@@ -46,19 +46,38 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.cosineSim(a, b)
 
+  /** Norm-cached cosine: `dot(a,b)/(na*nb)` where `na`/`nb` are the
+    * vectors' PRECOMPUTED `l2_norm` columns. Bit-identical to
+    * [[cosine]] (the kernel's accumulators fold in the same index
+    * order and the final tree `dot/(sqrt·sqrt)` is unchanged), but
+    * the wide stages that score each vector MANY times — the n×k
+    * assignment pass, every within-bucket pair join — walk one
+    * accumulator per pair instead of three. The norm costs one extra
+    * 8-byte column through the join, paid once per ROW, not per
+    * pair. */
+  private[operators] def cosineNC(a: Column, na: Column,
+      b: Column, nb: Column): Column =
+    graft.expressions.VectorExpressions.dotProd(a, b) / (na * nb)
+
+  private[operators] def withL2(df: DataFrame, vecCol: String,
+      out: String): DataFrame =
+    df.withColumn(out,
+      graft.expressions.VectorExpressions.l2Norm(col(vecCol)))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec array<float|double>). Self-matches
     * (same id) are excluded. Similarity is rounded to 4 dp BEFORE
     * ranking so ranks are stable across engines; ties break by id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"),
-      col("vec").cast("array<double>").as("qv"))
-    val c = corpus.select(col("id").as("neighbor_id"),
-      col("vec").cast("array<double>").as("cv"))
+    val q = withL2(queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv")), "qv", "qn")
+    val c = withL2(corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cv")), "cv", "cnn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(cosineNC(col("qv"), col("qn"), col("cv"), col("cnn")), 4)
+          .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
@@ -73,15 +92,19 @@ object Similarity {
     * the final assignment pass touches the full corpus. Returns
     * (id, vec array<double>) centroids. */
   def fitCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    val v = corpus.select(col("id"), col("vec").cast("array<double>").as("v"))
+    val v = withL2(
+      corpus.select(col("id"), col("vec").cast("array<double>").as("v")),
+      "v", "vn")
     var cents = v.orderBy(col("id")).limit(k)
       .select(col("id").as("cent_id"), col("v").as("cent_v"))
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("cscore").desc, col("cent_id"))
-      val assigned = v.join(broadcast(cents))
+      val cn = withL2(cents, "cent_v", "cn")
+      val assigned = v.join(broadcast(cn))
         .select(col("id"), col("v"), col("cent_id"),
-          round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
+          round(cosineNC(col("v"), col("vn"), col("cent_v"), col("cn")), 6)
+            .as("cscore"))
         .withColumn("crank", row_number().over(w))
         .where(col("crank") === 1)
       // mean per cluster: explode positions, average, regroup. The sum
@@ -111,15 +134,16 @@ object Similarity {
     * (idName, v array<double>, cent_id) — one row per probe. */
   def nearestCentroids(side: DataFrame, centroids: DataFrame,
       idName: String, keep: Int): DataFrame = {
-    val cents = centroids.select(col("id").as("cent_id"),
-      col("vec").cast("array<double>").as("cent_v"))
-    val v = side.select(col("id").as(idName),
-      col("vec").cast("array<double>").as("v"))
+    val cents = withL2(centroids.select(col("id").as("cent_id"),
+      col("vec").cast("array<double>").as("cent_v")), "cent_v", "cn")
+    val v = withL2(side.select(col("id").as(idName),
+      col("vec").cast("array<double>").as("v")), "v", "vn")
     val w = Window.partitionBy(col(idName))
       .orderBy(col("cscore").desc, col("cent_id"))
     v.join(broadcast(cents))
       .select(col(idName), col("v"), col("cent_id"),
-        round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
+        round(cosineNC(col("v"), col("vn"), col("cent_v"), col("cn")), 6)
+          .as("cscore"))
       .withColumn("crank", row_number().over(w))
       .where(col("crank") <= keep)
       .drop("cscore", "crank")
@@ -132,17 +156,18 @@ object Similarity {
     * (id, vec) — at scale they come from a sampled k-means fit. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val assigned = nearestCentroids(corpus, centroids, "neighbor_id", 1)
-      .withColumnRenamed("v", "cv")
-    val probed = nearestCentroids(queries, centroids, "query_id", nprobe)
-      .withColumnRenamed("v", "qv")
+    val assigned = withL2(nearestCentroids(corpus, centroids, "neighbor_id", 1)
+      .withColumnRenamed("v", "cv"), "cv", "cnn")
+    val probed = withL2(nearestCentroids(queries, centroids, "query_id", nprobe)
+      .withColumnRenamed("v", "qv"), "qv", "qn")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     probed.join(assigned, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(cosineNC(col("qv"), col("qn"), col("cv"), col("cnn")), 4)
+          .as("sim"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -221,18 +246,23 @@ object Similarity {
     * to 4 dp BEFORE any comparison, ties break on id, so the drop set
     * is engine-portable (oracle-checked as q137). */
   /** Nearest-centroid assignment carrying the centroid similarity:
-    * (id, v, cent_id, cscore 6-dp) — the shared first stage of the
+    * (id, v, vn, cent_id, cscore 6-dp) — the shared first stage of the
     * SemDeDup family ([[semanticDedupDrops]], [[semanticDedupIncrement]],
-    * [[semanticPairs]]). */
+    * [[semanticPairs]]). `vn` is the vector's precomputed l2 norm,
+    * carried so every downstream PAIR stage scores with the
+    * norm-cached one-accumulator kernel. */
   def semanticAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("id").as("cent_id"),
-      col("vec").cast("array<double>").as("cent_v"))
-    val v = corpus.select(col("id"), col("vec").cast("array<double>").as("v"))
+    val cents = withL2(centroids.select(col("id").as("cent_id"),
+      col("vec").cast("array<double>").as("cent_v")), "cent_v", "cn")
+    val v = withL2(
+      corpus.select(col("id"), col("vec").cast("array<double>").as("v")),
+      "v", "vn")
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cscore").desc, col("cent_id"))
     v.join(broadcast(cents))
-      .select(col("id"), col("v"), col("cent_id"),
-        round(cosine(col("v"), col("cent_v")), 6).as("cscore"))
+      .select(col("id"), col("v"), col("vn"), col("cent_id"),
+        round(cosineNC(col("v"), col("vn"), col("cent_v"), col("cn")), 6)
+          .as("cscore"))
       .withColumn("crank", row_number().over(w))
       .where(col("crank") === 1)
       .drop("crank")
@@ -242,15 +272,16 @@ object Similarity {
       threshold: Double): DataFrame = {
     val assigned = Caches.persistTracked(semanticAssign(corpus, centroids))
     val a = assigned.select(col("cent_id"), col("id").as("id_a"),
-      col("v").as("va"), col("cscore").as("ca"))
+      col("v").as("va"), col("vn").as("na"), col("cscore").as("ca"))
     val b = assigned.select(col("cent_id"), col("id").as("id_b"),
-      col("v").as("vb"), col("cscore").as("cb"))
+      col("v").as("vb"), col("vn").as("nb"), col("cscore").as("cb"))
     // oriented dropped→kept: id_b survives iff it is strictly more
     // central (cscore; id tie-break), so each qualifying pair yields
     // exactly one candidate-drop row
     val pairs = a.join(b, Seq("cent_id"))
       .where(col("id_a") =!= col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("sim",
+        round(cosineNC(col("va"), col("na"), col("vb"), col("nb")), 4))
       .where(col("sim") >= threshold)
       .where(col("cb") > col("ca") ||
         (col("cb") === col("ca") && col("id_b") < col("id_a")))
@@ -309,13 +340,16 @@ object Similarity {
   def semanticDedupIncrement(existing: DataFrame, incoming: DataFrame,
       centroids: DataFrame, threshold: Double): DataFrame = {
     val e = semanticAssign(existing, centroids)
-      .select(col("cent_id"), col("id").as("matched_id"), col("v").as("ve"))
+      .select(col("cent_id"), col("id").as("matched_id"),
+        col("v").as("ve"), col("vn").as("ne"))
     val i = semanticAssign(incoming, centroids)
-      .select(col("cent_id"), col("id").as("incoming_id"), col("v").as("vi"))
+      .select(col("cent_id"), col("id").as("incoming_id"),
+        col("v").as("vi"), col("vn").as("ni"))
     val w = Window.partitionBy(col("incoming_id"))
       .orderBy(col("match_sim").desc, col("matched_id"))
     i.join(e, Seq("cent_id"))
-      .withColumn("match_sim", round(cosine(col("vi"), col("ve")), 4))
+      .withColumn("match_sim",
+        round(cosineNC(col("vi"), col("ni"), col("ve"), col("ne")), 4))
       .where(col("match_sim") >= threshold)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
@@ -331,12 +365,13 @@ object Similarity {
       threshold: Double): DataFrame = {
     val assigned = Caches.persistTracked(semanticAssign(corpus, centroids))
     val a = assigned.select(col("cent_id"), col("id").as("id_a"),
-      col("v").as("va"))
+      col("v").as("va"), col("vn").as("na"))
     val b = assigned.select(col("cent_id"), col("id").as("id_b"),
-      col("v").as("vb"))
+      col("v").as("vb"), col("vn").as("nb"))
     a.join(b, Seq("cent_id"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("sim",
+        round(cosineNC(col("va"), col("na"), col("vb"), col("nb")), 4))
       .where(col("sim") >= threshold)
       .select(col("cent_id"), col("id_a"), col("id_b"), col("sim"))
   }
@@ -395,17 +430,18 @@ object Similarity {
       .where(col("qrank") <= rerankN)
       .drop("qrank")
     // narrow phase: fetch float vectors by id, exact cosine, final rank
-    val qv = queries.select(col("id").as("query_id"),
-      col("vec").cast("array<double>").as("fqv"))
-    val cv = corpus.select(col("id").as("neighbor_id"),
-      col("vec").cast("array<double>").as("fcv"))
+    val qv = withL2(queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("fqv")), "fqv", "fqn")
+    val cv = withL2(corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("fcv")), "fcv", "fcn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     candidates
       .join(broadcast(qv), Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("sim_q"),
-        round(cosine(col("fqv"), col("fcv")), 4).as("sim"))
+        round(cosineNC(col("fqv"), col("fqn"), col("fcv"), col("fcn")), 4)
+          .as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
@@ -421,16 +457,17 @@ object Similarity {
     * to 4 dp BEFORE thresholding for cross-engine stability. */
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, nprobe: Int = 2): DataFrame = {
-    val assigned = Caches.persistTracked(
-      nearestCentroids(corpus, centroids, "id", nprobe))
+    val assigned = Caches.persistTracked(withL2(
+      nearestCentroids(corpus, centroids, "id", nprobe), "v", "vn"))
     val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
-      col("cent_id"))
+      col("vn").as("na"), col("cent_id"))
     val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
-      col("cent_id"))
+      col("vn").as("nb"), col("cent_id"))
     a.join(b, Seq("cent_id"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("sim"))
+        round(cosineNC(col("va"), col("na"), col("vb"), col("nb")), 4)
+          .as("sim"))
       .where(col("sim") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

@@ -42,8 +42,12 @@ object VectorIndex {
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
       .coalesce(1) // nlist rows — one file, one footer to open per probe
       .write.mode("overwrite").parquet(s"$path/centroids")
-    Similarity.nearestCentroids(corpus, centroids, "neighbor_id", keep = 1)
-      .withColumnRenamed("v", "cv")
+    // the vector's l2 norm is STORED with it (one extra double per
+    // row): a probe scores dot/(qn*cn) without re-walking the stored
+    // vector for its norm — the standard vector-store layout
+    Similarity.withL2(
+        Similarity.nearestCentroids(corpus, centroids, "neighbor_id",
+          keep = 1).withColumnRenamed("v", "cv"), "cv", "cn")
       .write.mode("overwrite")
       .partitionBy("cent_id")
       .parquet(s"$path/assignments")
@@ -66,8 +70,9 @@ object VectorIndex {
   def append(increment: DataFrame, path: String): Unit = {
     val spark = increment.sparkSession
     val centroids = spark.read.parquet(s"$path/centroids")
-    Similarity.nearestCentroids(increment, centroids, "neighbor_id", keep = 1)
-      .withColumnRenamed("v", "cv")
+    Similarity.withL2(
+        Similarity.nearestCentroids(increment, centroids, "neighbor_id",
+          keep = 1).withColumnRenamed("v", "cv"), "cv", "cn")
       .write.mode("append")
       .partitionBy("cent_id")
       .parquet(s"$path/assignments")
@@ -100,10 +105,10 @@ object VectorIndex {
     * anyway, so a full scan is the honest plan). */
   def probe(index: Index, queries: DataFrame, k: Int, nprobe: Int,
       maxProbeLiterals: Int = 4096): DataFrame = {
-    val probed = Caches.persistTracked(
+    val probed = Caches.persistTracked(Similarity.withL2(
       Similarity.nearestCentroids(queries, index.centroids, "query_id",
           keep = nprobe)
-        .withColumnRenamed("v", "qv"))
+        .withColumnRenamed("v", "qv"), "qv", "qn"))
     // limit(cap+1) bounds the collect BEFORE it happens — the driver
     // never holds more than maxProbeLiterals+1 ids even when the probe
     // set is huge
@@ -119,7 +124,8 @@ object VectorIndex {
     probed.join(pruned, Seq("cent_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Similarity.cosine(col("qv"), col("cv")), 4).as("sim"))
+        round(Similarity.cosineNC(col("qv"), col("qn"),
+          col("cv"), col("cn")), 4).as("sim"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
