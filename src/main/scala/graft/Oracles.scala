@@ -792,6 +792,149 @@ object Oracles {
          |FROM d LEFT JOIN k ON d.doc_id = k.keep_id
          |GROUP BY shard ORDER BY shard""".stripMargin,
 
+    // q148: the CMS screen is invisible in the result (no false
+    // negatives), so the oracle is the NAIVE heavy-hitter query —
+    // that equality is the contract.
+    "q148_heavy_hitters" ->
+      s"""WITH occ AS (SELECT unnest($TOKS) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS c FROM occ)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM occ CROSS JOIN tot
+         |GROUP BY tok, tot.c
+         |HAVING count(*) >= greatest(2, tot.c // 200)
+         |ORDER BY n DESC, tok""".stripMargin,
+
+    // q149: positional 4-grams via zipped unnests; cross-doc test is
+    // min(doc)<>max(doc); spans by gaps-and-islands. Oracle positions
+    // are 1-based vs Spark's 0-based — islands are shift-invariant.
+    "q149_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |gr0 AS (SELECT doc_id,
+         |  CASE WHEN len(tk) < 4 THEN []::BIGINT[]
+         |    ELSE range(1, len(tk)-2) END AS ps,
+         |  CASE WHEN len(tk) < 4 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)-2),
+         |      i -> array_to_string(tk[i:i+3], ' ')) END AS gs
+         |  FROM tok),
+         |gr AS (SELECT doc_id, unnest(ps) AS pos, unnest(gs) AS g FROM gr0),
+         |dg AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         |cov AS (SELECT DISTINCT gr.doc_id, gr.pos + o.o AS cp
+         |  FROM gr JOIN dg USING (g)
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) o),
+         |isl AS (SELECT doc_id, cp,
+         |  cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS isl
+         |  FROM cov),
+         |sp AS (SELECT doc_id, isl, count(*) AS sl FROM isl GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, count(*) AS n_spans, sum(sl) AS ct,
+         |  max(sl) AS ls FROM sp GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |CAST(coalesce(ct, 0) AS BIGINT) AS covered_tokens,
+         |CAST(coalesce(ls, 0) AS BIGINT) AS longest_span,
+         |CAST(CASE WHEN len(tk) = 0 THEN 0
+         |  ELSE coalesce(ct, 0) * 10000 // len(tk) END AS BIGINT) AS dup_bp
+         |FROM tok t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q150: signs from md5('rp|j|d') first-nibble parity (strpos over
+    // the hex alphabet); all sums are fixed-point BIGINT so the only
+    // float op is the final rounded ratio.
+    "q150_random_projection" ->
+      """WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(floor(x * 10000) AS BIGINT)) AS qv FROM embeddings),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
+        |ds AS (SELECT unnest(range(0, 64)) AS d),
+        |sg AS (SELECT j, d, CASE WHEN (strpos('0123456789abcdef',
+        |    substring(md5('rp|' || CAST(j AS VARCHAR) || '|'
+        |      || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |  THEN 1 ELSE -1 END AS s FROM js CROSS JOIN ds),
+        |dim AS (SELECT vec_id, ds.d AS d, qv[CAST(ds.d + 1 AS INT)] AS q
+        |  FROM v CROSS JOIN ds),
+        |pr AS (SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS p
+        |  FROM dim JOIN sg USING (d) GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM pr GROUP BY 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  a.qv AS qa, b.qv AS qb, pa.pv AS pa, pb.pv AS pb
+        |  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+        |  JOIN pv pa ON pa.vec_id = a.vec_id
+        |  JOIN pv pb ON pb.vec_id = b.vec_id),
+        |d2 AS (SELECT id_a, id_b,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (qa[CAST(i AS INT)] - qb[CAST(i AS INT)])
+        |       * (qa[CAST(i AS INT)] - qb[CAST(i AS INT)]))) AS BIGINT)
+        |    AS orig_d2,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (pa[CAST(i AS INT)] - pb[CAST(i AS INT)])
+        |       * (pa[CAST(i AS INT)] - pb[CAST(i AS INT)]))) AS BIGINT)
+        |    AS proj_d2
+        |  FROM pairs)
+        |SELECT id_a, id_b, orig_d2, proj_d2,
+        |round(CAST(proj_d2 AS DOUBLE) / (orig_d2 * 8), 4) AS distortion
+        |FROM d2 ORDER BY id_a""".stripMargin,
+
+    // q151: pure integer odds votes — cross-multiplied relative
+    // frequencies, no logs, no floats anywhere.
+    "q151_domain_relevance" ->
+      s"""WITH d AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+         |bg0 AS (SELECT doc_id, source,
+         |  CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)),
+         |      i -> array_to_string(tk[i:i+1], ' ')) END AS gs FROM d),
+         |bg AS (SELECT doc_id, source, unnest(gs) AS g FROM bg0),
+         |bb AS (SELECT doc_id, source,
+         |  (strpos('0123456789abcdef', substring(md5('f|' || g), 1, 1)) - 1)
+         |    * 16
+         |  + strpos('0123456789abcdef', substring(md5('f|' || g), 2, 1)) - 1
+         |  AS b,
+         |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t FROM bg),
+         |tc AS (SELECT b, count(*) AS tcnt FROM bb WHERE is_t = 1 GROUP BY b),
+         |rc AS (SELECT b, count(*) AS rcnt FROM bb WHERE is_t = 0 GROUP BY b),
+         |tt AS (SELECT count(*) AS ttotal FROM bb WHERE is_t = 1),
+         |rt AS (SELECT count(*) AS rtotal FROM bb WHERE is_t = 0),
+         |vt AS (SELECT coalesce(tc.b, rc.b) AS b,
+         |  CASE WHEN coalesce(tcnt, 0) * rtotal > coalesce(rcnt, 0) * ttotal
+         |    THEN 1
+         |  WHEN coalesce(tcnt, 0) * rtotal < coalesce(rcnt, 0) * ttotal
+         |    THEN -1 ELSE 0 END AS vote
+         |  FROM tc FULL JOIN rc ON tc.b = rc.b
+         |  CROSS JOIN tt CROSS JOIN rt),
+         |sc AS (SELECT doc_id, CAST(sum(vote) AS BIGINT) AS score
+         |  FROM bb JOIN vt USING (b) WHERE is_t = 0 GROUP BY doc_id),
+         |rk AS (SELECT doc_id, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
+         |SELECT r.rk, r.doc_id, dd.source, dd.lang, r.score
+         |FROM rk r JOIN documents dd USING (doc_id)
+         |WHERE r.rk <= 25 ORDER BY r.rk""".stripMargin,
+
+    // q152: brute-force 5-NN majority vote; sim rounded to 4 dp
+    // before ranking (q25's determinism rule), vote ties by label.
+    "q152_knn_label_confusion" ->
+      """WITH v AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        |c AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  c.label AS n_label,
+        |  round(list_dot_product(q.e, c.e)
+        |    / (sqrt(list_dot_product(q.e, q.e))
+        |       * sqrt(list_dot_product(c.e, c.e))), 4) AS sim
+        |  FROM q CROSS JOIN c),
+        |nn AS (SELECT query_id, n_label FROM (
+        |  SELECT query_id, n_label, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM s) WHERE rk <= 5),
+        |votes AS (SELECT query_id, n_label AS pred_label,
+        |  count(*) AS agree FROM nn GROUP BY 1, 2),
+        |pred AS (SELECT query_id, pred_label, agree FROM (
+        |  SELECT query_id, pred_label, agree, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY agree DESC, pred_label) AS vr
+        |  FROM votes) WHERE vr = 1)
+        |SELECT q.label AS true_label, p.pred_label,
+        |CAST(count(*) AS BIGINT) AS n,
+        |round(CAST(sum(p.agree) AS DOUBLE) / (5.0 * count(*)), 4)
+        |  AS mean_agreement
+        |FROM pred p JOIN q ON q.vec_id = p.query_id
+        |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
+
     "q42_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

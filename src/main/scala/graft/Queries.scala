@@ -3347,6 +3347,124 @@ object Queries {
       .orderBy(col("dropped_id"))
   }
 
+  /** Exact heavy hitters at sketch cost
+    * ([[graft.operators.HeavyHitters.cmsScreenedExact]]): the CMS is
+    * used as a no-false-negative SCREEN, not an estimator — pass 1
+    * aggregates 1024 sketch cells (vocabulary-independent shuffle),
+    * the sketch becomes a foldable map literal over the occurrence
+    * stream, and pass 2's exact groupBy shuffles only tokens whose
+    * CMS estimate clears the threshold. CMS never undercounts, so the
+    * result EQUALS the naive `GROUP BY HAVING` — which is exactly what
+    * the oracle runs; the sketch is invisible in the output. Threshold
+    * = max(2, total_occurrences/200). */
+  def q148HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val occ = t(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("tok"))
+    graft.operators.HeavyHitters.cmsScreenedExact(occ, denom = 200L)
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  /** Cross-document duplicated-substring spans
+    * ([[graft.operators.Dedup.crossDocDupSpans]], k=4) — the detection
+    * pass of exact-substring dedup (Lee et al. 2021): maximal per-doc
+    * token spans whose every 4-gram also occurs in ANOTHER document,
+    * plus the `dup_bp` duplicated-fraction quality signal curation
+    * pipelines filter on. Gram keys are xxhash64 (16-byte postings);
+    * cross-doc test is min(doc)≠max(doc) — two longs of state, not a
+    * distinct-set; spans come from doc-partitioned gaps-and-islands
+    * windows. */
+  def q149DupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocDupSpans(t(spark, dir).documents, "doc_id", "text",
+        k = 4)
+      .orderBy(col("doc_id"))
+
+  /** Signed random projection (Johnson–Lindenstrauss / Achlioptas)
+    * 64→8 dims ([[graft.operators.Projection]]): quantized fixed-point
+    * vectors, md5-parity ±1 sign matrix as an r×d literal, projection
+    * as r integer fold-lefts per row — one narrow codegen'd pass, no
+    * shuffle. Output: per consecutive-id pair, original vs projected
+    * squared distance and the JL distortion ratio
+    * ‖p_a−p_b‖²/(r·‖a−b‖²) (≈1 in expectation) — integer inputs, one
+    * rounded division at the end. */
+  def q150RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val proj = graft.operators.Projection
+      .project(emb, "embedding", d = 64, r = 8)
+      .select(col("vec_id"), col("qv"), col("pv"))
+    val a = proj.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+      col("pv").as("pa")).where(col("id_a") % 2 === 0)
+    val b = proj.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+      col("pv").as("pb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        graft.operators.Projection.sqDist(col("qa"), col("qb"))
+          .as("orig_d2"),
+        graft.operators.Projection.sqDist(col("pa"), col("pb"))
+          .as("proj_d2"))
+      .withColumn("distortion",
+        round(col("proj_d2").cast("double") / (col("orig_d2") * 8), 4))
+      .orderBy(col("id_a"))
+  }
+
+  /** Hashed-bigram odds-voting domain relevance
+    * ([[graft.operators.Relevance.oddsVotes]]) — integer-exact DSIR
+    * flavor: target = src0 docs, raw = the rest; each of a doc's
+    * bigram occurrences votes ±1 by exact cross-multiplied
+    * relative-frequency comparison against the 256-bucket hashed
+    * feature tables. Top 25 raw docs by (score, doc_id). */
+  def q151DomainRelevance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir).documents
+    val target = docs.where(col("source") === "src0")
+    val raw = docs.where(col("source") =!= "src0")
+    val scored = graft.operators.Relevance
+      .oddsVotes(target, raw, "doc_id", "text")
+    scored.join(raw.select(col("doc_id"), col("source"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rk") <= 25)
+      .select(col("rk"), col("doc_id"), col("source"), col("lang"),
+        col("score"))
+      .orderBy(col("rk"))
+  }
+
+  /** kNN label prediction over embeddings — holdout vectors
+    * (vec_id % 5 = 0) classified by the majority label of their 5
+    * nearest labeled neighbors ([[Similarity.bruteForceTopK]]: labeled
+    * corpus streams, holdout side broadcasts; sim rounded to 4 dp
+    * before ranking, ties by neighbor then label — fully
+    * deterministic). Output: the confusion matrix plus per-cell mean
+    * neighbor agreement — the standard label-noise/split-leakage
+    * diagnostic over an embedded corpus. */
+  def q152KnnLabelConfusion(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = t(spark, dir).embeddings
+    val labeled = emb.where(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val holdout = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nn = Similarity.bruteForceTopK(holdout, labeled, k = 5)
+    val nl = nn.join(
+      emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+    val votes = nl.groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("v").desc, col("n_label"))))
+      .where(col("vr") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"),
+        col("v").as("agree"))
+    votes.join(
+        emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("agree")) / (lit(5.0) * count(lit(1))), 4)
+          .as("mean_agreement"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3496,5 +3614,10 @@ object Queries {
     "q144_semantic_dedup_increment" -> (q144SemanticDedupIncrement _),
     "q145_semantic_retention_sweep" -> (q145SemanticRetentionSweep _),
     "q146_incremental_exact_dedup" -> (q146IncrementalExactDedup _),
-    "q147_semantic_dedup_multiprobe" -> (q147SemanticDedupMultiprobe _))
+    "q147_semantic_dedup_multiprobe" -> (q147SemanticDedupMultiprobe _),
+    "q148_heavy_hitters" -> (q148HeavyHitters _),
+    "q149_dup_spans" -> (q149DupSpans _),
+    "q150_random_projection" -> (q150RandomProjection _),
+    "q151_domain_relevance" -> (q151DomainRelevance _),
+    "q152_knn_label_confusion" -> (q152KnnLabelConfusion _))
 }

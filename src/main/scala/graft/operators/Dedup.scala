@@ -684,4 +684,67 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
   }
+
+  /** Cross-document duplicated-substring spans — the detection pass of
+    * exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": remove any span whose every
+    * k-token window also occurs in ANOTHER document). Where q121
+    * measures a doc's repeated-shingle *coverage* against the whole
+    * corpus (including itself), this finds the concrete maximal spans
+    * of cross-doc duplication per document — the unit an ExactSubstr
+    * cleaner would cut, and the `dup_frac` quality signal corpus
+    * curation filters on.
+    *
+    * Shape (all keyed, never all-pairs):
+    *  1. positional k-gram stream (doc_id, pos, xxhash64(gram)) —
+    *     16-byte posting keys, the q22 trick;
+    *  2. cross-doc grams via one groupBy(gram){min(doc),max(doc)}:
+    *     min≠max ⟺ the gram occurs in ≥2 docs — two longs of state
+    *     per key where countDistinct would buffer doc sets;
+    *  3. occurrences join back on the gram key (AQE may broadcast the
+    *     dup-gram side when it is small); each hit covers token
+    *     positions [pos, pos+k);
+    *  4. covered positions → maximal spans per doc by gaps-and-islands
+    *     (pos − row_number over a doc-partitioned window — no global
+    *     window, no driver state).
+    *
+    * Returns one row per doc (docs without dup spans included with
+    * zeros): (doc_id, n_tokens, n_spans, covered_tokens, longest_span,
+    * dup_bp) where dup_bp = basis points of tokens inside a
+    * duplicated span — integer, deterministic. */
+  def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val grams = base
+      .select(col("doc_id"), posexplode(shingles(col("tk"), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("g"))
+    val dupG = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("g"))
+    val covered = grams.join(dupG, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cpos"))
+    val spans = covered
+      .withColumn("isl", col("cpos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("span_len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("covered_tokens"),
+        max(col("span_len")).as("longest_span"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      // `div`, not `/`: Column./ is always DOUBLE division in Spark.
+      .withColumn("dup_bp", when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr("covered_tokens * 10000 div n_tokens")))
+  }
 }

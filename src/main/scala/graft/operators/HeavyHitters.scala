@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters at sketch cost — the two-pass candidate-screen
+  * pattern (Cormode & Muthukrishnan's CM-sketch, used as a *screen*
+  * rather than an estimator, the way q106 uses it for estimation).
+  *
+  * The problem at 100 TB: `groupBy(token).count.having(n >= T)`
+  * shuffles the ENTIRE distinct vocabulary — trillions of tail tokens
+  * that can never clear the threshold pay full shuffle freight just to
+  * be discarded. The fix is a screen with no false negatives:
+  *
+  *  1. Pass 1 builds a count-min sketch over the occurrence stream.
+  *     The aggregation key space is the sketch CELLS (rows × width,
+  *     here 4×256 = 1024), not the vocabulary — map-side combine
+  *     collapses every partition to ≤1024 cells, so the shuffle is
+  *     O(partitions × cells) regardless of corpus size.
+  *  2. The sketch collects to the driver (1024 longs — bounded by
+  *     construction, the same class as q146's bloom literal) and is
+  *     folded into the plan as a map LITERAL above the scan: each
+  *     occurrence is kept only if `min_r sketch[r][h_r(tok)] >= T`.
+  *     CMS never undercounts, so `exact(tok) >= T` implies
+  *     `est(tok) >= T` — a true heavy hitter cannot be screened out.
+  *  3. Pass 2 exact-counts ONLY the survivors: the big shuffle now
+  *     carries heavy candidates (true hitters + CMS false positives,
+  *     bounded by the sketch's ε·N overcount), and the final
+  *     `n >= T` filter kills the false positives.
+  *
+  * Output is EXACTLY the naive query's output — the oracle is plain
+  * `GROUP BY HAVING` SQL; the sketch is invisible in the result, which
+  * is the whole point of a no-false-negative screen.
+  */
+object HeavyHitters {
+
+  val Rows = 4
+  val Width = 256
+
+  /** One CMS bucket per hash row: first two hex chars of
+    * md5("row|tok") — 0..255. Mirrors q106's bucket function (and the
+    * DuckDB strpos-based replay that oracle documents). */
+  private def bucket(row: Column, tok: Column): Column =
+    conv(substring(md5(concat_ws("|", row, tok)), 1, 2), 16, 10)
+      .cast("int")
+
+  /** Exact tokens with occurrence count >= max(2, totalOcc/denom),
+    * computed through the CMS screen. `occ` must have a single string
+    * column `tok` (one row per occurrence). Returns (tok, n). */
+  def cmsScreenedExact(occ: DataFrame, denom: Long): DataFrame = {
+    val rows = (0 until Rows).map(lit(_))
+    // Pass 1: sketch cells. groupBy key space = 1024 cells; partial
+    // aggregation makes the shuffle corpus-size-independent.
+    val cells = occ
+      .select(col("tok"), explode(array(rows: _*)).as("hrow"))
+      .select(col("hrow"), bucket(col("hrow"), col("tok")).as("b"))
+      .groupBy(col("hrow"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    // Bounded driver materialization: Rows×Width = 1024 cells max,
+    // independent of corpus size (cf. VectorIndex.probe's guarded
+    // collect and q146's bloom literal).
+    val sketch: Map[Int, Long] = cells.map { r =>
+      (r.getInt(0) * Width + r.getInt(1)) -> r.getLong(2)
+    }.toMap
+    // Total occurrences = any single row's cell sum (row 0).
+    val total = sketch.collect { case (k, v) if k < Width => v }.sum
+    val threshold = math.max(2L, total / denom)
+    val sk = typedlit(sketch)
+    // Screen: est(tok) = min over rows of its cell — a foldable map
+    // literal probed per occurrence, zero shuffle. Every token is
+    // present in every row's cell map by construction (its own
+    // occurrences are in there), so the lookups never miss.
+    val est = least((0 until Rows).map { r =>
+      element_at(sk, lit(r * Width) + bucket(lit(r), col("tok")))
+    }: _*)
+    // Pass 2: exact count over survivors only.
+    occ.where(est >= threshold)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
+}

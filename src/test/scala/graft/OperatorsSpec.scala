@@ -797,4 +797,128 @@ class OperatorsSpec extends AnyFunSuite {
     assert(appended === full,
       "build(base)+append(increment) must equal build(full)")
   }
+
+  // ---- CMS-screened exact heavy hitters ----
+
+  test("heavy hitters: screened result equals naive groupBy-having; screen has no false negatives") {
+    import graft.operators.HeavyHitters
+    // 3 heavy tokens (50× each) + 60 singleton tail tokens
+    val occ = (
+      (1 to 50).flatMap(_ => Seq("aa", "bb", "cc")) ++
+      (1 to 60).map(i => s"tail$i")
+    ).toDF("tok")
+    val denom = 10L // threshold = max(2, 210/10) = 21
+    val got = HeavyHitters.cmsScreenedExact(occ, denom)
+      .orderBy($"n".desc, $"tok").collect()
+    val naive = occ.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .where($"n" >= 21).orderBy($"n".desc, $"tok").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      naive.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(got.length === 3)
+  }
+
+  test("heavy hitters: CMS screen prunes tail occurrences before the exact pass") {
+    import graft.operators.HeavyHitters
+    // With 4×256 cells and a tail far under threshold, at least some
+    // tail tokens must be screened out (all 3 heavies always survive).
+    val occ = (
+      (1 to 100).flatMap(_ => Seq("hot1", "hot2")) ++
+      (1 to 40).map(i => s"cold$i")
+    ).toDF("tok")
+    // denom 5 → threshold = 240/5 = 48; colds are singletons.
+    val est = occ.groupBy($"tok").agg(count(lit(1)).as("n"))
+    val survivors = HeavyHitters.cmsScreenedExact(occ, 5L).collect()
+    assert(survivors.map(_.getString(0)).sorted === Array("hot1", "hot2"))
+    assert(est.count() === 42) // sanity: vocabulary is bigger than result
+  }
+
+  // ---- cross-doc duplicated substring spans ----
+
+  test("crossDocDupSpans: shared 6-token run becomes one merged span; within-doc-only repeats don't count") {
+    val d = Seq(
+      // docs 1,2 share tokens 'one two three four five six' (6-run)
+      (1L, "one two three four five six unique1 unique2 unique3"),
+      (2L, "pre1 pre2 one two three four five six post1"),
+      // doc 3 repeats its own 4-gram twice but shares nothing cross-doc
+      (3L, "rep1 rep2 rep3 rep4 mid rep1 rep2 rep3 rep4"),
+      (4L, "nothing shared here at all with anyone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocDupSpans(d, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 1: grams at tok 0,1,2 dup → covered 0..5 = 6 tokens, 1 span
+    assert(byId(1L) === ((1L, 6L, 6L, 10000L * 6 / 9)))
+    // doc 2: covered positions 2..7 = 6 tokens, 1 span of 6
+    assert(byId(2L) === ((1L, 6L, 6L, 10000L * 6 / 9)))
+    // doc 3: its repeated 4-gram occurs only within itself → no spans
+    assert(byId(3L) === ((0L, 0L, 0L, 0L)))
+    assert(byId(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("crossDocDupSpans: disjoint dup grams produce separate spans; longest_span is the max") {
+    val d = Seq(
+      (1L, "a b c d x1 x2 x3 e f g h i j"), // 'a b c d' + 'e f g h i j'
+      (2L, "a b c d zz1 zz2 zz3 zz4 zz5"),
+      (3L, "qq e f g h i j ww")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocDupSpans(d, "doc_id", "text", k = 4)
+      .where($"doc_id" === 1L).collect()(0)
+    assert(out.getLong(2) === 2L)   // two spans
+    assert(out.getLong(3) === 10L)  // 4 + 6 covered
+    assert(out.getLong(4) === 6L)   // longest = the e..j run
+  }
+
+  // ---- signed random projection ----
+
+  test("projection: deterministic signs, exact integer arithmetic, JL distortion near 1 on real data") {
+    import graft.operators.Projection
+    // sign matrix is a pure function of (j, d)
+    assert(Projection.sign(0, 0) === Projection.sign(0, 0))
+    assert((0 until 8).flatMap(j => (0 until 64).map(d =>
+      Projection.sign(j, d))).forall(s => s == 1 || s == -1))
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Projection.project(emb, "embedding", d = 64, r = 8)
+    // projected value check on one row: recompute in Scala
+    val row = proj.select($"vec_id", $"qv", $"pv")
+      .where($"vec_id" === 7L).collect()(0)
+    val qv = row.getSeq[Long](1)
+    val pv = row.getSeq[Long](2)
+    val expect = (0 until 8).map(j =>
+      (0 until 64).map(dd => Projection.sign(j, dd) * qv(dd)).sum)
+    assert(pv === expect)
+    // JL: mean distortion over consecutive pairs ≈ 1 (loose gate)
+    val a = proj.select($"vec_id".as("ia"), $"qv".as("qa"), $"pv".as("pa"))
+    val b = proj.select($"vec_id".as("ib"), $"qv".as("qb"), $"pv".as("pb"))
+    val pairs = a.join(b, $"ib" === $"ia" + 1)
+      .select(Projection.sqDist($"qa", $"qb").as("o"),
+        Projection.sqDist($"pa", $"pb").as("p"))
+      .select(avg($"p" / ($"o" * 8)).as("mean_dist")).collect()(0)
+    assert(pairs.getDouble(0) > 0.6 && pairs.getDouble(0) < 1.4,
+      s"mean JL distortion ${pairs.getDouble(0)} out of [0.6, 1.4]")
+  }
+
+  // ---- odds-voting domain relevance ----
+
+  test("oddsVotes: target-like raw doc outranks raw-typical doc; integer votes only") {
+    import graft.operators.Relevance
+    val target = Seq(
+      (100L, "quantum flux entangle qubit quantum flux entangle"),
+      (101L, "qubit entangle quantum flux qubit quantum")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum flux entangle qubit quantum"), // target-like
+      (2L, "stock market trade price stock market"), // raw-typical
+      (3L, "trade price market stock price trade stock")
+    ).toDF("doc_id", "text")
+    val scores = Relevance.oddsVotes(target, raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(1L) > scores(2L),
+      s"target-like doc must outrank: $scores")
+    assert(scores(1L) > scores(3L))
+    // schema is (doc_id long, score long) — integer end to end
+    val sch = Relevance.oddsVotes(target, raw, "doc_id", "text").schema
+    assert(sch("score").dataType.typeName === "long")
+  }
 }
