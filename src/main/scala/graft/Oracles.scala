@@ -835,6 +835,37 @@ object Oracles {
          |  ELSE coalesce(ct, 0) * 10000 // len(tk) END AS BIGINT) AS dup_bp
          |FROM tok t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // q153: q149's covered positions, inverted — kept tokens re-join
+    // in order (string_agg ORDER BY pos) and fingerprint as md5.
+    "q153_dup_span_removal" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |gr0 AS (SELECT doc_id,
+         |  CASE WHEN len(tk) < 4 THEN []::BIGINT[]
+         |    ELSE range(1, len(tk)-2) END AS ps,
+         |  CASE WHEN len(tk) < 4 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)-2),
+         |      i -> array_to_string(tk[i:i+3], ' ')) END AS gs
+         |  FROM tok),
+         |gr AS (SELECT doc_id, unnest(ps) AS pos, unnest(gs) AS g FROM gr0),
+         |dg AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         |cov AS (SELECT DISTINCT gr.doc_id, gr.pos + o.o AS cp
+         |  FROM gr JOIN dg USING (g)
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) o),
+         |tp AS (SELECT doc_id, unnest(range(1, len(tk)+1)) AS cp,
+         |  unnest(tk) AS tok FROM tok),
+         |kept AS (SELECT t.doc_id, t.cp, t.tok FROM tp t
+         |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.cp
+         |  WHERE c.doc_id IS NULL),
+         |cl AS (SELECT doc_id, count(*) AS kept_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY cp)) AS cleaned_fp
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |CAST(len(tk) - coalesce(kept_tokens, 0) AS BIGINT)
+         |  AS removed_tokens,
+         |coalesce(cleaned_fp, md5('')) AS cleaned_fp
+         |FROM tok t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // q150: signs from md5('rp|j|d') first-nibble parity (strpos over
     // the hex alphabet); all sums are fixed-point BIGINT so the only
     // float op is the final rounded ratio.

@@ -3406,6 +3406,19 @@ object Queries {
       .orderBy(col("id_a"))
   }
 
+  /** Duplicated-span removal ([[graft.operators.Dedup.removeDupSpans]],
+    * k=4) — the CLEANING pass q149 only measures: drop every token
+    * position covered by a cross-doc duplicated 4-gram, re-join the
+    * survivors in order, and emit the audit row a curation pipeline
+    * logs per doc: kept/removed counts + the md5 fingerprint of the
+    * cleaned token stream (the key a downstream exact-dedup pass would
+    * use). Re-assembly state is bounded by document length — never
+    * corpus-sized. */
+  def q153DupSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(t(spark, dir).documents, "doc_id", "text",
+        k = 4)
+      .orderBy(col("doc_id"))
+
   /** Hashed-bigram odds-voting domain relevance
     * ([[graft.operators.Relevance.oddsVotes]]) — integer-exact DSIR
     * flavor: target = src0 docs, raw = the rest; each of a doc's
@@ -3619,5 +3632,6 @@ object Queries {
     "q149_dup_spans" -> (q149DupSpans _),
     "q150_random_projection" -> (q150RandomProjection _),
     "q151_domain_relevance" -> (q151DomainRelevance _),
-    "q152_knn_label_confusion" -> (q152KnnLabelConfusion _))
+    "q152_knn_label_confusion" -> (q152KnnLabelConfusion _),
+    "q153_dup_span_removal" -> (q153DupSpanRemoval _))
 }

@@ -712,10 +712,12 @@ object Dedup {
     * zeros): (doc_id, n_tokens, n_spans, covered_tokens, longest_span,
     * dup_bp) where dup_bp = basis points of tokens inside a
     * duplicated span — integer, deterministic. */
-  def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("tk"))
+  /** Distinct (doc_id, cpos) token positions covered by a k-gram that
+    * also occurs in ANOTHER document. `base` = (doc_id, tk). Shared by
+    * [[crossDocDupSpans]] (statistics) and [[removeDupSpans]]
+    * (cleaning) — at 100 TB a pipeline computes this once per corpus
+    * snapshot and feeds both. */
+  private def dupCoveredPositions(base: DataFrame, k: Int): DataFrame = {
     val grams = base
       .select(col("doc_id"), posexplode(shingles(col("tk"), k)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("g"))
@@ -723,10 +725,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .where(col("mn") =!= col("mx"))
       .select(col("g"))
-    val covered = grams.join(dupG, Seq("g"))
+    grams.join(dupG, Seq("g"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
       .distinct()
+  }
+
+  def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val covered = dupCoveredPositions(base, k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("cpos"))
     val spans = covered
@@ -746,5 +755,40 @@ object Dedup {
       // `div`, not `/`: Column./ is always DOUBLE division in Spark.
       .withColumn("dup_bp", when(col("n_tokens") === 0, lit(0L))
         .otherwise(expr("covered_tokens * 10000 div n_tokens")))
+  }
+
+  /** Duplicated-span REMOVAL — the cleaning pass of exact-substring
+    * dedup (the cut [[crossDocDupSpans]] only measures): every token
+    * position covered by a cross-doc duplicated k-gram is dropped and
+    * the survivors re-join in order. Output is audit-shaped — per doc:
+    * kept/removed counts and `cleaned_fp`, the md5 fingerprint of the
+    * cleaned token stream (portable; what a downstream exact-dedup
+    * pass would key on) — rather than the corpus-sized cleaned text
+    * itself, which a pipeline would write straight to parquet.
+    *
+    * The in-order re-assembly sorts each doc's kept (pos, tok) pairs
+    * inside a per-row array (array_sort over a collect_list) — state
+    * is bounded by DOCUMENT length, never corpus-sized, and the sort
+    * makes the aggregation deterministic under any partitioning. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val covered = dupCoveredPositions(base, k)
+    val toks = base.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("cpos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "cpos"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("cpos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("cleaned_fp"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("cleaned_fp"), md5(lit(""))).as("cleaned_fp"))
   }
 }

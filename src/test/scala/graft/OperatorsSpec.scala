@@ -869,6 +869,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getLong(4) === 6L)   // longest = the e..j run
   }
 
+  test("removeDupSpans: cleaned stream drops exactly the covered positions, order preserved") {
+    val d = Seq(
+      (1L, "keep1 one two three four keep2 keep3"),
+      (2L, "one two three four other stuff here more")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").collect()
+    // doc 1: 'one two three four' removed → kept 'keep1 keep2 keep3'
+    assert(out(0).getLong(2) === 3L)
+    assert(out(0).getLong(3) === 4L)
+    val expect1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("keep1 keep2 keep3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getString(4) === expect1)
+    // invariant vs the stats query: removed == covered_tokens
+    val stats = Dedup.crossDocDupSpans(d, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").collect()
+    out.zip(stats).foreach { case (r, s) =>
+      assert(r.getLong(3) === s.getLong(3),
+        "removed_tokens must equal the span stats' covered_tokens")
+    }
+  }
+
   // ---- signed random projection ----
 
   test("projection: deterministic signs, exact integer arithmetic, JL distortion near 1 on real data") {
