@@ -866,6 +866,65 @@ object Oracles {
          |coalesce(cleaned_fp, md5('')) AS cleaned_fp
          |FROM tok t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // q154: SCD2 build — lag change detection, running-sum version
+    // ids, lead range close. version must CAST to BIGINT (DuckDB
+    // window sum is HUGEINT).
+    "q154_scd2_build" ->
+      """WITH l AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, event_type,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM l),
+        |v AS (SELECT user_id, version, min(event_type) AS event_type,
+        |  min(ts) AS vf, count(*) AS n_events FROM g GROUP BY 1, 2),
+        |f AS (SELECT user_id, version, event_type, vf, n_events,
+        |  lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+        |  FROM v)
+        |SELECT user_id, version, event_type,
+        |strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |n_events, (vt IS NULL) AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
+
+    // q155: q153's removal tail driven by the EVAL gram set (q89's
+    // doc_id % 50 split) at k=5 — cut contaminated spans, keep docs.
+    "q155_decon_span_removal" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |tr AS (SELECT * FROM tok WHERE doc_id % 50 <> 0),
+         |ev AS (SELECT * FROM tok WHERE doc_id % 50 = 0),
+         |gr0 AS (SELECT doc_id,
+         |  CASE WHEN len(tk) < 5 THEN []::BIGINT[]
+         |    ELSE range(1, len(tk)-3) END AS ps,
+         |  CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)-3),
+         |      i -> array_to_string(tk[i:i+4], ' ')) END AS gs
+         |  FROM tr),
+         |gr AS (SELECT doc_id, unnest(ps) AS pos, unnest(gs) AS g FROM gr0),
+         |eg AS (SELECT DISTINCT g FROM (
+         |  SELECT unnest(CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)-3),
+         |      i -> array_to_string(tk[i:i+4], ' ')) END) AS g FROM ev)),
+         |cov AS (SELECT DISTINCT gr.doc_id, gr.pos + o.o AS cp
+         |  FROM gr JOIN eg USING (g)
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS o) o),
+         |tp AS (SELECT doc_id, unnest(range(1, len(tk)+1)) AS cp,
+         |  unnest(tk) AS tok FROM tr),
+         |kept AS (SELECT t.doc_id, t.cp, t.tok FROM tp t
+         |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.cp
+         |  WHERE c.doc_id IS NULL),
+         |cl AS (SELECT doc_id, count(*) AS kept_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY cp)) AS cleaned_fp
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |CAST(len(tk) - coalesce(kept_tokens, 0) AS BIGINT)
+         |  AS removed_tokens,
+         |coalesce(cleaned_fp, md5('')) AS cleaned_fp
+         |FROM tr t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // q150: signs from md5('rp|j|d') first-nibble parity (strpos over
     // the hex alphabet); all sums are fixed-point BIGINT so the only
     // float op is the final rounded ratio.

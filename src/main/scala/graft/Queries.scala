@@ -3478,6 +3478,63 @@ object Queries {
       .orderBy(col("true_label"), col("pred_label"))
   }
 
+  /** SCD type-2 dimension build from a change log — the warehouse
+    * pattern every pipeline's dim tables need: collapse each user's
+    * event stream into versioned rows with [valid_from, valid_to)
+    * effective ranges, one row per RUN of equal attribute values
+    * (gaps-and-islands change detection via lag, range close via
+    * lead). All windows are user-partitioned — no global state; the
+    * output is the dim table the as-of joins (q26/q74/q76, ScdAsof)
+    * consume. Timestamps emit as strings (determinism rule); the
+    * open-ended current version carries valid_to = null. */
+  def q154Scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val chg = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(ord))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = chg.groupBy(col("user_id"), col("version"))
+      .agg(min(struct(col("ts"), col("event_id"))).getField("ts")
+          .as("vf"),
+        // event_type is CONSTANT within a version by construction;
+        // min() keeps the no-first() determinism rule anyway
+        min(col("event_type")).as("event_type"),
+        count(lit(1)).as("n_events"))
+    val vw = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versions
+      .withColumn("vt", lead(col("vf"), 1).over(vw))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"),
+        col("vt").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Surgical eval decontamination
+    * ([[graft.operators.Dedup.removeContaminatedSpans]], k=5) — the
+    * cut-don't-drop middle ground to q89's doc-level flagging: remove
+    * only the token spans covered by a 5-gram that occurs anywhere in
+    * the benchmark slice (doc_id % 50 = 0, q89's split), keep the
+    * rest. Eval gram set is benchmark-sized → broadcasts; the corpus
+    * streams. Same audit shape as q153. */
+  def q155DeconSpanRemoval(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = t(spark, dir).documents
+    val evalDocs = docs.where(col("doc_id") % 50 === 0)
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    Dedup.removeContaminatedSpans(train, evalDocs, "doc_id", "text",
+        k = 5)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3633,5 +3690,7 @@ object Queries {
     "q150_random_projection" -> (q150RandomProjection _),
     "q151_domain_relevance" -> (q151DomainRelevance _),
     "q152_knn_label_confusion" -> (q152KnnLabelConfusion _),
-    "q153_dup_span_removal" -> (q153DupSpanRemoval _))
+    "q153_dup_span_removal" -> (q153DupSpanRemoval _),
+    "q154_scd2_build" -> (q154Scd2Build _),
+    "q155_decon_span_removal" -> (q155DeconSpanRemoval _))
 }

@@ -774,7 +774,42 @@ object Dedup {
       k: Int): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("tk"))
-    val covered = dupCoveredPositions(base, k)
+    removalAudit(base, dupCoveredPositions(base, k))
+  }
+
+  /** Surgical eval-set decontamination — cut, don't drop: where q89
+    * FLAGS any training doc sharing a 13-gram with the benchmark set,
+    * this removes just the matching spans (every token position
+    * covered by a k-gram that occurs anywhere in `evalDocs`) and
+    * keeps the rest of the document — the standard middle ground when
+    * dropping whole docs wastes too much corpus. Same audit shape as
+    * [[removeDupSpans]]. The eval gram set is distinct-hashed
+    * (16-byte keys); at 100 TB the eval side is benchmark-sized —
+    * the join broadcasts it while the corpus streams. */
+  def removeContaminatedSpans(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val base = train.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val grams = base
+      .select(col("doc_id"), posexplode(shingles(col("tk"), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("g"))
+    val evalG = evalDocs
+      .select(explode(shingles(tokens(col(textCol)), k)).as("s"))
+      .select(xxhash64(col("s")).as("g")).distinct()
+    val covered = grams.join(evalG, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+    removalAudit(base, covered)
+  }
+
+  /** Shared removal tail: drop `covered` (doc_id, cpos) positions from
+    * `base` (doc_id, tk), re-assemble survivors in order, emit the
+    * per-doc audit row. Re-assembly state is bounded by DOCUMENT
+    * length (array_sort over one row's collected pairs), never
+    * corpus-sized, and deterministic under any partitioning. */
+  private def removalAudit(base: DataFrame,
+      covered: DataFrame): DataFrame = {
     val toks = base.select(col("doc_id"),
       posexplode(col("tk")).as(Seq("cpos", "tok")))
     val kept = toks.join(covered, Seq("doc_id", "cpos"), "left_anti")

@@ -44,40 +44,49 @@ object HeavyHitters {
     conv(substring(md5(concat_ws("|", row, tok)), 1, 2), 16, 10)
       .cast("int")
 
-  /** Exact tokens with occurrence count >= max(2, totalOcc/denom),
-    * computed through the CMS screen. `occ` must have a single string
-    * column `tok` (one row per occurrence). Returns (tok, n). */
-  def cmsScreenedExact(occ: DataFrame, denom: Long): DataFrame = {
+  /** Pass 1: the CMS cells of an occurrence stream, as the flat map
+    * key `hrow*Width + bucket → count`. The groupBy key space is the
+    * 1024 sketch cells; partial aggregation makes the shuffle
+    * corpus-size-independent, and the driver materialization is
+    * bounded by construction at Rows×Width longs (cf.
+    * VectorIndex.probe's guarded collect and q146's bloom literal).
+    * Cells are a cell-ADD monoid: sketches of disjoint streams merge
+    * by key-wise addition — the streaming-maintenance contract. */
+  def buildSketch(occ: DataFrame): Map[Int, Long] = {
     val rows = (0 until Rows).map(lit(_))
-    // Pass 1: sketch cells. groupBy key space = 1024 cells; partial
-    // aggregation makes the shuffle corpus-size-independent.
-    val cells = occ
+    occ
       .select(col("tok"), explode(array(rows: _*)).as("hrow"))
       .select(col("hrow"), bucket(col("hrow"), col("tok")).as("b"))
       .groupBy(col("hrow"), col("b"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
-    // Bounded driver materialization: Rows×Width = 1024 cells max,
-    // independent of corpus size (cf. VectorIndex.probe's guarded
-    // collect and q146's bloom literal).
-    val sketch: Map[Int, Long] = cells.map { r =>
-      (r.getInt(0) * Width + r.getInt(1)) -> r.getLong(2)
-    }.toMap
-    // Total occurrences = any single row's cell sum (row 0).
+      .map(r => (r.getInt(0) * Width + r.getInt(1)) -> r.getLong(2))
+      .toMap
+  }
+
+  /** Pass 2 given a sketch: screen the occurrence stream by the CMS
+    * estimate (a foldable map literal, zero shuffle — every token's
+    * cells exist by construction, so lookups never miss), then
+    * exact-count only the survivors. Threshold =
+    * max(2, totalOcc/denom), with totalOcc read off the sketch's
+    * row-0 cell sum. */
+  def screenedExact(occ: DataFrame, sketch: Map[Int, Long],
+      denom: Long): DataFrame = {
     val total = sketch.collect { case (k, v) if k < Width => v }.sum
     val threshold = math.max(2L, total / denom)
     val sk = typedlit(sketch)
-    // Screen: est(tok) = min over rows of its cell — a foldable map
-    // literal probed per occurrence, zero shuffle. Every token is
-    // present in every row's cell map by construction (its own
-    // occurrences are in there), so the lookups never miss.
     val est = least((0 until Rows).map { r =>
       element_at(sk, lit(r * Width) + bucket(lit(r), col("tok")))
     }: _*)
-    // Pass 2: exact count over survivors only.
     occ.where(est >= threshold)
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= threshold)
   }
+
+  /** Exact tokens with occurrence count >= max(2, totalOcc/denom),
+    * computed through the CMS screen. `occ` must have a single string
+    * column `tok` (one row per occurrence). Returns (tok, n). */
+  def cmsScreenedExact(occ: DataFrame, denom: Long): DataFrame =
+    screenedExact(occ, buildSketch(occ), denom)
 }

@@ -892,6 +892,55 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("removeContaminatedSpans: cuts eval-matching spans only, leaves clean docs byte-identical") {
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "pre alpha beta gamma delta epsilon post1 post2"),
+      (2L, "totally clean document with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(train, evalDocs,
+        "doc_id", "text", k = 5)
+      .orderBy($"doc_id").collect()
+    // doc 1: the 5-gram window hits → 5 tokens cut, 3 kept
+    assert(out(0).getLong(2) === 3L)
+    assert(out(0).getLong(3) === 5L)
+    // doc 2 untouched: cleaned_fp == fingerprint of the full stream
+    assert(out(1).getLong(3) === 0L)
+    val full = java.security.MessageDigest.getInstance("MD5")
+      .digest("totally clean document with no overlap at all"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getString(4) === full)
+  }
+
+  test("q154 SCD2 invariants on real data: contiguous versions, ranges chain, one open version per user") {
+    val dim = Queries.q154Scd2Build(spark, "/root/testdata/sf0.001")
+    val rows = dim.collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      // versions are 1..n with no gaps
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq,
+        s"user $u has version gaps")
+      // valid_to chains to the next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(4) === b.getString(3),
+            s"user $u: valid_to must equal next valid_from")
+        case _ =>
+      }
+      // exactly the last version is open/current
+      assert(sorted.init.forall(!_.getBoolean(6)))
+      assert(sorted.last.getBoolean(6) && sorted.last.isNullAt(4))
+      // adjacent versions never share an event_type (true runs)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) !== b.getString(2))
+        case _ =>
+      }
+    }
+  }
+
   // ---- signed random projection ----
 
   test("projection: deterministic signs, exact integer arithmetic, JL distortion near 1 on real data") {

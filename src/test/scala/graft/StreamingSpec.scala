@@ -932,6 +932,68 @@ class StreamingSpec extends AnyFunSuite {
       s"maintained table diverged: ${got.length} vs ${full.length} pairs")
   }
 
+  test("streaming CMS maintenance: cell-add over micro-batches equals " +
+      "the batch sketch, and the q148 screen built from it stays exact") {
+    // the heavy-hitter ingest story: CMS cells are a cell-ADD monoid,
+    // so maintaining the q148 screen's sketch under a document stream
+    // is folding each micro-batch's 1024 cells into the running map —
+    // no state store, no corpus rescan. After the backlog drains the
+    // maintained sketch must equal the one-shot build, and — the
+    // contract that matters — the exact-heavy-hitter result computed
+    // THROUGH the maintained sketch must equal the naive groupBy
+    // (the screen keeps its no-false-negative guarantee because
+    // cell-adds only ever grow estimates).
+    import graft.operators.HeavyHitters
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val srcDir = GraftTestSpark.tmpDir("graft-cms-src")
+    val chkDir = GraftTestSpark.tmpDir("graft-cms-chk")
+    (0 until 3).foreach { i =>
+      docs.where(pmod($"doc_id", lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val cells = scala.collection.concurrent.TrieMap[Int, Long]()
+    val q = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chkDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val occ = batch.select(
+          explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+        HeavyHitters.buildSketch(occ).foreach { case (k, v) =>
+          cells.updateWith(k) {
+            case Some(c) => Some(c + v)
+            case None => Some(v)
+          }: Unit
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val occAll = docs.select(
+      explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    val batchSketch = HeavyHitters.buildSketch(occAll)
+    assert(cells.nonEmpty)
+    assert(cells.toMap === batchSketch,
+      s"maintained sketch diverged: ${cells.size} vs ${batchSketch.size}")
+    // end-to-end: screen from the MAINTAINED sketch == naive query
+    val viaMaintained = HeavyHitters
+      .screenedExact(occAll, cells.toMap, denom = 200L)
+      .orderBy($"n".desc, $"tok").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = cells.toMap.collect {
+      case (k, v) if k < HeavyHitters.Width => v }.sum
+    val t = math.max(2L, total / 200L)
+    val naive = occAll.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .where($"n" >= t).orderBy($"n".desc, $"tok").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaMaintained === naive)
+  }
+
   test("streaming sketch maintenance: histogram cell-add over " +
       "micro-batches equals the batch build (q126 shape)") {
     // the mergeable-sketch streaming story: because the q126 histogram
