@@ -889,6 +889,51 @@ object Oracles {
         |n_events, (vt IS NULL) AS is_current
         |FROM f ORDER BY user_id, version""".stripMargin,
 
+    // q156: Monday-truncated weeks in both engines; day gaps are
+    // exact multiples of 7; all counts/ratios integer.
+    "q156_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |ch AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size
+        |  FROM ch GROUP BY 1),
+        |m AS (SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, u.week) // 7 AS BIGINT)
+        |    AS offset_weeks,
+        |  count(*) AS n_active
+        |  FROM uw u JOIN ch c USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(m.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |offset_weeks, CAST(n_active AS BIGINT) AS n_active,
+        |CAST(cohort_size AS BIGINT) AS cohort_size,
+        |CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_bp
+        |FROM m JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    // q157: min-based ordered funnel — each step's time is the
+    // earliest qualifying event at-or-after the previous step.
+    "q157_ordered_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2 GROUP BY 1),
+        |n AS (
+        |  SELECT 1 AS step, 'view' AS step_name,
+        |    (SELECT count(*) FROM s1) AS n
+        |  UNION ALL SELECT 2, 'click_after_view',
+        |    (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase_after_click',
+        |    (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, step_name,
+        |CAST(n AS BIGINT) AS n,
+        |CAST(CASE WHEN lag(n) OVER (ORDER BY step) IS NULL THEN 10000
+        |  ELSE n * 10000 // lag(n) OVER (ORDER BY step) END AS BIGINT)
+        |  AS conv_bp
+        |FROM n ORDER BY step""".stripMargin,
+
     // q155: q153's removal tail driven by the EVAL gram set (q89's
     // doc_id % 50 split) at k=5 — cut contaminated spans, keep docs.
     "q155_decon_span_removal" ->

@@ -3535,6 +3535,72 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cohort retention triangle — the product-analytics standard:
+    * users cohorted by first-activity week, activity counted as
+    * distinct (user, week) presence, retention = share of the cohort
+    * active at each week offset. Two keyed aggregations (user-level
+    * cohort derivation, then matrix rollup) and integer basis points;
+    * week truncation is Monday-based in both engines. At 100 TB the
+    * (user, week) distinct projection is the only corpus-scale
+    * shuffle — the matrix itself is cohorts × offsets. */
+  def q156CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val uw = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, Seq("user_id"))
+      // both weeks are Monday-truncated, so the day gap is an exact
+      // multiple of 7; expr-div keeps it integer (Column./ is DOUBLE)
+      .withColumn("offset_weeks",
+        (datediff(col("week"), col("cohort_week")).cast("long") / lit(7L))
+          .cast("long"))
+      .groupBy(col("cohort_week"), col("offset_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(fmtDate(col("cohort_week")).as("cohort_week"),
+        col("offset_weeks"), col("n_active"), col("cohort_size"),
+        expr("n_active * 10000 div cohort_size").as("retention_bp"))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+
+  /** Ordered conversion funnel view → click → purchase: each step's
+    * timestamp is the user's EARLIEST qualifying event at-or-after the
+    * previous step (min-based, the standard deterministic funnel
+    * semantics; q32's single-hop attribution generalized to an ordered
+    * chain). Three user-keyed conditional aggregations — the row
+    * explosion of a 3-way self-join never happens; Spark reuses the
+    * user_id partitioning across the chained aggs. Output: one row
+    * per step with survivors and step-to-step conversion bp. */
+  def q157OrderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .where(col("event_type") === "click" && col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1L))
+      .withColumn("step_name", lit("view"))
+    val n2 = s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2L))
+      .withColumn("step_name", lit("click_after_view"))
+    val n3 = s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3L))
+      .withColumn("step_name", lit("purchase_after_click"))
+    val steps = n1.unionByName(n2).unionByName(n3)
+    val w = Window.orderBy(col("step"))
+    steps
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("step"), col("step_name"), col("n"),
+        when(col("prev_n").isNull, lit(10000L))
+          .otherwise(expr("n * 10000 div prev_n")).as("conv_bp"))
+      .orderBy(col("step"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3692,5 +3758,7 @@ object Queries {
     "q152_knn_label_confusion" -> (q152KnnLabelConfusion _),
     "q153_dup_span_removal" -> (q153DupSpanRemoval _),
     "q154_scd2_build" -> (q154Scd2Build _),
-    "q155_decon_span_removal" -> (q155DeconSpanRemoval _))
+    "q155_decon_span_removal" -> (q155DeconSpanRemoval _),
+    "q156_cohort_retention" -> (q156CohortRetention _),
+    "q157_ordered_funnel" -> (q157OrderedFunnel _))
 }

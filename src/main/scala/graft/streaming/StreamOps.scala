@@ -248,6 +248,55 @@ object StreamOps {
       .toDF("event_id", "user_id", "event_type", "value")
   }
 
+  /** Streaming SCD2 dimension build — the ingest-time twin of the
+    * batch q154: per-entity keyed state carries the OPEN version (type,
+    * valid_from, event count); an arriving event with a different
+    * attribute value closes it (emitting the finished [valid_from,
+    * valid_to) row — append-mode, exactly the batch build's non-current
+    * rows) and opens the next. Events are sorted by (ts, event_id)
+    * within each state invocation; correctness across micro-batches
+    * requires the feed be non-decreasing in event time per entity (the
+    * CDC-log contract; a production topology would add watermark +
+    * EventTimeTimeout expiry for entities that go quiet — the
+    * [[dedupStream]] pattern). State is O(1) per live entity. */
+  def scd2Stream(events: Dataset[Row], spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // state: (version, event_type, valid_from_ms, n_events)
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+            state: GroupState[(Long, String, Long, Long)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          var open = state.getOption
+          val closed = List.newBuilder[(Long, Long, String,
+            java.sql.Timestamp, java.sql.Timestamp, Long)]
+          sorted.foreach { r =>
+            open match {
+              case Some((v, tpe, vf, n)) if tpe == r._4 =>
+                open = Some((v, tpe, vf, n + 1))
+              case Some((v, tpe, vf, n)) =>
+                closed += ((user, v, tpe, new java.sql.Timestamp(vf),
+                  r._2, n))
+                open = Some((v + 1, r._4, r._2.getTime, 1L))
+              case None =>
+                open = Some((1L, r._4, r._2.getTime, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+        })
+      .toDF("user_id", "version", "event_type", "valid_from",
+        "valid_to", "n_events")
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to the
     * stream (broadcast-hash per micro-batch; the dim is re-planned each
     * batch so slowly-changing dims stay fresh). Stateless. */

@@ -932,6 +932,57 @@ class StreamingSpec extends AnyFunSuite {
       s"maintained table diverged: ${got.length} vs ${full.length} pairs")
   }
 
+  test("streaming SCD2 build: closed versions across micro-batches " +
+      "equal the batch build's non-current rows (q154 twin)") {
+    // the CDC-ingest twin of q154: per-user state carries the open
+    // version; a type change closes it (append emission). Feed the
+    // real sf0.001 event log in 3 event-time-ordered micro-batches —
+    // versions whose run STRADDLES a batch boundary prove the state
+    // carry. Open versions stay in state (they are q154's is_current
+    // rows, unemittable under append semantics until closed).
+    val ev = Queries.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+    val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = graft.streaming.StreamOps.scd2Stream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      spark)
+    val chk = GraftTestSpark.tmpDir("graft-scd2-chk")
+    val run = out.writeStream.format("memory").queryName("scd2_twin")
+      .outputMode("append").option("checkpointLocation", chk)
+      .start()
+    var prev = 0
+    cuts.foreach { c =>
+      input.addData(ev.slice(prev, c).toSeq)
+      prev = c
+      run.processAllAvailable() // one micro-batch per slice
+    }
+    run.stop()
+    val emitted = spark.table("scd2_twin").collect().toSeq
+    val got = emitted.map { r =>
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime,
+        r.getLong(5))
+    }.sortBy(t => (t._1, t._2))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val batch = Queries.q154Scd2Build(spark, "/root/testdata/sf0.001")
+      .where(!$"is_current").collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getLong(5))
+      }.sortBy(t => (t._1, t._2)).toSeq
+    val gotFmt = got.map(t => (t._1, t._2, t._3,
+      fmt.format(new java.util.Date(t._4)),
+      fmt.format(new java.util.Date(t._5)), t._6))
+    assert(gotFmt.nonEmpty)
+    assert(gotFmt === batch,
+      s"streaming closed versions (${gotFmt.length}) diverged from " +
+        s"batch non-current rows (${batch.length})")
+  }
+
   test("streaming CMS maintenance: cell-add over micro-batches equals " +
       "the batch sketch, and the q148 screen built from it stays exact") {
     // the heavy-hitter ingest story: CMS cells are a cell-ADD monoid,
