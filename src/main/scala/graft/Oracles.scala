@@ -934,6 +934,66 @@ object Oracles {
         |  AS conv_bp
         |FROM n ORDER BY step""".stripMargin,
 
+    // q158: the anomaly FLAG is pure integer algebra over exact
+    // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
+    // z derives from the same integers and rounds once.
+    "q158_rate_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS "day",
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, "day", n,
+        |  CAST(sum(n) OVER tw AS BIGINT) AS s1,
+        |  CAST(sum(n*n) OVER tw AS BIGINT) AS s2,
+        |  CAST(count(n) OVER tw AS BIGINT) AS k
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY "day"
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, "day", n, s1, k,
+        |  n*k - s1 AS num, k*s2 - s1*s1 AS den
+        |  FROM w WHERE k >= 4)
+        |SELECT event_type, "day", n, s1, k,
+        |CASE WHEN den = 0 THEN NULL
+        |  ELSE round(sign(num) * sqrt(CAST(num*num AS DOUBLE)/den), 4)
+        |  END AS z,
+        |(den > 0 AND num*num >= den*4) AS is_anomaly
+        |FROM f ORDER BY event_type, "day"""".stripMargin,
+
+    // q159: q46's quality expression, per-language nearest-rank
+    // bottom-decile quota; averages ride as 1e-4 fixed-point BIGINTs.
+    "q159_adaptive_quality_cut" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id, lang, len(toks) AS n,
+         |CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_filter(toks,
+         |  x -> list_contains(['the','a'], x))) AS DOUBLE)/len(toks) END AS stop_r,
+         |CASE WHEN len(toks)=0 THEN 0.0 ELSE CAST(len(list_distinct(toks))
+         |  AS DOUBLE)/len(toks) END AS uniq_r
+         |FROM d),
+         |q AS (SELECT doc_id, lang,
+         |round(uniq_r*0.5 + (1.0-stop_r)*0.3
+         |  + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4) AS quality
+         |FROM m),
+         |r AS (SELECT lang, doc_id, quality,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n_docs
+         |  FROM q),
+         |r2 AS (SELECT *, (n_docs + 9) // 10 AS k_cut,
+         |  CAST(round(quality * 10000) AS BIGINT) AS qfp FROM r),
+         |a AS (SELECT lang,
+         |  CAST(max(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(max(k_cut) AS BIGINT) AS k_cut,
+         |  max(CASE WHEN rk <= k_cut THEN quality END) AS p10_quality,
+         |  CAST(sum(CASE WHEN rk <= k_cut THEN qfp END) AS BIGINT) AS cut_fp,
+         |  CAST(sum(CASE WHEN rk > k_cut THEN qfp END) AS BIGINT) AS kept_fp
+         |  FROM r2 GROUP BY lang)
+         |SELECT lang, n_docs, k_cut, p10_quality,
+         |round(cut_fp / k_cut / 10000.0, 4) AS avg_cut_quality,
+         |CASE WHEN n_docs = k_cut THEN NULL
+         |  ELSE round(kept_fp / (n_docs - k_cut) / 10000.0, 4)
+         |  END AS avg_kept_quality,
+         |CAST(k_cut * 10000 // n_docs AS BIGINT) AS cut_bp
+         |FROM a ORDER BY lang""".stripMargin,
+
     // q155: q153's removal tail driven by the EVAL gram set (q89's
     // doc_id % 50 split) at k=5 — cut contaminated spans, keep docs.
     "q155_decon_span_removal" ->

@@ -3601,6 +3601,79 @@ object Queries {
       .orderBy(col("step"))
   }
 
+  /** Daily event-rate anomaly detection with an INTEGER-EXACT
+    * decision: per (event_type, day), flag days whose count deviates
+    * ≥2σ from the trailing-7-day window. The z² ≥ 4 test is algebra
+    * over exact integer window sums — (n·k − s1)² ≥ 4·(k·s2 − s1²)
+    * with s1=Σn, s2=Σn², k=window size — so the FLAG never touches a
+    * float (the reported z value is derived from the same exact
+    * integers and rounds once). Windows are type-partitioned; daily
+    * counts are one keyed aggregation of the corpus. */
+  def q158RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        fmtDate(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("k", count(col("n")).over(w))
+      .where(col("k") >= 4)
+      .withColumn("num", col("n") * col("k") - col("s1"))
+      .withColumn("den", col("k") * col("s2") - col("s1") * col("s1"))
+      .select(col("event_type"), col("day"), col("n"), col("s1"),
+        col("k"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            signum(col("num")) * sqrt(col("num") * col("num")
+              / col("den")), 4)).as("z"),
+        (col("den") > 0 &&
+          col("num") * col("num") >= col("den") * 4).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Adaptive per-language quality cut — absolute quality scores are
+    * not comparable across languages, so curation thresholds are set
+    * PER LANGUAGE: cut the bottom decile of each language by q46's
+    * quality score using the exact nearest-rank percentile (quota
+    * k = ⌈n/10⌉ with (quality, doc_id) tie-breaks — deterministic,
+    * no interpolation). Output is the per-language policy row:
+    * corpus size, the induced threshold, cut size and basis points. */
+  def q159AdaptiveQualityCut(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = t(spark, dir).documents
+      .withColumn("quality", qualityScore(tokens(col("text"))))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    val ranked = d
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        Window.partitionBy(col("lang"))))
+      .withColumn("k_cut", expr("(n_docs + 9) div 10"))
+    // quality is a 4-dp double: averages ride as exact 1e-4
+    // fixed-point longs (sum order never matters), divided once
+    val qfp = round(col("quality") * 10000).cast("long")
+    ranked.groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("k_cut")).as("k_cut"),
+        max(when(col("rk") <= col("k_cut"), col("quality")))
+          .as("p10_quality"),
+        sum(when(col("rk") <= col("k_cut"), qfp)).as("cut_fp"),
+        sum(when(col("rk") > col("k_cut"), qfp)).as("kept_fp"))
+      .select(col("lang"), col("n_docs"), col("k_cut"),
+        col("p10_quality"),
+        round(col("cut_fp") / col("k_cut") / 10000.0e0, 4)
+          .as("avg_cut_quality"),
+        when(col("n_docs") === col("k_cut"), lit(null).cast("double"))
+          .otherwise(round(
+            col("kept_fp") / (col("n_docs") - col("k_cut")) / 10000.0e0,
+            4)).as("avg_kept_quality"),
+        expr("k_cut * 10000 div n_docs").as("cut_bp"))
+      .orderBy(col("lang"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3760,5 +3833,7 @@ object Queries {
     "q154_scd2_build" -> (q154Scd2Build _),
     "q155_decon_span_removal" -> (q155DeconSpanRemoval _),
     "q156_cohort_retention" -> (q156CohortRetention _),
-    "q157_ordered_funnel" -> (q157OrderedFunnel _))
+    "q157_ordered_funnel" -> (q157OrderedFunnel _),
+    "q158_rate_anomaly" -> (q158RateAnomaly _),
+    "q159_adaptive_quality_cut" -> (q159AdaptiveQualityCut _))
 }
