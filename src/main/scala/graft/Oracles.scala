@@ -934,6 +934,45 @@ object Oracles {
         |  AS conv_bp
         |FROM n ORDER BY step""".stripMargin,
 
+    // q160: identical expression trees to the Spark side (same
+    // association order); per-term scores round to 1e-6 fixed point
+    // and sum as BIGINTs so multi-term float order cannot matter.
+    "q160_bm25_retrieval" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |post AS (SELECT term, doc_id, count(*) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS total_len FROM lens),
+         |qs AS (SELECT * FROM (VALUES (1, 'hash join'),
+         |  (2, 'window agg sort'), (3, 'spark stream batch'),
+         |  (4, 'vector query'), (5, 'slow scan filter'))
+         |  AS t(query_id, qtext)),
+         |qt AS (SELECT query_id, unnest(list_filter(
+         |  string_split_regex(lower(trim(qtext)), '\\s+'),
+         |  x -> length(x) > 0)) AS term FROM qs),
+         |sc AS (SELECT q.query_id, p.doc_id,
+         |  ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0)) AS idf,
+         |  p.tf * 2.2e0 / (p.tf + 1.2e0 * (0.25e0
+         |    + 0.75e0 * l.len * s.n_docs / s.total_len)) AS sat
+         |  FROM post p JOIN qt q ON q.term = p.term
+         |  JOIN dft d ON d.term = p.term
+         |  JOIN lens l ON l.doc_id = p.doc_id
+         |  CROSS JOIN stats s),
+         |agg AS (SELECT query_id, doc_id,
+         |  CAST(sum(CAST(round(idf * sat * 1000000.0e0) AS BIGINT))
+         |    AS BIGINT) AS score_fp
+         |  FROM sc GROUP BY 1, 2),
+         |rk AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  score_fp, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_fp DESC, doc_id) AS "rank"
+         |  FROM agg)
+         |SELECT query_id, "rank", doc_id,
+         |CAST(score_fp AS DOUBLE) / 1000000.0e0 AS bm25
+         |FROM rk WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

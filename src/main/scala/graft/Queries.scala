@@ -3674,6 +3674,55 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** BM25 full-text retrieval (Robertson k1=1.2, b=0.75, Lucene's
+    * always-positive idf) for a fixed 5-query workload — the serving
+    * side of the q42 TF-IDF index. Scale shape: postings and doc
+    * lengths are each ONE keyed aggregation of the token stream; the
+    * query side and the vocabulary-sized df table broadcast; corpus
+    * stats attach as a single-row broadcast. Determinism: each term's
+    * score rounds to 1e-6 fixed point and documents sum LONGS (the
+    * q119 pattern) — multi-term float summation order never matters;
+    * ranks tie-break by doc_id. */
+  def q160Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val post = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val qs = Seq(
+      (1L, "hash join"), (2L, "window agg sort"),
+      (3L, "spark stream batch"), (4L, "vector query"),
+      (5L, "slow scan filter")).toDF("query_id", "qtext")
+    val qterms = qs.select(col("query_id"),
+      explode(tokens(col("qtext"))).as("term"))
+    val scored = post
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("sat", col("tf") * lit(2.2) / (col("tf")
+        + lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("len") * col("n_docs") / col("total_len"))))
+      .withColumn("ts_fp",
+        round(col("idf") * col("sat") * 1e6).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts_fp")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("score_fp").cast("double") / 1e6).as("bm25"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3835,5 +3884,6 @@ object Queries {
     "q156_cohort_retention" -> (q156CohortRetention _),
     "q157_ordered_funnel" -> (q157OrderedFunnel _),
     "q158_rate_anomaly" -> (q158RateAnomaly _),
-    "q159_adaptive_quality_cut" -> (q159AdaptiveQualityCut _))
+    "q159_adaptive_quality_cut" -> (q159AdaptiveQualityCut _),
+    "q160_bm25_retrieval" -> (q160Bm25Retrieval _))
 }
