@@ -973,6 +973,64 @@ object Oracles {
          |FROM rk WHERE "rank" <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // q161: full PQ trajectory replay — 1e-4 floor quantization,
+    // per-subspace one-iteration Lloyd (init = 16 lowest ids, ties by
+    // cent_id), means by ONE rounded division onto the 1e-6 grid,
+    // integer ADC distances throughout.
+    "q161_pq_adc_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(
+        |  CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(floor(x * 10000) AS BIGINT)) AS qv FROM embeddings),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
+        |subs AS (SELECT vec_id, j,
+        |  qv[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS sv
+        |  FROM v CROSS JOIN js),
+        |cb0 AS (SELECT j, vec_id AS cent_id,
+        |  list_transform(sv, x -> x * 100) AS cv
+        |  FROM subs WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, j, cent_id FROM (
+        |  SELECT s.vec_id, s.j, c.cent_id, row_number() OVER (
+        |    PARTITION BY s.vec_id, s.j ORDER BY
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)])
+        |      * (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)]))),
+        |    c.cent_id) AS rk
+        |  FROM subs s JOIN cb0 c USING (j)) WHERE rk = 1),
+        |dims AS (SELECT a.j, a.cent_id, d.i AS pos,
+        |  s.sv[CAST(d.i AS INT)] AS x
+        |  FROM a1 a JOIN subs s ON s.vec_id = a.vec_id AND s.j = a.j
+        |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) d),
+        |cm AS (SELECT j, cent_id, pos,
+        |  CAST(round(CAST(sum(x) AS DOUBLE) * 100 / count(*)) AS BIGINT)
+        |    AS c
+        |  FROM dims GROUP BY 1, 2, 3),
+        |cb1 AS (SELECT j, cent_id, list(c ORDER BY pos) AS cv
+        |  FROM cm GROUP BY 1, 2),
+        |codes AS (SELECT vec_id, j, cent_id FROM (
+        |  SELECT s.vec_id, s.j, c.cent_id, row_number() OVER (
+        |    PARTITION BY s.vec_id, s.j ORDER BY
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)])
+        |      * (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)]))),
+        |    c.cent_id) AS rk
+        |  FROM subs s JOIN cb1 c USING (j)) WHERE rk = 1),
+        |qs AS (SELECT vec_id AS query_id, j,
+        |  list_transform(sv, x -> x * 100) AS qv6
+        |  FROM subs WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  CAST(sum(list_sum(list_transform(range(1, 9), i ->
+        |    (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+        |    * (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)]))))
+        |    AS BIGINT) AS adc_d2
+        |  FROM codes c JOIN cb1 b USING (j, cent_id)
+        |  JOIN qs q USING (j)
+        |  WHERE q.query_id <> c.vec_id GROUP BY 1, 2)
+        |SELECT query_id, "rank", neighbor_id, adc_d2 FROM (
+        |  SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
+        |    AS "rank" FROM sc)
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

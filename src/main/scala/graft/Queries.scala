@@ -3723,6 +3723,32 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantized ANN with ADC scoring
+    * ([[graft.operators.ProductQuant]]): 64-dim vectors → 8 subspaces
+    * × 16-codeword codebooks (deterministic one-iteration Lloyd per
+    * subspace, the q63 contract) → each vector stored as 8 codes
+    * (32× compression); queries score the CODES asymmetrically
+    * (exact query sub-vector vs codeword) — the memory-bound
+    * compression regime of the ANN stack, complementing IVF's
+    * candidate pruning (q41/q115/q134) and int8 rerank (q115).
+    * Everything is integer fixed point (1e-6 grid) — codebook fit,
+    * assignment, and every ADC distance — so the full fit+encode+
+    * serve trajectory is replayed exactly by the SQL oracle. */
+  def q161PqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuant
+    val subs = graft.operators.Caches.persistTracked(
+      ProductQuant.subVectors(t(spark, dir).embeddings, "vec_id",
+        "embedding", m = 8, subDim = 8))
+    val cb = graft.operators.Caches.persistTracked(
+      ProductQuant.fitCodebooks(subs, k = 16))
+    val codes = ProductQuant.assign(subs, cb)
+    ProductQuant.adcTopK(subs.where(col("vec_id") < 8), codes, cb,
+        k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3885,5 +3911,6 @@ object Queries {
     "q157_ordered_funnel" -> (q157OrderedFunnel _),
     "q158_rate_anomaly" -> (q158RateAnomaly _),
     "q159_adaptive_quality_cut" -> (q159AdaptiveQualityCut _),
-    "q160_bm25_retrieval" -> (q160Bm25Retrieval _))
+    "q160_bm25_retrieval" -> (q160Bm25Retrieval _),
+    "q161_pq_adc_topk" -> (q161PqAdcTopK _))
 }

