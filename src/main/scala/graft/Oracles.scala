@@ -30,6 +30,53 @@ object Oracles {
   private val BOT_REGEX = TweetFunctions.KnownBots
     .map(_.toLowerCase).mkString("|")
 
+  /** Shared PQ trajectory CTEs (q161/q162): 1e-4 floor quantization,
+    * 8 subspaces × 16-codeword one-iteration Lloyd codebooks, integer
+    * codes + query sub-vectors on the 1e-6 grid. Ends with
+    * `pq_codes` (vec_id, j, cent_id), `pq_cb1` (j, cent_id, cv), and
+    * `pq_qs` (query_id, j, qv6). No leading WITH. */
+  private val PQ_CTES =
+    """pqv AS (SELECT vec_id, list_transform(
+      |  CAST(embedding AS DOUBLE[]),
+      |  x -> CAST(floor(x * 10000) AS BIGINT)) AS qv FROM embeddings),
+      |pq_js AS (SELECT unnest(range(0, 8)) AS j),
+      |pq_subs AS (SELECT vec_id, j,
+      |  qv[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS sv
+      |  FROM pqv CROSS JOIN pq_js),
+      |pq_cb0 AS (SELECT j, vec_id AS cent_id,
+      |  list_transform(sv, x -> x * 100) AS cv
+      |  FROM pq_subs WHERE vec_id < 16),
+      |pq_a1 AS (SELECT vec_id, j, cent_id FROM (
+      |  SELECT s.vec_id, s.j, c.cent_id, row_number() OVER (
+      |    PARTITION BY s.vec_id, s.j ORDER BY
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)])
+      |      * (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)]))),
+      |    c.cent_id) AS rk
+      |  FROM pq_subs s JOIN pq_cb0 c USING (j)) WHERE rk = 1),
+      |pq_dims AS (SELECT a.j, a.cent_id, d.i AS pos,
+      |  s.sv[CAST(d.i AS INT)] AS x
+      |  FROM pq_a1 a JOIN pq_subs s
+      |    ON s.vec_id = a.vec_id AND s.j = a.j
+      |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) d),
+      |pq_cm AS (SELECT j, cent_id, pos,
+      |  CAST(round(CAST(sum(x) AS DOUBLE) * 100 / count(*)) AS BIGINT)
+      |    AS c
+      |  FROM pq_dims GROUP BY 1, 2, 3),
+      |pq_cb1 AS (SELECT j, cent_id, list(c ORDER BY pos) AS cv
+      |  FROM pq_cm GROUP BY 1, 2),
+      |pq_codes AS (SELECT vec_id, j, cent_id FROM (
+      |  SELECT s.vec_id, s.j, c.cent_id, row_number() OVER (
+      |    PARTITION BY s.vec_id, s.j ORDER BY
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)])
+      |      * (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)]))),
+      |    c.cent_id) AS rk
+      |  FROM pq_subs s JOIN pq_cb1 c USING (j)) WHERE rk = 1),
+      |pq_qs AS (SELECT vec_id AS query_id, j,
+      |  list_transform(sv, x -> x * 100) AS qv6
+      |  FROM pq_subs WHERE vec_id < 8)""".stripMargin
+
   /** q41's IVF probe, shared verbatim with q134: the saved-index probe
     * must EQUAL the in-memory compose (same centroids vec_id%250=0,
     * queries vec_id<8, k=5, nprobe=2) — that equality IS the persisted
@@ -978,58 +1025,65 @@ object Oracles {
     // cent_id), means by ONE rounded division onto the 1e-6 grid,
     // integer ADC distances throughout.
     "q161_pq_adc_topk" ->
-      """WITH v AS (SELECT vec_id, list_transform(
-        |  CAST(embedding AS DOUBLE[]),
-        |  x -> CAST(floor(x * 10000) AS BIGINT)) AS qv FROM embeddings),
-        |js AS (SELECT unnest(range(0, 8)) AS j),
-        |subs AS (SELECT vec_id, j,
-        |  qv[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS sv
-        |  FROM v CROSS JOIN js),
-        |cb0 AS (SELECT j, vec_id AS cent_id,
-        |  list_transform(sv, x -> x * 100) AS cv
-        |  FROM subs WHERE vec_id < 16),
-        |a1 AS (SELECT vec_id, j, cent_id FROM (
-        |  SELECT s.vec_id, s.j, c.cent_id, row_number() OVER (
-        |    PARTITION BY s.vec_id, s.j ORDER BY
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)])
-        |      * (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)]))),
-        |    c.cent_id) AS rk
-        |  FROM subs s JOIN cb0 c USING (j)) WHERE rk = 1),
-        |dims AS (SELECT a.j, a.cent_id, d.i AS pos,
-        |  s.sv[CAST(d.i AS INT)] AS x
-        |  FROM a1 a JOIN subs s ON s.vec_id = a.vec_id AND s.j = a.j
-        |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) d),
-        |cm AS (SELECT j, cent_id, pos,
-        |  CAST(round(CAST(sum(x) AS DOUBLE) * 100 / count(*)) AS BIGINT)
-        |    AS c
-        |  FROM dims GROUP BY 1, 2, 3),
-        |cb1 AS (SELECT j, cent_id, list(c ORDER BY pos) AS cv
-        |  FROM cm GROUP BY 1, 2),
-        |codes AS (SELECT vec_id, j, cent_id FROM (
-        |  SELECT s.vec_id, s.j, c.cent_id, row_number() OVER (
-        |    PARTITION BY s.vec_id, s.j ORDER BY
-        |    list_sum(list_transform(range(1, 9), i ->
-        |      (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)])
-        |      * (s.sv[CAST(i AS INT)]*100 - c.cv[CAST(i AS INT)]))),
-        |    c.cent_id) AS rk
-        |  FROM subs s JOIN cb1 c USING (j)) WHERE rk = 1),
-        |qs AS (SELECT vec_id AS query_id, j,
-        |  list_transform(sv, x -> x * 100) AS qv6
-        |  FROM subs WHERE vec_id < 8),
-        |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-        |  CAST(sum(list_sum(list_transform(range(1, 9), i ->
-        |    (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
-        |    * (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)]))))
-        |    AS BIGINT) AS adc_d2
-        |  FROM codes c JOIN cb1 b USING (j, cent_id)
-        |  JOIN qs q USING (j)
-        |  WHERE q.query_id <> c.vec_id GROUP BY 1, 2)
-        |SELECT query_id, "rank", neighbor_id, adc_d2 FROM (
-        |  SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
-        |    AS "rank" FROM sc)
-        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+      s"""WITH $PQ_CTES,
+         |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  CAST(sum(list_sum(list_transform(range(1, 9), i ->
+         |    (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+         |    * (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)]))))
+         |    AS BIGINT) AS adc_d2
+         |  FROM pq_codes c JOIN pq_cb1 b USING (j, cent_id)
+         |  JOIN pq_qs q USING (j)
+         |  WHERE q.query_id <> c.vec_id GROUP BY 1, 2)
+         |SELECT query_id, "rank", neighbor_id, adc_d2 FROM (
+         |  SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
+         |    AS "rank" FROM sc)
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // q162: IVF bucket probe (q41's cosine CTEs) restricts the
+    // candidate pairs; PQ's integer ADC scores them — the composed
+    // serving trajectory replayed end to end.
+    "q162_ivf_pq_serve" ->
+      s"""WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, e AS ce FROM ve
+         |  WHERE vec_id % 250 = 0),
+         |assigned AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |  SELECT v.vec_id, c.cent_id, row_number() OVER (
+         |    PARTITION BY v.vec_id ORDER BY
+         |    round(list_dot_product(v.e, c.ce)
+         |     /(sqrt(list_dot_product(v.e, v.e))
+         |       *sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+         |    c.cent_id) AS crank
+         |  FROM ve v CROSS JOIN cent c) WHERE crank = 1),
+         |probed AS (SELECT vec_id AS query_id, cent_id FROM (
+         |  SELECT v.vec_id, c.cent_id, row_number() OVER (
+         |    PARTITION BY v.vec_id ORDER BY
+         |    round(list_dot_product(v.e, c.ce)
+         |     /(sqrt(list_dot_product(v.e, v.e))
+         |       *sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+         |    c.cent_id) AS crank
+         |  FROM ve v CROSS JOIN cent c WHERE v.vec_id < 8)
+         |  WHERE crank <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+         |  FROM probed p JOIN assigned a USING (cent_id)
+         |  WHERE p.query_id <> a.neighbor_id),
+         |$PQ_CTES,
+         |sc AS (SELECT cd.query_id, cd.neighbor_id,
+         |  CAST(sum(list_sum(list_transform(range(1, 9), i ->
+         |    (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)])
+         |    * (q.qv6[CAST(i AS INT)] - b.cv[CAST(i AS INT)]))))
+         |    AS BIGINT) AS adc_d2
+         |  FROM cand cd
+         |  JOIN pq_codes c ON c.vec_id = cd.neighbor_id
+         |  JOIN pq_cb1 b ON b.j = c.j AND b.cent_id = c.cent_id
+         |  JOIN pq_qs q ON q.query_id = cd.query_id AND q.j = c.j
+         |  GROUP BY 1, 2)
+         |SELECT query_id, "rank", neighbor_id, adc_d2 FROM (
+         |  SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
+         |    AS "rank" FROM sc)
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported

@@ -3749,6 +3749,57 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF+PQ composed serving — the FAISS-style production path: IVF
+    * prunes WHICH vectors to score (q41's bucket probe, nprobe=2),
+    * PQ's 32×-compressed codes are WHAT gets scored (q161's ADC) —
+    * the original vectors never load at serving time. At 100 TB the
+    * candidate set is nprobe/k of the corpus and each candidate costs
+    * m code lookups instead of a d-dim walk; both reductions compose
+    * multiplicatively. Fully integer ADC on the deterministic
+    * codebooks, so the oracle replays the composed trajectory. */
+  def q162IvfPqServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuant
+    val emb = t(spark, dir).embeddings
+    val vecs = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val cents = vecs.where(col("id") % 250 === 0)
+    val assigned = Similarity.nearestCentroids(vecs, cents,
+      "neighbor_id", 1)
+    val probed = Similarity.nearestCentroids(
+      vecs.where(col("id") < 8), cents, "query_id", 2)
+    val cand = probed.select(col("query_id"), col("cent_id"))
+      .join(assigned.select(col("neighbor_id"), col("cent_id")),
+        Seq("cent_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val subs = graft.operators.Caches.persistTracked(
+      ProductQuant.subVectors(emb, "vec_id", "embedding", 8, 8))
+    val cb = graft.operators.Caches.persistTracked(
+      ProductQuant.fitCodebooks(subs, 16))
+    val codes = ProductQuant.assign(subs, cb)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("cent_id", "code")
+    val q6 = subs.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("j"),
+        transform(col("sv"), x => x * 100).as("qv6"))
+    val scored = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(cb.withColumnRenamed("cent_id", "code")),
+        Seq("j", "code"))
+      .join(broadcast(q6), Seq("query_id", "j"))
+      .select(col("query_id"), col("neighbor_id"),
+        ProductQuant.d2(col("qv6"), col("cv")).as("dj"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dj")).as("adc_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3912,5 +3963,6 @@ object Queries {
     "q158_rate_anomaly" -> (q158RateAnomaly _),
     "q159_adaptive_quality_cut" -> (q159AdaptiveQualityCut _),
     "q160_bm25_retrieval" -> (q160Bm25Retrieval _),
-    "q161_pq_adc_topk" -> (q161PqAdcTopK _))
+    "q161_pq_adc_topk" -> (q161PqAdcTopK _),
+    "q162_ivf_pq_serve" -> (q162IvfPqServe _))
 }
