@@ -1085,6 +1085,60 @@ object Oracles {
          |    AS "rank" FROM sc)
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
+    // q164: per-type calendar spine (generate_series ≙ sequence),
+    // anti-join for zero-event days.
+    "q164_calendar_gaps" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_trunc('day', ts) AS DATE) AS "day", count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min("day") AS d0, max("day") AS d1
+        |  FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS "day" FROM rng),
+        |gaps AS (SELECT s.event_type, s."day" FROM spine s
+        |  LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d."day" = s."day"
+        |  WHERE d.event_type IS NULL),
+        |sp AS (SELECT event_type, count(*) AS span_days
+        |  FROM spine GROUP BY 1),
+        |ga AS (SELECT event_type, count(*) AS gap_days,
+        |  strftime(min("day"), '%Y-%m-%d') AS first_gap,
+        |  strftime(max("day"), '%Y-%m-%d') AS last_gap
+        |  FROM gaps GROUP BY 1)
+        |SELECT sp.event_type, CAST(span_days AS BIGINT) AS span_days,
+        |CAST(coalesce(gap_days, 0) AS BIGINT) AS gap_days,
+        |first_gap, last_gap,
+        |CAST(coalesce(gap_days, 0) * 10000 // span_days AS BIGINT)
+        |  AS gap_bp
+        |FROM sp LEFT JOIN ga USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // q163: q31's session break + session-ordered lead trigrams.
+    "q163_session_paths" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |tri AS (SELECT event_type || '>' || lead(event_type, 1) OVER sw
+        |  || '>' || lead(event_type, 2) OVER sw AS path,
+        |  CAST(user_id AS VARCHAR) || '#' || CAST(sid AS VARCHAR) AS sess,
+        |  lead(event_type, 2) OVER sw AS t3
+        |FROM s WINDOW sw AS (PARTITION BY user_id, sid
+        |  ORDER BY ts, event_id)),
+        |p AS (SELECT path, count(*) AS n,
+        |  count(DISTINCT sess) AS n_sessions
+        |FROM tri WHERE t3 IS NOT NULL GROUP BY path),
+        |r AS (SELECT path, n, n_sessions,
+        |  row_number() OVER (ORDER BY n DESC, path) AS "rank" FROM p)
+        |SELECT "rank", path, CAST(n AS BIGINT) AS n,
+        |CAST(n_sessions AS BIGINT) AS n_sessions
+        |FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

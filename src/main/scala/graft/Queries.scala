@@ -3800,6 +3800,75 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Clickstream path mining — the top within-session 3-step event
+    * sequences (q31's sessionization + lead-window trigrams): the
+    * navigation-pattern report product analytics runs on raw event
+    * logs. All windows are user-partitioned; the path rollup
+    * aggregates trigram strings (bounded by |event_types|³). Output:
+    * rank, path "a>b>c", occurrence count, distinct sessions
+    * containing it. */
+  def q163SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sid = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(run))
+    val sw = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = sid
+      .withColumn("t2", lead(col("event_type"), 1).over(sw))
+      .withColumn("t3", lead(col("event_type"), 2).over(sw))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"),
+        concat_ws("#", col("user_id"), col("sid")).as("sess"))
+    tri.groupBy(col("path"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("sess")).as("n_sessions"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))))
+      .where(col("rank") <= 20)
+      .select(col("rank"), col("path"), col("n"), col("n_sessions"))
+      .orderBy(col("rank"))
+  }
+
+  /** Ingest-completeness audit on a generated calendar spine: for
+    * each event type, the days in its own [min, max] activity range
+    * with ZERO events — the silent-pipeline detector a data-quality
+    * suite runs nightly (a gap is indistinguishable from "no data"
+    * without the spine). The spine is `sequence()` per type (bounded
+    * by the date range, generated engine-side — no driver calendar),
+    * anti-joined against observed days. */
+  def q164CalendarGaps(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val gaps = spine.join(daily, Seq("event_type", "day"), "left_anti")
+    val spanned = spine.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("span_days"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("gap_days"),
+        min(fmtDate(col("day"))).as("first_gap"),
+        max(fmtDate(col("day"))).as("last_gap"))
+      .join(spanned, Seq("event_type"), "right")
+      .select(col("event_type"), col("span_days"),
+        coalesce(col("gap_days"), lit(0L)).as("gap_days"),
+        col("first_gap"), col("last_gap"),
+        expr("coalesce(gap_days, 0) * 10000 div span_days")
+          .as("gap_bp"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3964,5 +4033,7 @@ object Queries {
     "q159_adaptive_quality_cut" -> (q159AdaptiveQualityCut _),
     "q160_bm25_retrieval" -> (q160Bm25Retrieval _),
     "q161_pq_adc_topk" -> (q161PqAdcTopK _),
-    "q162_ivf_pq_serve" -> (q162IvfPqServe _))
+    "q162_ivf_pq_serve" -> (q162IvfPqServe _),
+    "q163_session_paths" -> (q163SessionPaths _),
+    "q164_calendar_gaps" -> (q164CalendarGaps _))
 }
