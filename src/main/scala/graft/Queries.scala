@@ -3574,32 +3574,10 @@ object Queries {
     * explosion of a 3-way self-join never happens; Spark reuses the
     * user_id partitioning across the chained aggs. Output: one row
     * per step with survivors and step-to-step conversion bp. */
-  def q157OrderedFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_type"))
-    val s1 = ev.where(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.join(s1, Seq("user_id"))
-      .where(col("event_type") === "click" && col("ts") >= col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.join(s2, Seq("user_id"))
-      .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    val n1 = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1L))
-      .withColumn("step_name", lit("view"))
-    val n2 = s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2L))
-      .withColumn("step_name", lit("click_after_view"))
-    val n3 = s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3L))
-      .withColumn("step_name", lit("purchase_after_click"))
-    val steps = n1.unionByName(n2).unionByName(n3)
-    val w = Window.orderBy(col("step"))
-    steps
-      .withColumn("prev_n", lag(col("n"), 1).over(w))
-      .select(col("step"), col("step_name"), col("n"),
-        when(col("prev_n").isNull, lit(10000L))
-          .otherwise(expr("n * 10000 div prev_n")).as("conv_bp"))
+  def q157OrderedFunnel(spark: SparkSession, dir: String): DataFrame =
+    Analytics.orderedFunnel(events(spark, dir),
+        Seq("view", "click", "purchase"))
       .orderBy(col("step"))
-  }
 
   /** Daily event-rate anomaly detection with an INTEGER-EXACT
     * decision: per (event_type, day), flag days whose count deviates

@@ -128,4 +128,40 @@ object Analytics {
       .select(lCols ++
         asofCols.map(c => hit.getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Ordered conversion funnel (q157): each step's timestamp is the
+    * entity's EARLIEST qualifying event at-or-after the previous
+    * step — min-based, the standard deterministic funnel. `events`
+    * needs (user_id, ts, event_type). One row per step with
+    * survivors and step-to-step conversion basis points. The chained
+    * conditional aggregations reuse one user_id partitioning; the
+    * 3-way self-join row explosion never happens. */
+  def orderedFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+    // fold survivors declaratively — one plan, no driver actions
+    val stages = steps.tail.scanLeft(
+      ev.where(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) {
+      (prev, s) =>
+        ev.join(prev, Seq("user_id"))
+          .where(col("event_type") === s && col("ts") >= col("t"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val names = steps.head +:
+      steps.tail.zipWithIndex.map { case (s, i) =>
+        s"${s}_after_${steps(i)}"
+      }
+    val counts = stages.zip(names).zipWithIndex.map {
+      case ((df, name), i) =>
+        df.agg(count(lit(1)).as("n"))
+          .withColumn("step", lit((i + 1).toLong))
+          .withColumn("step_name", lit(name))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    counts.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("step"), col("step_name"), col("n"),
+        when(col("prev_n").isNull, lit(10000L))
+          .otherwise(expr("n * 10000 div prev_n")).as("conv_bp"))
+  }
 }

@@ -297,6 +297,60 @@ object StreamOps {
         "valid_to", "n_events")
   }
 
+  /** Streaming ordered funnel — the ingest-time twin of the batch
+    * [[graft.operators.Analytics.orderedFunnel]]: per-entity keyed
+    * state is the funnel POSITION (completed step count + the min
+    * qualifying timestamp of the last completed step); each event
+    * advances the machine when its type matches the next step at or
+    * after the previous step's time. Emits one row per entity when
+    * the FINAL step completes (append-mode; earlier steps are state,
+    * not output). State is O(1) per live entity; same CDC ordering
+    * contract as [[scd2Stream]]. Matches the batch min-based funnel
+    * on completion COUNT; the completion time is the first time the
+    * machine reaches the end in arrival order (the streaming
+    * semantics — batch's global-min chain can differ per entity). */
+  def funnelStream(events: Dataset[Row], steps: Seq[String],
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepArr = steps.toArray
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+            state: GroupState[(Int, Long)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          var (done, lastMs) = state.getOption.getOrElse((0, Long.MinValue))
+          var completedAt: Option[java.sql.Timestamp] = None
+          // rescan until no advance (≤ steps passes): a later step at
+          // the SAME timestamp can sort before the event that unlocks
+          // it, and batch semantics (ts >= t_prev inclusive) count it
+          var advanced = true
+          while (advanced && done < stepArr.length) {
+            advanced = false
+            sorted.foreach { r =>
+              if (done < stepArr.length && completedAt.isEmpty
+                  && r._4 == stepArr(done)
+                  && (done == 0 || r._2.getTime >= lastMs)) {
+                done += 1
+                lastMs = r._2.getTime
+                advanced = true
+                if (done == stepArr.length) completedAt = Some(r._2)
+              }
+            }
+          }
+          state.update((done, lastMs))
+          completedAt.iterator.map(ts => (user, ts))
+        })
+      .toDF("user_id", "completed_at")
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to the
     * stream (broadcast-hash per micro-batch; the dim is re-planned each
     * batch so slowly-changing dims stay fresh). Stateless. */

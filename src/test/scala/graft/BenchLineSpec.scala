@@ -46,6 +46,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("failed").size() === 0)
   }
 
+  test("fullJsonLine never degrades: the detail file keeps every per-query entry") {
+    val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, true))
+    val line = Bench.fullJsonLine(many, "/sf", 3)
+    val j = om.readTree(line)
+    assert(j.get("queries").size() === 300)
+    assert(j.get("queries").get("q001").asDouble() === 1.0)
+    assert(j.get("value").asDouble() === 300.0)
+  }
+
   test("mass-failure regime: the failed list itself degrades to a count") {
     val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, false))
     val line = Bench.jsonLine(many, "/sf", 3)

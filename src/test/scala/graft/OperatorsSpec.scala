@@ -798,6 +798,32 @@ class OperatorsSpec extends AnyFunSuite {
       "build(base)+append(increment) must equal build(full)")
   }
 
+  test("orderedFunnel: out-of-order steps don't count; at-or-after chaining is inclusive") {
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE any view — must stop at step 1
+      (2L, ts(5), "purchase"), (2L, ts(10), "view"),
+      // user 3: click before view, again after — counts via the later one
+      (3L, ts(1), "click"), (3L, ts(10), "view"), (3L, ts(12), "click"),
+      // user 4: click at the SAME ts as view — inclusive >= counts it
+      (4L, ts(10), "view"), (4L, ts(10), "click"),
+      // user 5: never views
+      (5L, ts(10), "click"), (5L, ts(20), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Analytics
+      .orderedFunnel(ev, Seq("view", "click", "purchase"))
+      .orderBy($"step").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq(
+        (1L, "view", 4L),               // users 1,2,3,4
+        (2L, "click_after_view", 3L),   // users 1,3,4
+        (3L, "purchase_after_click", 1L))) // user 1 only
+    // conversion bp: 10000, 3*10000/4, 1*10000/3
+    assert(out.map(_.getLong(3)).toSeq === Seq(10000L, 7500L, 3333L))
+  }
+
   // ---- product quantization ----
 
   ctest("PQ: 8 codes per vector, m*k codebook, ADC recall@5 over brute force is usable") {

@@ -983,6 +983,50 @@ class StreamingSpec extends AnyFunSuite {
         s"batch non-current rows (${batch.length})")
   }
 
+  test("streaming funnel: completions across micro-batches equal the " +
+      "batch min-based funnel's final-step survivors (q157 twin)") {
+    implicit val ctx = spark.sqlContext
+    val ev = Queries.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(r => (r._2.getTime, r._3))
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = graft.streaming.StreamOps.funnelStream(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      steps, spark)
+    val chk = GraftTestSpark.tmpDir("graft-funnel-chk")
+    val run = out.writeStream.format("memory").queryName("funnel_twin")
+      .outputMode("append").option("checkpointLocation", chk)
+      .start()
+    val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+    var prev = 0
+    cuts.foreach { c =>
+      input.addData(ev.slice(prev, c).toSeq)
+      prev = c
+      run.processAllAvailable()
+    }
+    run.stop()
+    val streamed = spark.table("funnel_twin")
+      .select($"user_id").as[Long].collect().toSet
+    // batch expectation: the min-based chained funnel's survivors
+    val df = Queries.events(spark, "/root/testdata/sf0.001")
+    val s1 = df.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t"))
+    val s2 = df.join(s1, Seq("user_id"))
+      .where($"event_type" === "click" && $"ts" >= $"t")
+      .groupBy($"user_id").agg(min($"ts").as("t"))
+    val s3 = df.join(s2, Seq("user_id"))
+      .where($"event_type" === "purchase" && $"ts" >= $"t")
+      .groupBy($"user_id").agg(min($"ts").as("t"))
+    val expected = s3.select($"user_id").as[Long].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expected,
+      s"streaming completions ${streamed.size} != batch ${expected.size}")
+    // each entity completes exactly once (append-mode invariant)
+    assert(spark.table("funnel_twin").count() === streamed.size)
+  }
+
   test("streaming CMS maintenance: cell-add over micro-batches equals " +
       "the batch sketch, and the q148 screen built from it stays exact") {
     // the heavy-hitter ingest story: CMS cells are a cell-ADD monoid,
