@@ -1139,6 +1139,67 @@ object Oracles {
         |CAST(n_sessions AS BIGINT) AS n_sessions
         |FROM r WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
 
+    // q165: CDC MERGE — same log slices, row_number compaction
+    // (seq DESC, op DESC), anti-join+union apply, per-source audit
+    // with 48-bit md5-prefix content checksum (hex via '0x' CAST).
+    "q165_merge_apply" ->
+      """WITH base AS (SELECT * FROM documents WHERE doc_id % 9 <> 8),
+        |log AS (
+        |  SELECT doc_id, 1 AS seq, 'D' AS op, CAST(NULL AS VARCHAR) AS text,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+        |    CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 9 = 3
+        |  UNION ALL SELECT doc_id, 1, 'U', text || ' rev2', lang, source,
+        |    CAST(length(text || ' rev2') AS BIGINT)
+        |  FROM documents WHERE doc_id % 9 IN (1, 5)
+        |  UNION ALL SELECT doc_id, 1, 'I', text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 9 = 8
+        |  UNION ALL SELECT doc_id, 2, 'D', NULL, NULL, NULL, NULL
+        |  FROM documents WHERE doc_id % 9 = 5
+        |  UNION ALL SELECT doc_id, 2, 'U', text || ' v3', lang, source,
+        |    CAST(length(text || ' v3') AS BIGINT)
+        |  FROM documents WHERE doc_id % 9 = 3 OR doc_id % 27 = 8),
+        |latest AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn FROM log)
+        |  WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+        |  FROM base b WHERE NOT EXISTS (
+        |    SELECT 1 FROM latest l WHERE l.doc_id = b.doc_id)
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM latest WHERE op <> 'D'),
+        |cls AS (SELECT coalesce(b.source, l.source) AS source,
+        |  CASE WHEN l.op = 'D' AND b.doc_id IS NOT NULL THEN 'deleted'
+        |    WHEN l.op <> 'D' AND b.doc_id IS NOT NULL THEN 'updated'
+        |    WHEN l.op <> 'D' THEN 'inserted' END AS cls
+        |  FROM latest l LEFT JOIN base b USING (doc_id)),
+        |ca AS (SELECT source,
+        |  CAST(sum(CASE WHEN cls = 'inserted' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(sum(CASE WHEN cls = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated,
+        |  CAST(sum(CASE WHEN cls = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted
+        |  FROM cls WHERE cls IS NOT NULL GROUP BY 1),
+        |bf AS (SELECT source, count(*) AS rows_before FROM base GROUP BY 1),
+        |af AS (SELECT source, count(*) AS rows_after,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_after,
+        |  CAST(bit_xor(CAST('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || ':' || text), 1, 12) AS BIGINT))
+        |    AS BIGINT) AS text_sum
+        |  FROM merged GROUP BY 1)
+        |SELECT source,
+        |CAST(coalesce(rows_before, 0) AS BIGINT) AS rows_before,
+        |CAST(coalesce(rows_after, 0) AS BIGINT) AS rows_after,
+        |coalesce(n_inserted, 0) AS n_inserted,
+        |coalesce(n_updated, 0) AS n_updated,
+        |coalesce(n_deleted, 0) AS n_deleted,
+        |chars_after, text_sum
+        |FROM bf FULL OUTER JOIN af USING (source)
+        |LEFT JOIN ca USING (source)
+        |ORDER BY source""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

@@ -3847,6 +3847,80 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Lakehouse MERGE: a two-batch CDC log (inserts, updates, deletes —
+    * with keys touched twice across batches so last-writer-wins
+    * compaction is exercised: update→delete, delete→resurrect,
+    * insert→update) applied to a base snapshot via
+    * [[graft.operators.Cdc.applyChangeset]], then audited per source:
+    * row counts before/after, op counts, and an order-independent
+    * content checksum (XOR-fold of 48-bit md5 prefixes) proving the
+    * merged IMAGES match, not just the cardinalities. The base never
+    * shuffles: the apply is anti-join + union on the batch-sized
+    * compacted key set. */
+  def q165MergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+    val m9 = pmod(col("doc_id"), lit(9))
+    val base = d.where(m9 =!= 8)
+    def img(pred: Column, seq: Int, op: String, newText: Column,
+        nChars: Column): DataFrame =
+      d.where(pred).select(col("doc_id"), lit(seq.toLong).as("seq"),
+        lit(op).as("op"), newText.as("text"), col("lang"), col("source"),
+        nChars.cast("long").as("n_chars"))
+    def del(pred: Column, seq: Int): DataFrame =
+      d.where(pred).select(col("doc_id"), lit(seq.toLong).as("seq"),
+        lit("D").as("op"), lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_chars"))
+    val rev2 = concat(col("text"), lit(" rev2"))
+    val v3 = concat(col("text"), lit(" v3"))
+    val log = del(m9 === 3, 1)
+      .unionByName(img(m9 === 1 || m9 === 5, 1, "U", rev2, length(rev2)))
+      .unionByName(img(m9 === 8, 1, "I", col("text"), col("n_chars")))
+      .unionByName(del(m9 === 5, 2))
+      .unionByName(img(m9 === 3 || pmod(col("doc_id"), lit(27)) === 8, 2,
+        "U", v3, length(v3)))
+    // the log is batch-sized — the double compaction (applyChangeset
+    // compacts internally; the audit needs `latest` too) costs two
+    // windows over the small side, never a corpus pass
+    val merged = graft.operators.Cdc.applyChangeset(base, log, "doc_id")
+    val latest = graft.operators.Cdc.compact(log, "doc_id", "seq", "op")
+    val cls = latest
+      .join(base.select(col("doc_id"), col("source").as("b_source")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("b_source"), col("source")).as("source"),
+        when(col("op") === "D" && col("b_source").isNotNull, "deleted")
+          .when(col("op") =!= "D" && col("b_source").isNotNull, "updated")
+          .when(col("op") =!= "D", "inserted").as("cls"))
+      .where(col("cls").isNotNull) // no-op deletes on absent keys
+      .groupBy(col("source"))
+      .agg(sum(when(col("cls") === "inserted", 1L).otherwise(0L))
+          .as("n_inserted"),
+        sum(when(col("cls") === "updated", 1L).otherwise(0L))
+          .as("n_updated"),
+        sum(when(col("cls") === "deleted", 1L).otherwise(0L))
+          .as("n_deleted"))
+    val before = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("rows_before"))
+    val after = merged.groupBy(col("source"))
+      .agg(count(lit(1)).as("rows_after"),
+        sum(col("n_chars")).as("chars_after"),
+        // XOR-fold of 48-bit md5 prefixes: order-independent and
+        // overflow-free at any row count (a SUM checksum would wrap)
+        expr("bit_xor(cast(conv(substring(md5(concat_ws(':', doc_id, " +
+          "text)), 1, 12), 16, 10) as long))").as("text_sum"))
+    before.join(after, Seq("source"), "full_outer")
+      .join(cls, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("rows_before"), lit(0L)).as("rows_before"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        col("chars_after"), col("text_sum"))
+      .orderBy(col("source"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4013,5 +4087,6 @@ object Queries {
     "q161_pq_adc_topk" -> (q161PqAdcTopK _),
     "q162_ivf_pq_serve" -> (q162IvfPqServe _),
     "q163_session_paths" -> (q163SessionPaths _),
-    "q164_calendar_gaps" -> (q164CalendarGaps _))
+    "q164_calendar_gaps" -> (q164CalendarGaps _),
+    "q165_merge_apply" -> (q165MergeApply _))
 }

@@ -1087,4 +1087,53 @@ class OperatorsSpec extends AnyFunSuite {
     val sch = Relevance.oddsVotes(target, raw, "doc_id", "text").schema
     assert(sch("score").dataType.typeName === "long")
   }
+  // ---- Cdc (lakehouse MERGE kernel) ----
+
+  test("Cdc.applyChangeset: last-wins compaction, upsert/delete/resurrect semantics") {
+    val base = Seq(
+      (1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L),
+      (4L, "four", 40L)
+    ).toDF("id", "payload", "v")
+    val log = Seq(
+      // id 1: update then delete -> gone
+      (1L, 1L, "U", "one-b", 11L), (1L, 2L, "D", null, 0L),
+      // id 2: delete then update -> resurrected with new image
+      (2L, 1L, "D", null, 0L), (2L, 2L, "U", "two-b", 22L),
+      // id 3: single update
+      (3L, 1L, "U", "three-b", 33L),
+      // id 5: insert then update -> present with the updated image
+      (5L, 1L, "I", "five", 50L), (5L, 2L, "U", "five-b", 55L),
+      // id 6: U on an absent key -> upsert inserts
+      (6L, 1L, "U", "six", 60L),
+      // id 7: D on an absent key -> no-op
+      (7L, 1L, "D", null, 0L)
+    ).toDF("id", "seq", "op", "payload", "v")
+    val out = graft.operators.Cdc.applyChangeset(base, log, "id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(
+      2L -> ("two-b", 22L), 3L -> ("three-b", 33L),
+      4L -> ("four", 40L), // untouched
+      5L -> ("five-b", 55L), 6L -> ("six", 60L)))
+    // same-seq tie: U beats D (op DESC tie-break)
+    val tie = Seq((9L, 1L, "D", null, 0L), (9L, 1L, "U", "nine", 90L))
+      .toDF("id", "seq", "op", "payload", "v")
+    val tied = graft.operators.Cdc.applyChangeset(
+      base.where($"id" < 0), tie, "id").collect()
+    assert(tied.length === 1 && tied(0).getString(1) === "nine")
+  }
+
+  test("Cdc.applyChangeset: base side is never shuffled (anti-join, not full-outer)") {
+    val base = spark.range(0, 1000).selectExpr(
+      "id", "concat('p', id) AS payload")
+    val log = Seq((5L, 1L, "D", "x"), (2000L, 1L, "I", "new"))
+      .toDF("id", "seq", "op", "payload")
+    val merged = graft.operators.Cdc.applyChangeset(base, log, "id")
+    assert(merged.count() === 1000) // -1 delete +1 insert
+    val plan = merged.queryExecution.executedPlan.toString
+    // the only join touching base must be a broadcast LeftAnti -- a
+    // full-outer formulation would force an Exchange on the 100 TB side
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("FullOuter"), plan.take(800))
+  }
 }
