@@ -1200,6 +1200,40 @@ object Oracles {
         |LEFT JOIN ca USING (source)
         |ORDER BY source""".stripMargin,
 
+    // q166: positional phrase match — 1-based DuckDB list positions
+    // shifted to the Spark 0-based grid ((p-1) - off).
+    "q166_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |pp AS (SELECT doc_id, unnest(range(1, len(tk)+1)) AS p, tk
+         |  FROM d),
+         |pos AS (SELECT doc_id, p - 1 AS pos,
+         |  tk[CAST(p AS INT)] AS term FROM pp),
+         |qs AS (SELECT * FROM (VALUES (1, 'hash join'),
+         |  (2, 'window merge'), (3, 'slow query'),
+         |  (4, 'data stream vector'), (5, 'sort order'))
+         |  AS v(query_id, phrase)),
+         |qtk AS (SELECT query_id, list_filter(string_split_regex(
+         |  lower(trim(phrase)), '\\s+'), x -> length(x) > 0) AS ptk
+         |  FROM qs),
+         |qp AS (SELECT query_id, len(ptk) AS plen,
+         |  unnest(range(1, len(ptk)+1)) AS o, ptk FROM qtk),
+         |qterms AS (SELECT query_id, plen, o - 1 AS off,
+         |  ptk[CAST(o AS INT)] AS term FROM qp),
+         |hits AS (SELECT query_id, doc_id, "start" FROM (
+         |  SELECT q.query_id, q.plen, c.doc_id,
+         |    c.pos - q.off AS "start"
+         |  FROM pos c JOIN qterms q USING (term))
+         |  GROUP BY query_id, plen, doc_id, "start"
+         |  HAVING count(*) = plen),
+         |pd AS (SELECT query_id, doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(min("start") AS BIGINT) AS first_pos
+         |  FROM hits GROUP BY 1, 2)
+         |SELECT query_id, "rank", doc_id, n_hits, first_pos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY n_hits DESC, doc_id) AS "rank" FROM pd)
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

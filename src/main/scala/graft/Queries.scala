@@ -3921,6 +3921,47 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Positional phrase search over the q160 retrieval stack: a
+    * positional inverted index (doc, position, term — ONE corpus-scale
+    * posexplode) joined to a broadcast phrase-term workload; a phrase
+    * occurrence is a start offset where every phrase term matched at
+    * its own offset (`count == phrase_len` over (query, doc, start) —
+    * exact also for phrases with repeated terms, since each offset can
+    * contribute at most one row per start). Fanout is bounded by
+    * matched-term frequency, never all positions × all queries; top-10
+    * docs per phrase via the per-query rank window. */
+  def q166PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pos = t(spark, dir).documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val phrases = Seq(
+      (1L, "hash join"), (2L, "window merge"), (3L, "slow query"),
+      (4L, "data stream vector"), (5L, "sort order"))
+      .toDF("query_id", "phrase")
+    val qterms = phrases
+      .select(col("query_id"), size(tokens(col("phrase"))).as("plen"),
+        posexplode(tokens(col("phrase"))))
+      .select(col("query_id"), col("plen"), col("pos").as("off"),
+        col("col").as("term"))
+    val hits = pos.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("plen"), col("doc_id"),
+        (col("pos") - col("off")).as("start"))
+      .groupBy(col("query_id"), col("plen"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("nmatch"))
+      .where(col("nmatch") === col("plen"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    hits.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("start")).cast("long").as("first_pos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_hits"), col("first_pos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4088,5 +4129,6 @@ object Queries {
     "q162_ivf_pq_serve" -> (q162IvfPqServe _),
     "q163_session_paths" -> (q163SessionPaths _),
     "q164_calendar_gaps" -> (q164CalendarGaps _),
-    "q165_merge_apply" -> (q165MergeApply _))
+    "q165_merge_apply" -> (q165MergeApply _),
+    "q166_phrase_search" -> (q166PhraseSearch _))
 }
