@@ -52,4 +52,34 @@ object Cdc {
       .select(base.columns.map(col).toIndexedSeq: _*)
     untouched.unionByName(upserts)
   }
+
+  /** Seq-aware apply for INCREMENTAL maintenance under out-of-order
+    * batch delivery: the state frame carries `seqCol`/`opCol` for
+    * every key it has ever seen — including `D` TOMBSTONES — so a
+    * late-arriving batch with a lower sequence number can never
+    * overwrite or resurrect a newer image. Returns the next state
+    * (same schema). The live snapshot is `state.where(op <> 'D')`
+    * minus the bookkeeping columns — see [[snapshotOf]].
+    *
+    * Scale shape: state is corpus-sized but is touched only through
+    * one LEFT ANTI and one LEFT SEMI join on the compacted batch's
+    * key set (both broadcastable); the re-compaction that resolves
+    * state-vs-batch conflicts runs over batch-sized frames only. */
+  def applyChangesetVersioned(state: DataFrame, log: DataFrame,
+      key: String, seqCol: String = "seq", opCol: String = "op")
+      : DataFrame = {
+    val cols = state.columns.map(col).toIndexedSeq
+    val latest = compact(log, key, seqCol, opCol).select(cols: _*)
+    val touched = latest.select(col(key))
+    val untouched = state.join(touched, Seq(key), "left_anti")
+    val contested = state.join(touched, Seq(key), "left_semi")
+    untouched.unionByName(
+      compact(contested.unionByName(latest), key, seqCol, opCol))
+  }
+
+  /** The live view of a versioned state frame: tombstones dropped,
+    * bookkeeping columns removed. */
+  def snapshotOf(state: DataFrame, seqCol: String = "seq",
+      opCol: String = "op"): DataFrame =
+    state.where(col(opCol) =!= "D").drop(seqCol, opCol)
 }

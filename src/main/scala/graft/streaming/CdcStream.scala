@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Cdc
+
+/** Streaming CDC maintenance of a merged snapshot — the ingest half of
+  * the lakehouse MERGE story (q165 is the batch half). A stream of
+  * seq-stamped I/U/D rows folds into a copy-on-write VERSIONED table:
+  * each micro-batch applies [[Cdc.applyChangesetVersioned]] to the
+  * previous version and writes a brand-new immutable version
+  * directory, then atomically swings a pointer file. Readers resolve
+  * the pointer and scan one immutable version — never a directory
+  * being rewritten underneath them.
+  *
+  * Delivery guarantees:
+  *  - exactly-once per micro-batch: the pointer records the batch id;
+  *    a foreachBatch RETRY of an already-applied batch sees
+  *    `appliedId >= id` and skips (idempotent sink contract);
+  *  - out-of-order tolerant: state carries per-key seq + tombstones
+  *    ([[Cdc.applyChangesetVersioned]]), so batches may arrive in any
+  *    order and still converge to the same snapshot;
+  *  - versions accumulate like any copy-on-write format; a retention
+  *    sweep (delete version dirs below the pointer) is the caller's
+  *    vacuum policy, not done here.
+  *
+  * Scale shape: each version write rewrites only what a 100 TB table
+  * format would — here the whole (partition-less) table, in a real
+  * deployment the partitions the anti/semi joins touch. The batch side
+  * of every join is broadcast-sized; the state side never shuffles.
+  */
+object CdcStream {
+
+  private def pointerPath(tablePath: String) = Paths.get(tablePath, "_latest")
+
+  /** (version batchId applied) or None when uninitialized. */
+  def latestVersion(tablePath: String): Option[Long] = {
+    val p = pointerPath(tablePath)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.toLong)
+    else None
+  }
+
+  private def writePointer(tablePath: String, id: Long): Unit = {
+    val tmp = Paths.get(tablePath, s"_latest.tmp$id")
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerPath(tablePath),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Initialize the table from a base snapshot (version -1): every
+    * base row enters the state with `seq = baseSeq` and op 'U'. */
+  def init(base: DataFrame, tablePath: String, seqCol: String = "seq",
+      opCol: String = "op", baseSeq: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions._
+    Files.createDirectories(Paths.get(tablePath))
+    base.withColumn(seqCol, lit(baseSeq)).withColumn(opCol, lit("U"))
+      .write.mode("overwrite").parquet(s"$tablePath/v-1")
+    writePointer(tablePath, -1L)
+  }
+
+  /** Wire a CDC log stream into the maintained table. The log must
+    * carry `key`, `seqCol`, `opCol` and the payload columns of the
+    * initialized base. Start + await the returned writer. */
+  def maintain(log: DataFrame, tablePath: String, key: String,
+      seqCol: String = "seq", opCol: String = "op")
+      : DataStreamWriter[Row] = {
+    val spark = log.sparkSession
+    log.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], id: Long) =>
+        val applied = latestVersion(tablePath).getOrElse(
+          throw new IllegalStateException(
+            s"CdcStream table $tablePath not initialized — call init()"))
+        if (applied < id) {
+          val prev = spark.read.parquet(s"$tablePath/v$applied")
+          Cdc.applyChangesetVersioned(prev, batch.toDF(), key, seqCol,
+              opCol)
+            .write.mode("overwrite").parquet(s"$tablePath/v$id")
+          writePointer(tablePath, id)
+        } // else: retry of an applied batch — skip (exactly-once)
+        ()
+    }
+  }
+
+  /** The live merged snapshot as of the latest committed version. */
+  def readSnapshot(spark: SparkSession, tablePath: String,
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val v = latestVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"$tablePath not initialized"))
+    Cdc.snapshotOf(spark.read.parquet(s"$tablePath/v$v"), seqCol, opCol)
+  }
+}

@@ -1270,7 +1270,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(assignments(idxDir) === assignments(fullDir),
       "streamed appends must converge to the from-scratch index")
   }
-}
+
+  // ---- CdcStream: versioned copy-on-write MERGE maintenance ----
+
+  private def cdcRow(id: Long, seq: Long, op: String, text: String,
+      lang: String, source: String, n: Long) =
+    (id, seq, op, text, lang, source, n)
+
+  private def cdcFixture() = {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val base = docs.where(pmod($"doc_id", lit(9)) =!= 8)
+    val rows = docs.select($"doc_id", $"text", $"lang", $"source",
+        $"n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    // batch 1 (seq 1): deletes of %9==3, updates of %9==1, inserts of
+    // %9==8; batch 2 (seq 2): resurrect %9==3, delete %9==1
+    val b1 = rows.collect {
+      case (id, _, _, _, _) if id % 9 == 3 =>
+        cdcRow(id, 1L, "D", null, null, null, 0L)
+      case (id, tx, lg, src, _) if id % 9 == 1 =>
+        cdcRow(id, 1L, "U", tx + " rev2", lg, src, tx.length + 5L)
+      case (id, tx, lg, src, n) if id % 9 == 8 =>
+        cdcRow(id, 1L, "I", tx, lg, src, n)
+    }.toSeq
+    val b2 = rows.collect {
+      case (id, tx, lg, src, _) if id % 9 == 3 =>
+        cdcRow(id, 2L, "U", tx + " v3", lg, src, tx.length + 3L)
+      case (id, _, _, _, _) if id % 9 == 1 =>
+        cdcRow(id, 2L, "D", null, null, null, 0L)
+    }.toSeq
+    (base, b1, b2)
+  }
+
+  private def runCdcMaintain(base: DataFrame,
+      batches: Seq[Seq[(Long, Long, String, String, String, String, Long)]])
+      : DataFrame = {
+    implicit val ctx = spark.sqlContext
+    val tableDir = GraftTestSpark.tmpDir("graft-cdc-table")
+    val chk = GraftTestSpark.tmpDir("graft-cdc-chk")
+    graft.streaming.CdcStream.init(base, tableDir)
+    val input =
+      MemoryStream[(Long, Long, String, String, String, String, Long)]
+    val q = graft.streaming.CdcStream.maintain(
+        input.toDF().toDF("doc_id", "seq", "op", "text", "lang",
+          "source", "n_chars"),
+        tableDir, "doc_id")
+      .option("checkpointLocation", chk)
+      .start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    graft.streaming.CdcStream.readSnapshot(spark, tableDir)
+  }
+
+  private def asSet(df: DataFrame) = df
+    .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    .as[(Long, String, String, String, Long)].collect().toSet
+
+  test("CdcStream: micro-batch maintenance converges to the batch merge (q165 twin)") {
+    val (base, b1, b2) = cdcFixture()
+    val logDf = (b1 ++ b2).toDF("doc_id", "seq", "op", "text", "lang",
+      "source", "n_chars")
+    val expected = asSet(graft.operators.Cdc.applyChangeset(
+      base, logDf, "doc_id"))
+    val got = asSet(runCdcMaintain(base, Seq(b1, b2)))
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("CdcStream: out-of-order batch delivery converges identically (seq-aware tombstones)") {
+    val (base, b1, b2) = cdcFixture()
+    val logDf = (b1 ++ b2).toDF("doc_id", "seq", "op", "text", "lang",
+      "source", "n_chars")
+    val expected = asSet(graft.operators.Cdc.applyChangeset(
+      base, logDf, "doc_id"))
+    // seq-2 batch arrives FIRST: a naive last-applied-wins maintainer
+    // would let the late seq-1 batch clobber newer images and
+    // resurrect deleted keys; the versioned state must not
+    val got = asSet(runCdcMaintain(base, Seq(b2, b1)))
+    assert(got === expected)
+  }}
+
 
 /** Static landing zone for executor-side sink writes (local-mode tests
   * share one JVM). Records the TaskContext partition id per indexDocs
@@ -1293,4 +1371,5 @@ class ExecutorProbeSink extends graft.streaming.Sinks.IndexSink
     ExecutorSinkProbe.partitions.add(if (tc == null) -1 else tc.partitionId())
     batch.foreach(d => ExecutorSinkProbe.docs.add(index -> d))
   }
+
 }
