@@ -1234,6 +1234,37 @@ object Oracles {
          |    ORDER BY n_hits DESC, doc_id) AS "rank" FROM pd)
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
+    // q167: q102's pair CTEs + degree explode; floor-bp integer cc.
+    "q167_clustering_coeff" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+        |assigned AS (SELECT vec_id, e, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+        |jp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) >= 0.30),
+        |deg AS (SELECT vec_id, count(*) AS deg FROM (
+        |  SELECT id_a AS vec_id FROM jp
+        |  UNION ALL SELECT id_b FROM jp) GROUP BY 1),
+        |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |  FROM jp e1 JOIN jp e2 ON e1.id_b = e2.id_a
+        |  JOIN jp e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        |tc AS (SELECT vec_id, count(*) AS n_triangles FROM (
+        |  SELECT unnest([a, b, c]) AS vec_id FROM tri) GROUP BY 1)
+        |SELECT d.vec_id, CAST(deg AS BIGINT) AS deg,
+        |CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+        |CAST(2 * coalesce(n_triangles, 0) * 10000
+        |  // (deg * (deg - 1)) AS BIGINT) AS cc_bp
+        |FROM deg d LEFT JOIN tc USING (vec_id) WHERE deg >= 2
+        |ORDER BY cc_bp DESC, vec_id""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

@@ -3962,6 +3962,44 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Local clustering coefficient per node over the q102 similarity
+    * graph — the third graph metric (components q71/q92, PageRank
+    * q93, triangle census q102) sharing one mined edge set:
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) as floor basis points
+    * (pure integer — no float ratio crosses engines). Degrees come
+    * from one explode of the canonical (a<b) edge list; triangles
+    * from the q102 wedge-join; both are keyed shuffles over the
+    * pair-table-sized frame, never the corpus. */
+  def q167ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 100 === 0)
+    val pairs = graft.operators.Caches.persistTracked(
+      Similarity.cosineNearDupPairs(emb, centroids,
+          threshold = 0.30, nprobe = 2)
+        .select(col("id_a"), col("id_b")))
+    val deg = pairs.select(col("id_a").as("vec_id"))
+      .unionAll(pairs.select(col("id_b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val wedges = pairs.join(
+      pairs.select(col("id_a").as("id_b"), col("id_b").as("id_c")),
+      Seq("id_b"))
+    val tri = wedges.join(
+      pairs.select(col("id_a"), col("id_b").as("id_c")),
+      Seq("id_a", "id_c"), "left_semi")
+    val tcount = tri
+      .select(explode(array(col("id_a"), col("id_b"), col("id_c")))
+        .as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.where(col("deg") >= 2)
+      .join(tcount, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("2 * coalesce(n_triangles, 0) * 10000" +
+          " div (deg * (deg - 1))").as("cc_bp"))
+      .orderBy(col("cc_bp").desc, col("vec_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4130,5 +4168,6 @@ object Queries {
     "q163_session_paths" -> (q163SessionPaths _),
     "q164_calendar_gaps" -> (q164CalendarGaps _),
     "q165_merge_apply" -> (q165MergeApply _),
-    "q166_phrase_search" -> (q166PhraseSearch _))
+    "q166_phrase_search" -> (q166PhraseSearch _),
+    "q167_clustering_coeff" -> (q167ClusteringCoeff _))
 }
