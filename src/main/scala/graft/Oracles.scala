@@ -1265,6 +1265,33 @@ object Oracles {
         |FROM deg d LEFT JOIN tc USING (vec_id) WHERE deg >= 2
         |ORDER BY cc_bp DESC, vec_id""".stripMargin,
 
+    // q168: DuckDB's jaro_winkler_similarity IS the reference the
+    // Spark-side native expression was fuzz-pinned against; threshold
+    // in e-notation (plain decimals parse as DECIMAL in DuckDB).
+    "q168_record_linkage" ->
+      """WITH a AS (SELECT p_partkey AS a_key, p_name AS a_name,
+        |  substr(p_name, 1, 2) AS blk FROM part),
+        |b0 AS (SELECT p_partkey AS b_key,
+        |  CASE WHEN p_partkey % 8 = 1 THEN
+        |    substr(p_name, 1, CAST(3 + p_partkey % 3 AS INT) - 1)
+        |    || substr(p_name, CAST(3 + p_partkey % 3 AS INT) + 1)
+        |  WHEN p_partkey % 8 = 3 THEN
+        |    substr(p_name, 1, CAST(3 + p_partkey % 3 AS INT))
+        |    || substr(p_name, CAST(3 + p_partkey % 3 AS INT))
+        |  WHEN p_partkey % 8 = 5 THEN p_name || ' inc'
+        |  ELSE p_name END AS b_name
+        |  FROM part WHERE p_partkey % 2 = 1),
+        |b AS (SELECT b_key, b_name, substr(b_name, 1, 2) AS blk FROM b0),
+        |s AS (SELECT b_key, a_key, b_name, a_name,
+        |  round(jaro_winkler_similarity(b_name, a_name), 6) AS jw
+        |  FROM b JOIN a USING (blk)
+        |  WHERE round(jaro_winkler_similarity(b_name, a_name), 6)
+        |    >= 8.8e-1)
+        |SELECT b_key, a_key, b_name, a_name, jw FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY b_key
+        |    ORDER BY jw DESC, a_key) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY b_key""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

@@ -4000,6 +4000,45 @@ object Queries {
       .orderBy(col("cc_bp").desc, col("vec_id"))
   }
 
+  /** Blocked record linkage with the native [[graft.expressions
+    * .JaroWinkler]] expression (codegen'd; semantics fuzz-pinned
+    * bit-identical to DuckDB's `jaro_winkler_similarity` — see
+    * StringSimKernels): a dirty feed (deterministic char-drop /
+    * char-dup / suffix perturbations of half the part registry) is
+    * linked back to the master registry. Candidate pairs come from a
+    * 2-char-prefix BLOCK join — never all-pairs; block sizes are
+    * vocabulary-bounded here and would get a q22-style frequency cap
+    * at open-vocabulary scale. Top-1 match per dirty record at
+    * rounded jw ≥ 0.88. */
+  def q168RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.StringSimExpressions.jaroWinkler
+    val p = t(spark, dir).part
+    val a = p.select(col("p_partkey").as("a_key"),
+        col("p_name").as("a_name"))
+      .withColumn("blk", substring(col("a_name"), 1, 2))
+    val b = p.where(col("p_partkey") % 2 === 1)
+      .withColumn("k", expr("cast(3 + p_partkey % 3 as int)"))
+      .select(col("p_partkey").as("b_key"),
+        when(col("p_partkey") % 8 === 1, expr(
+          "concat(substring(p_name, 1, k - 1), substring(p_name, k + 1))"))
+        .when(col("p_partkey") % 8 === 3, expr(
+          "concat(substring(p_name, 1, k), substring(p_name, k))"))
+        .when(col("p_partkey") % 8 === 5,
+          concat(col("p_name"), lit(" inc")))
+        .otherwise(col("p_name")).as("b_name"))
+      .withColumn("blk", substring(col("b_name"), 1, 2))
+    val scored = b.join(a, Seq("blk"))
+      .withColumn("jw",
+        round(jaroWinkler(col("b_name"), col("a_name")), 6))
+      .where(col("jw") >= 0.88)
+    val w = Window.partitionBy(col("b_key"))
+      .orderBy(col("jw").desc, col("a_key"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("b_key"), col("a_key"), col("b_name"),
+        col("a_name"), col("jw"))
+      .orderBy(col("b_key"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4169,5 +4208,6 @@ object Queries {
     "q164_calendar_gaps" -> (q164CalendarGaps _),
     "q165_merge_apply" -> (q165MergeApply _),
     "q166_phrase_search" -> (q166PhraseSearch _),
-    "q167_clustering_coeff" -> (q167ClusteringCoeff _))
+    "q167_clustering_coeff" -> (q167ClusteringCoeff _),
+    "q168_record_linkage" -> (q168RecordLinkage _))
 }

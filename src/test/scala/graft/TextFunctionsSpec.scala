@@ -123,4 +123,45 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(2) === "card <NUM> pin 12345 ok") // 5 digits kept
     assert(out(3) === "plain text with no pii at all")
   }
+  // ---- JaroWinkler (StringSimExpressions) ----
+
+  test("jaroWinkler: classic reference values and DuckDB-parity edges") {
+    import graft.expressions.StringSimExpressions.jaroWinkler
+    val pairs = Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"),
+      ("jellyfish", "smellyfish"), ("duane", "dwayne"),
+      ("crate", "trace"), ("abc", "abc"), ("", "abc"), ("", ""),
+      ("ab", "ax"), // jaro 2/3 < 0.7: boost must NOT fire
+      ("hash join small", "hash join smal")
+    ).toDF("a", "b")
+    val got = pairs.select($"a", $"b", jaroWinkler($"a", $"b").as("jw"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // pinned against DuckDB jaro_winkler_similarity (exact doubles)
+    assert(got(("martha", "marhta")) === 0.9611111111111111)
+    assert(got(("dixon", "dicksonx")) === 0.8133333333333332)
+    assert(got(("jellyfish", "smellyfish")) === 0.8962962962962964)
+    assert(got(("duane", "dwayne")) === 0.8400000000000001)
+    assert(got(("crate", "trace")) === 0.7333333333333334)
+    assert(got(("abc", "abc")) === 1.0)
+    assert(got(("", "abc")) === 0.0)
+    assert(got(("", "")) === 0.0) // DuckDB: empty-empty is 0, not 1
+    assert(got(("ab", "ax")) === 0.6666666666666666)
+    assert(got(("hash join small", "hash join smal")) === 0.9866666666666667)
+  }
+
+  test("jaroWinkler: stays inside whole-stage codegen") {
+    import graft.expressions.StringSimExpressions.jaroWinkler
+    // a range source so the projection cannot constant-fold into a
+    // LocalTableScan — the expression must ride inside the codegen span
+    val df = spark.range(0, 2)
+      .selectExpr("'martha' AS a", "concat('marhta', repeat('x', cast(id as int))) AS b")
+      .select(jaroWinkler($"a", $"b").as("jw"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(1)` star marks the projection inside a WholeStageCodegen
+    // span (a CodegenFallback expression would strip it)
+    assert(plan.contains("*(1) Project [jaro_winkler"), plan)
+    assert(df.orderBy($"jw".desc).collect()(0).getDouble(0)
+      === 0.9611111111111111)
+  }
 }
