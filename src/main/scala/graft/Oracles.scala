@@ -1292,6 +1292,64 @@ object Oracles {
         |    ORDER BY jw DESC, a_key) AS rn FROM s)
         |WHERE rn = 1 ORDER BY b_key""".stripMargin,
 
+    // q169: exact integer counts; ONE double z expression, rounded
+    // once; significance reads the rounded z.
+    "q169_ab_experiment" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (SELECT user_id % 2 AS arm, count(*) AS n FROM u
+        |  GROUP BY 1),
+        |nu AS (SELECT count(*) AS n_users FROM u),
+        |pu AS (SELECT event_type, user_id, count(*) AS cu
+        |  FROM events GROUP BY 1, 2),
+        |pt AS (SELECT event_type, CAST(sum(cu) AS BIGINT) AS st
+        |  FROM pu GROUP BY 1),
+        |conv AS (SELECT pu.event_type, pu.user_id % 2 AS arm,
+        |  count(*) AS c
+        |  FROM pu JOIN pt USING (event_type) CROSS JOIN nu
+        |  WHERE pu.cu * nu.n_users > pt.st GROUP BY 1, 2),
+        |wide AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1
+        |  FROM conv JOIN arms USING (arm) GROUP BY 1),
+        |z AS (SELECT *,
+        |  CAST((c1 * n0 - c0 * n1) * 10000 // nullif(c0 * n1, 0)
+        |    AS BIGINT) AS lift_bp,
+        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
+        |  round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+        |    / sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1))
+        |    * (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+        |    * (1.0/n0 + 1.0/n1)), 4) END AS z
+        |  FROM wide)
+        |SELECT event_type, n0, c0, n1, c1, lift_bp, z,
+        |coalesce(abs(z) >= 1.96, false) AS significant
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // q170: OLS sums as exact integers; slope/fit from one double
+    // expression rounded once.
+    "q170_daily_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_trunc('day', ts) AS DATE) AS "day",
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |anch AS (SELECT event_type, y,
+        |  date_diff('day', min("day") OVER (PARTITION BY event_type),
+        |    "day") AS x FROM daily),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM anch GROUP BY 1)
+        |SELECT event_type, n_days, sy AS total,
+        |CAST(round(1e6 * (CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |  / (n_days * sxx - sx * sx))) AS BIGINT) AS slope_1e6,
+        |CAST(floor(1e4 * (CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |  * (n_days * sxy - sx * sy))
+        |  / (CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |  * (n_days * syy - sy * sy))) AS BIGINT) AS r2_bp
+        |FROM s ORDER BY event_type""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

@@ -4039,6 +4039,97 @@ object Queries {
       .orderBy(col("b_key"))
   }
 
+  /** A/B experiment readout: users deterministically split into two
+    * arms, per-event-type conversion (strictly-above-average
+    * engagement, an integer cross-product decision that stays
+    * non-degenerate at every SF) compared arm-vs-arm with a pooled
+    * two-proportion z — the nightly experimentation report. All counts are exact integers;
+    * z is derived from them in ONE identical double expression per
+    * engine and rounded once, and the significance flag reads the
+    * ROUNDED z (cross-engine stable, q158's convention). The only
+    * corpus-scale stage is the distinct (user, type) projection; arms
+    * and totals are broadcast-sized. */
+  def q169AbExperiment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val armSizes = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"))
+    val nUsers = users.agg(count(lit(1)).as("n_users"))
+    val perUser = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cu"))
+    val perType = perUser.groupBy(col("event_type"))
+      .agg(sum(col("cu")).as("st"))
+    // converted = strictly-above-average engagement for the type,
+    // decided by the EXACT integer cross-product cu·N > S_t (users
+    // with zero events of the type sit below average by definition)
+    val conv = perUser
+      .join(broadcast(perType), Seq("event_type"))
+      .crossJoin(broadcast(nUsers))
+      .where(col("cu") * col("n_users") > col("st"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("c"))
+    val wide = conv.join(broadcast(armSizes), Seq("arm"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, col("c"))).as("c0"),
+        sum(when(col("arm") === 0, col("n"))).as("n0"),
+        sum(when(col("arm") === 1, col("c"))).as("c1"),
+        sum(when(col("arm") === 1, col("n"))).as("n1"))
+    wide
+      .withColumn("lift_bp", expr(
+        "(c1 * n0 - c0 * n1) * 10000 div nullif(c0 * n1, 0)"))
+      .withColumn("z", expr(
+        // degenerate pools (0% or 100%) have zero variance: z is NULL
+        "case when c0 + c1 = 0 or c0 + c1 = n0 + n1 then null else " +
+          "round((cast(c1 as double)/n1 - cast(c0 as double)/n0)" +
+          " / sqrt((cast(c0+c1 as double)/(n0+n1))" +
+          " * (1.0 - cast(c0+c1 as double)/(n0+n1))" +
+          " * (1.0/n0 + 1.0/n1)), 4) end"))
+      .withColumn("significant",
+        coalesce(abs(col("z")) >= 1.96, lit(false)))
+      .select(col("event_type"), col("n0"), col("c0"), col("n1"),
+        col("c1"), col("lift_bp"), col("z"), col("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-type daily-volume trend: ordinary-least-squares slope of
+    * events/day against the day ordinal, with all OLS sums (Σx, Σy,
+    * Σxy, Σx²) kept as EXACT integers per type; slope and fit emerge
+    * from one double expression over those integers, rounded once
+    * (IEEE-deterministic cross-engine — the q158 contract). The
+    * trend detector a pipeline-health suite runs next to q158's
+    * anomaly days and q164's gap calendar. Day ordinals are
+    * per-type-anchored (days since the type's first active day). */
+  def q170DailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val anchored = daily
+      .withColumn("x", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy(col("event_type"))))
+        .cast("long"))
+    anchored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("slope_1e6", expr(
+        "cast(round(1e6 * (cast(n_days * sxy - sx * sy as double)" +
+          " / (n_days * sxx - sx * sx))) as bigint)"))
+      .withColumn("r2_bp", expr(
+        "cast(floor(1e4 * (cast(n_days * sxy - sx * sy as double)" +
+          " * (n_days * sxy - sx * sy))" +
+          " / (cast(n_days * sxx - sx * sx as double)" +
+          " * (n_days * syy - sy * sy))) as bigint)"))
+      .select(col("event_type"), col("n_days"), col("sy").as("total"),
+        col("slope_1e6"), col("r2_bp"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4209,5 +4300,7 @@ object Queries {
     "q165_merge_apply" -> (q165MergeApply _),
     "q166_phrase_search" -> (q166PhraseSearch _),
     "q167_clustering_coeff" -> (q167ClusteringCoeff _),
-    "q168_record_linkage" -> (q168RecordLinkage _))
+    "q168_record_linkage" -> (q168RecordLinkage _),
+    "q169_ab_experiment" -> (q169AbExperiment _),
+    "q170_daily_trend" -> (q170DailyTrend _))
 }
