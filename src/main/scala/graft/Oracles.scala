@@ -1350,6 +1350,54 @@ object Oracles {
         |  * (n_days * syy - sy * sy))) AS BIGINT) AS r2_bp
         |FROM s ORDER BY event_type""".stripMargin,
 
+    // q171: q167's pair CTEs; 6 unrolled peel rounds (degree, keep,
+    // both-endpoint edge filter) mirror kcoreBounded exactly.
+    "q171_kcore" ->
+      """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS MATERIALIZED (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+        |assigned AS MATERIALIZED (SELECT vec_id, e, cent_id FROM (
+        |SELECT v.vec_id, v.e, c.cent_id,
+        |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |  round(list_dot_product(v.e, c.ce)
+        |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+        |  DESC, c.cent_id) AS crank
+        |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+        |jp AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM assigned a JOIN assigned b
+        |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) >= 0.30),
+        |e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp),
+        |d1 AS MATERIALIZED (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+        |k1 AS MATERIALIZED (SELECT src FROM d1 WHERE d >= 3),
+        |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+        |  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+        |d2 AS MATERIALIZED (SELECT src, count(*) AS d FROM e1 GROUP BY 1),
+        |k2 AS MATERIALIZED (SELECT src FROM d2 WHERE d >= 3),
+        |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+        |  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+        |d3 AS MATERIALIZED (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+        |k3 AS MATERIALIZED (SELECT src FROM d3 WHERE d >= 3),
+        |e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
+        |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src),
+        |d4 AS MATERIALIZED (SELECT src, count(*) AS d FROM e3 GROUP BY 1),
+        |k4 AS MATERIALIZED (SELECT src FROM d4 WHERE d >= 3),
+        |e4 AS MATERIALIZED (SELECT e.src, e.dst FROM e3 e
+        |  JOIN k4 a ON e.src = a.src JOIN k4 b ON e.dst = b.src),
+        |d5 AS MATERIALIZED (SELECT src, count(*) AS d FROM e4 GROUP BY 1),
+        |k5 AS MATERIALIZED (SELECT src FROM d5 WHERE d >= 3),
+        |e5 AS MATERIALIZED (SELECT e.src, e.dst FROM e4 e
+        |  JOIN k5 a ON e.src = a.src JOIN k5 b ON e.dst = b.src),
+        |d6 AS MATERIALIZED (SELECT src, count(*) AS d FROM e5 GROUP BY 1),
+        |k6 AS MATERIALIZED (SELECT src FROM d6 WHERE d >= 3),
+        |e6 AS MATERIALIZED (SELECT e.src, e.dst FROM e5 e
+        |  JOIN k6 a ON e.src = a.src JOIN k6 b ON e.dst = b.src),
+        |fin AS (SELECT src AS vec_id, count(*) AS core_deg
+        |  FROM e6 GROUP BY 1)
+        |SELECT vec_id, CAST(core_deg AS BIGINT) AS core_deg
+        |FROM fin ORDER BY vec_id""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

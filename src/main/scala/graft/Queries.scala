@@ -4130,6 +4130,29 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Bounded 3-core decomposition of the similarity graph — the
+    * community-density filter (dense cores survive, pendant chains
+    * peel away) over the SAME mined edge set as q167/q102/q93.
+    * [[graft.operators.Graphs.kcoreBounded]]: 6 deterministic peel
+    * rounds (each one keyed degree count + two node-id semi joins,
+    * lineage-truncated), oracle-replayable round for round; the
+    * true-fixpoint variant [[graft.operators.Graphs.kcore]] is
+    * spec-verified equal on this graph. */
+  def q171KcoreBounded(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 100 === 0)
+    val pairs = graft.operators.Caches.persistTracked(
+      Similarity.cosineNearDupPairs(emb, centroids,
+          threshold = 0.30, nprobe = 2)
+        .select(col("id_a"), col("id_b")))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.operators.Graphs.kcoreBounded(edges, k = 3, rounds = 6)
+      .select(col("id").as("vec_id"), col("core_deg"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4302,5 +4325,6 @@ object Queries {
     "q167_clustering_coeff" -> (q167ClusteringCoeff _),
     "q168_record_linkage" -> (q168RecordLinkage _),
     "q169_ab_experiment" -> (q169AbExperiment _),
-    "q170_daily_trend" -> (q170DailyTrend _))
+    "q170_daily_trend" -> (q170DailyTrend _),
+    "q171_kcore" -> (q171KcoreBounded _))
 }

@@ -73,4 +73,64 @@ object Graphs {
     ranks.join(deg.select(col("src").as("id"), col("out_deg")), Seq("id"))
       .select(col("id"), col("out_deg"), col("r").as("rank_fp"))
   }
+
+  /** One k-core peel round: degrees over the surviving subgraph, drop
+    * nodes below `k`, keep only edges whose BOTH endpoints survive.
+    * `edges` must be the mirrored (src,dst)+(dst,src) undirected set,
+    * so `groupBy(src)` degrees count every incident edge. */
+  private def peelOnce(edges: DataFrame, k: Int): DataFrame = {
+    val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .where(col("d") >= k).select(col("src"))
+    edges
+      .join(keep, Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
+  /** BOUNDED k-core peeling: exactly `rounds` peel passes, returning
+    * the surviving nodes with their subgraph degree. After enough
+    * rounds this IS the k-core; before convergence it is the standard
+    * bounded-pass upper approximation (supergraph of the true core) —
+    * the deterministic, oracle-replayable variant ([[kcore]] runs to
+    * the true fixpoint). Each round is one keyed aggregation + two
+    * semi joins on node ids; lineage truncates every 2 rounds so
+    * round count never compounds plan depth. */
+  def kcoreBounded(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = Caches.persistTracked(edges.select(col("src"), col("dst")))
+    var it = 1
+    while (it <= rounds) {
+      val next = peelOnce(e, k)
+      e = if (it % 2 == 0 && it < rounds) next.transform(Lineage.truncate)
+        else next
+      it += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("id"), col("core_deg"))
+  }
+
+  /** True k-core: peel until the node set is stable. The per-round
+    * convergence check is one scalar count to the driver (the same
+    * summary-only contract as [[Dedup.connectedComponents]]); rounds
+    * are bounded by `maxRounds` as a runaway guard. Returns (id,
+    * core_deg) where every core_deg >= k. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1)
+    var e = Caches.persistTracked(edges.select(col("src"), col("dst")))
+    var prev = e.count()
+    var it = 0
+    var stable = false
+    while (!stable && it < maxRounds) {
+      val next = Caches.persistTracked(
+        if ((it + 1) % 4 == 0) peelOnce(e, k).transform(Lineage.truncate)
+        else peelOnce(e, k))
+      val m = next.count()
+      stable = m == prev
+      prev = m
+      e = next
+      it += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("id"), col("core_deg"))
+  }
 }

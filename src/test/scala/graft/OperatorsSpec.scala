@@ -1136,4 +1136,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan.take(800))
     assert(!plan.contains("FullOuter"), plan.take(800))
   }
+  // ---- Graphs.kcore ----
+
+  ctest("kcore: pendant chains peel away, the clique core survives with exact degrees") {
+    import graft.operators.Graphs
+    // 4-clique {1,2,3,4} + a CASCADING appendage: 5 touches {4,6,7},
+    // 6-7 close a triangle with 5 — only after 6 and 7 peel (deg 2)
+    // does 5 drop below k, so convergence takes two rounds
+    val und = Seq(
+      (1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(5L,7L),(6L,7L),(8L,9L)
+    ).toDF("a","b")
+    val edges = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val core = Graphs.kcore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // bounded peeling converges to the same core once rounds suffice
+    val bounded = Graphs.kcoreBounded(edges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded === core)
+    // before convergence it is a SUPERGRAPH of the true core
+    val early = Graphs.kcoreBounded(edges, k = 3, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(core.keySet.subsetOf(early) && early.size > core.size)
+  }
 }
