@@ -1398,6 +1398,31 @@ object Oracles {
         |SELECT vec_id, CAST(core_deg AS BIGINT) AS core_deg
         |FROM fin ORDER BY vec_id""".stripMargin,
 
+    // q172: running-max-end island break over variable-length
+    // intervals; epoch seconds keep everything integer.
+    "q172_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + 60 + event_id % 3600 AS e
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_max_e
+        |  FROM iv),
+        |b AS (SELECT user_id, event_id, s, e,
+        |  CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+        |    THEN 1 ELSE 0 END AS brk FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM b),
+        |g AS (SELECT user_id, island, min(s) AS i_start,
+        |  max(e) AS i_end FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |CAST(sum(i_end - i_start) AS BIGINT) AS covered_sec,
+        |CAST(max(i_end - i_start) AS BIGINT) AS longest_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

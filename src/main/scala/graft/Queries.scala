@@ -3663,42 +3663,14 @@ object Queries {
     * ranks tie-break by doc_id. */
   def q160Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = t(spark, dir).documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val post = toks.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("len")).as("total_len"))
+    import graft.operators.Relevance
+    val (post, lens) = Relevance.bm25Postings(
+      t(spark, dir).documents, "doc_id", "text")
     val qs = Seq(
       (1L, "hash join"), (2L, "window agg sort"),
       (3L, "spark stream batch"), (4L, "vector query"),
       (5L, "slow scan filter")).toDF("query_id", "qtext")
-    val qterms = qs.select(col("query_id"),
-      explode(tokens(col("qtext"))).as("term"))
-    val scored = post
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfT), Seq("term"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("sat", col("tf") * lit(2.2) / (col("tf")
-        + lit(1.2) * (lit(0.25)
-          + lit(0.75) * col("len") * col("n_docs") / col("total_len"))))
-      .withColumn("ts_fp",
-        round(col("idf") * col("sat") * 1e6).cast("long"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("ts_fp")).as("score_fp"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("doc_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        (col("score_fp").cast("double") / 1e6).as("bm25"))
-      .orderBy(col("query_id"), col("rank"))
+    Relevance.bm25TopK(post, lens, qs, k = 10)
   }
 
   /** Product-quantized ANN with ADC scoring
@@ -4153,6 +4125,40 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** Interval union (coverage) per user: each event opens an activity
+    * interval of VARIABLE length (60 + event_id mod 3600 seconds), and
+    * overlapping intervals merge into islands via the running-max-end
+    * break rule — the general interval-union operator (q31's
+    * fixed-gap sessionization is the degenerate constant-duration
+    * case; variable durations genuinely need the running max, since
+    * one long early interval can swallow many later short ones).
+    * Island coverage is `max_end − min_start` in exact epoch seconds.
+    * One user-partitioned sort serves both windows. */
+  def q172IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("e", col("s") + lit(60L) + pmod(col("event_id"), lit(3600L)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val marked = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull
+          || col("s") > col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = marked.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+      .withColumn("len", col("i_end") - col("i_start"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("len")).as("covered_sec"),
+        max(col("len")).as("longest_sec"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4326,5 +4332,6 @@ object Queries {
     "q168_record_linkage" -> (q168RecordLinkage _),
     "q169_ab_experiment" -> (q169AbExperiment _),
     "q170_daily_trend" -> (q170DailyTrend _),
-    "q171_kcore" -> (q171KcoreBounded _))
+    "q171_kcore" -> (q171KcoreBounded _),
+    "q172_interval_union" -> (q172IntervalUnion _))
 }

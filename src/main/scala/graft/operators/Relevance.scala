@@ -68,4 +68,59 @@ object Relevance {
       .groupBy(col("doc_id"))
       .agg(sum(col("vote")).as("score"))
   }
+  /** BM25 index artifacts from a document frame: postings
+    * (term, doc_id, tf) and doc lengths (doc_id, len). One keyed
+    * aggregation each — the ONLY corpus-scale stages of the retrieval
+    * path. Both are ADDITIVE under document append (new docs only add
+    * rows), which is what makes the streaming ingest twin
+    * ([[graft.streaming.SearchIngest]]) a plain per-batch fold with
+    * no state store. */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val post = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    (post, lens)
+  }
+
+  /** Robertson BM25 top-k over prebuilt index artifacts (k1 = 1.2,
+    * b = 0.75, Lucene's always-positive idf). df and corpus stats are
+    * derived from the postings/lens at serve time (one
+    * vocabulary-sized agg + one single-row agg — both broadcast).
+    * Per-term scores round to 1e-6 fixed point and docs sum LONGS so
+    * multi-term float summation order cannot matter (q119's
+    * convention). Output: (query_id, rank, doc_id, bm25). */
+  def bm25TopK(post: DataFrame, lens: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_len"))
+    val qterms = queries.select(col("query_id"),
+      explode(tokens(col("qtext"))).as("term"))
+    val scored = post
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("sat", col("tf") * lit(2.2) / (col("tf")
+        + lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("len") * col("n_docs") / col("total_len"))))
+      .withColumn("ts_fp",
+        round(col("idf") * col("sat") * 1e6).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts_fp")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("score_fp").cast("double") / 1e6).as("bm25"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

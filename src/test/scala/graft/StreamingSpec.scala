@@ -1271,6 +1271,47 @@ class StreamingSpec extends AnyFunSuite {
       "streamed appends must converge to the from-scratch index")
   }
 
+  test("SearchIngest: maintained postings serve BM25 identically to the batch build") {
+    implicit val ctx = spark.sqlContext
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect()
+    val idxDir = GraftTestSpark.tmpDir("graft-bm25-idx")
+    val chk = GraftTestSpark.tmpDir("graft-bm25-chk")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.SearchIngest.ingest(
+        input.toDF().toDF("doc_id", "text"), idxDir)
+      .option("checkpointLocation", chk).start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val qs = Seq((1L, "hash join"), (2L, "window agg sort"),
+      (3L, "spark stream batch")).toDF("query_id", "qtext")
+    def topk(post: org.apache.spark.sql.DataFrame,
+        lens: org.apache.spark.sql.DataFrame) =
+      graft.operators.Relevance.bm25TopK(post, lens, qs, k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val served = topk(
+      graft.streaming.SearchIngest.postings(spark, idxDir),
+      graft.streaming.SearchIngest.docLens(spark, idxDir))
+    val (bp, bl) = graft.operators.Relevance.bm25Postings(
+      docs, "doc_id", "text")
+    assert(served.nonEmpty && served === topk(bp, bl))
+    // retry idempotence: re-applying an already-written batch id must
+    // not double-append (the batch=<id> overwrite contract)
+    val before = graft.streaming.SearchIngest.postings(spark, idxDir).count()
+    graft.streaming.SearchIngest.applyBatch(
+      docs.limit(40), idxDir, 0L)
+    graft.streaming.SearchIngest.applyBatch(
+      docs.limit(40), idxDir, 0L)
+    val after = graft.streaming.SearchIngest.postings(spark, idxDir).count()
+    assert(after <= before,
+      s"retry must overwrite its own batch dir, not append: $before -> $after")
+  }
+
   // ---- CdcStream: versioned copy-on-write MERGE maintenance ----
 
   private def cdcRow(id: Long, seq: Long, op: String, text: String,
