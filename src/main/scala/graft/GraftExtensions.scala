@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, OverlapSim, SimHashBits, Tokenize, WinnowFingerprints, WordShingles, ZOrderKey}
+import graft.expressions.{CosineSim, HammingDist, JaccardSim, JaroWinkler, MinhashSig, OverlapSim, SimHashBits, Tokenize, WinnowFingerprints, WordShingles, ZOrderKey}
 
 /** `spark.sql.extensions` entry point — the zero-code-change way to
   * get the engine's native SQL surface (SURVEY §7.3's preferred
@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder_key",
         "zorder_key(a, b) - Morton interleave of two bigints' low 16 bits"),
       exprs => ZOrderKey(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-parity)"),
+      exprs => JaroWinkler(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text, w, t) - winnowed rolling-hash sketch"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{CosineSim, HammingDist, JaccardSim, MinhashSig, OverlapSim, SimHashBits, Tokenize, WinnowFingerprints, WordShingles, ZOrderKey}
+import graft.expressions.{CosineSim, HammingDist, JaccardSim, JaroWinkler, MinhashSig, OverlapSim, SimHashBits, Tokenize, WinnowFingerprints, WordShingles, ZOrderKey}
 
 /** SQL-surface registration: exposes the native expressions to
   * `spark.sql(...)` users, so the engine's text primitives are usable
@@ -33,6 +33,8 @@ object GraftFunctions {
       exprs => OverlapSim(exprs.head, exprs(1),
         if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
         else 3), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder_key",
       exprs => ZOrderKey(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
