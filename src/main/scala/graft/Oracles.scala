@@ -1423,6 +1423,79 @@ object Oracles {
         |CAST(max(i_end - i_start) AS BIGINT) AS longest_sec
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // q173: q157's min-chain + nearest-rank percentile picks; floor
+    // epoch seconds (DuckDB's epoch cast would round).
+    "q173_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1),
+        |lat AS (SELECT user_id,
+        |  CAST(floor(epoch(t3)) AS BIGINT)
+        |    - CAST(floor(epoch(t1)) AS BIGINT) AS latency FROM s3),
+        |r AS (SELECT latency,
+        |  row_number() OVER (ORDER BY latency, user_id) AS rn,
+        |  count(*) OVER () AS n FROM lat)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |CAST(max(CASE WHEN rn = (n * 25 + 99) // 100 THEN latency END)
+        |  AS BIGINT) AS p25_sec,
+        |CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN latency END)
+        |  AS BIGINT) AS p50_sec,
+        |CAST(max(CASE WHEN rn = (n * 75 + 99) // 100 THEN latency END)
+        |  AS BIGINT) AS p75_sec,
+        |CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN latency END)
+        |  AS BIGINT) AS p90_sec,
+        |CAST(max(latency) AS BIGINT) AS max_sec
+        |FROM r""".stripMargin,
+
+    // q174: unbiased AMS signed inner product (5-row median) vs the
+    // exact sum-of-products; md5 buckets/signs via the '0x' cast.
+    "q174_join_cardinality" ->
+      """WITH pairs AS (
+        |  SELECT 'lineitem_orders' AS join_name, l_orderkey AS k,
+        |    'a' AS side FROM lineitem
+        |  UNION ALL SELECT 'lineitem_orders', o_orderkey, 'b'
+        |  FROM orders
+        |  UNION ALL SELECT 'orders_customer', o_custkey, 'a'
+        |  FROM orders
+        |  UNION ALL SELECT 'orders_customer', c_custkey, 'b'
+        |  FROM customer),
+        |kc AS MATERIALIZED (SELECT join_name, side, k, count(*) AS c
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |exact AS (SELECT a.join_name,
+        |  CAST(sum(a.c * b.c) AS BIGINT) AS exact_card
+        |  FROM kc a JOIN kc b
+        |    ON a.join_name = b.join_name AND a.k = b.k
+        |    AND a.side = 'a' AND b.side = 'b'
+        |  GROUP BY 1),
+        |rows5 AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
+        |cells AS MATERIALIZED (SELECT join_name, side, j,
+        |  CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+        |    || CAST(k AS VARCHAR)), 1, 2) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN CAST('0x' || substr(md5('s|'
+        |    || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 1)
+        |    AS BIGINT) % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS sc
+        |  FROM kc CROSS JOIN rows5 GROUP BY 1, 2, 3, 4),
+        |estr AS (SELECT a.join_name, a.j,
+        |  CAST(sum(a.sc * b.sc) AS BIGINT) AS est
+        |  FROM cells a JOIN cells b
+        |    ON a.join_name = b.join_name AND a.j = b.j AND a.b = b.b
+        |    AND a.side = 'a' AND b.side = 'b'
+        |  GROUP BY 1, 2),
+        |med AS (SELECT join_name, est AS est_card FROM (
+        |  SELECT join_name, est, j, row_number() OVER (
+        |    PARTITION BY join_name ORDER BY est, j) AS rn FROM estr)
+        |  WHERE rn = 3)
+        |SELECT join_name, exact_card, est_card,
+        |CAST((est_card - exact_card) * 10000 // exact_card AS BIGINT)
+        |  AS err_bp
+        |FROM exact JOIN med USING (join_name)
+        |ORDER BY join_name""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

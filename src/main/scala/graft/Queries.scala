@@ -4159,6 +4159,101 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Funnel time-to-convert: users completing the q157 view → click →
+    * purchase chain, summarized as exact NEAREST-RANK latency
+    * percentiles (rank = ⌈p·n/100⌉, (latency, user_id) tie-break —
+    * q159's no-interpolation convention) in integer seconds. The
+    * chain is three user-keyed conditional aggregations reusing one
+    * partitioning; the percentile window runs over the
+    * converted-USERS frame (at 1e9 users this becomes the standard
+    * two-phase distribution count — noted, not needed here). */
+  def q173FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .where(col("event_type") === "click" && col("ts") >= col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
+    val lat = s3.select(col("user_id"),
+      (unix_timestamp(col("t3")) - unix_timestamp(col("t1")))
+        .as("latency"))
+    val w = Window.orderBy(col("latency"), col("user_id"))
+    val ranked = lat
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked.agg(
+      max(col("n")).as("n_converted"),
+      max(when(col("rn") === expr("(n * 25 + 99) div 100"),
+        col("latency"))).as("p25_sec"),
+      max(when(col("rn") === expr("(n * 50 + 99) div 100"),
+        col("latency"))).as("p50_sec"),
+      max(when(col("rn") === expr("(n * 75 + 99) div 100"),
+        col("latency"))).as("p75_sec"),
+      max(when(col("rn") === expr("(n * 90 + 99) div 100"),
+        col("latency"))).as("p90_sec"),
+      max(col("latency")).as("max_sec"))
+  }
+
+  /** Join-cardinality estimation from mergeable AMS sketches — the
+    * optimizer-statistics primitive: |A ⋈ B| = Σ cA(k)·cB(k) is
+    * estimated UNBIASED by the signed-count inner product (AMS F2
+    * sketch: each key hashes to one of 256 buckets AND a ±1 sign;
+    * est_j = Σ_b Sa·Sb has expectation exactly the true join size,
+    * unlike the all-positive CMS inner product whose collision bias
+    * explodes once distinct keys ≫ buckets), median of 5 independent
+    * rows. Each side folds to 5×256 integer cells with map-side
+    * combine — the estimate costs O(rows·buckets) shuffle regardless
+    * of table size, which is the point of the sketch. Hashing is the
+    * portable md5-prefix (q106's convention); the nearest-rank median
+    * of 5 exact integers never touches a float. */
+  def q174JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val ca = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col("k")).agg(count(lit(1)).as("cb"))
+      val exact = ca.join(cb, Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_card"))
+      def cells(kc: DataFrame, cnt: String, out: String) = kc
+        .select(col("k"), col(cnt),
+          explode(expr("array(0, 1, 2, 3, 4)")).as("j"))
+        .select(col("j"),
+          conv(substring(md5(concat_ws("|", col("j"), col("k"))),
+            1, 2), 16, 10).cast("int").as("b"),
+          (when(conv(substring(md5(concat_ws("|", lit("s"), col("j"),
+            col("k"))), 1, 1), 16, 10).cast("int") % 2 === 0, 1L)
+            .otherwise(-1L) * col(cnt)).as("sc"))
+        .groupBy(col("j"), col("b")).agg(sum(col("sc")).as(out))
+      val estRows = cells(ca, "ca", "sa")
+        .join(cells(cb, "cb", "sb"), Seq("j", "b"))
+        .groupBy(col("j")).agg(sum(col("sa") * col("sb")).as("est"))
+      val est = estRows
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("est"), col("j"))))
+        .where(col("rn") === 3)
+        .select(col("est").as("est_card"))
+      exact.crossJoin(est)
+        .select(lit(name).as("join_name"), col("exact_card"),
+          col("est_card"),
+          expr("(est_card - exact_card) * 10000 div exact_card")
+            .as("err_bp"))
+    }
+    val tt = t(spark, dir)
+    profile("lineitem_orders",
+        tt.lineitem.select(col("l_orderkey").as("k")),
+        tt.orders.select(col("o_orderkey").as("k")))
+      .unionByName(profile("orders_customer",
+        tt.orders.select(col("o_custkey").as("k")),
+        tt.customer.select(col("c_custkey").as("k"))))
+      .orderBy(col("join_name"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4333,5 +4428,7 @@ object Queries {
     "q169_ab_experiment" -> (q169AbExperiment _),
     "q170_daily_trend" -> (q170DailyTrend _),
     "q171_kcore" -> (q171KcoreBounded _),
-    "q172_interval_union" -> (q172IntervalUnion _))
+    "q172_interval_union" -> (q172IntervalUnion _),
+    "q173_funnel_latency" -> (q173FunnelLatency _),
+    "q174_join_cardinality" -> (q174JoinCardinality _))
 }
