@@ -1269,9 +1269,10 @@ object Oracles {
     // Spark-side native expression was fuzz-pinned against; threshold
     // in e-notation (plain decimals parse as DECIMAL in DuckDB).
     "q168_record_linkage" ->
-      """WITH a AS (SELECT p_partkey AS a_key, p_name AS a_name,
-        |  substr(p_name, 1, 2) AS blk FROM part),
-        |b0 AS (SELECT p_partkey AS b_key,
+      """WITH an AS MATERIALIZED (SELECT p_name AS a_name,
+        |  CAST(min(p_partkey) AS BIGINT) AS min_a_key
+        |  FROM part GROUP BY 1),
+        |b AS MATERIALIZED (SELECT p_partkey AS b_key,
         |  CASE WHEN p_partkey % 8 = 1 THEN
         |    substr(p_name, 1, CAST(3 + p_partkey % 3 AS INT) - 1)
         |    || substr(p_name, CAST(3 + p_partkey % 3 AS INT) + 1)
@@ -1281,12 +1282,23 @@ object Oracles {
         |  WHEN p_partkey % 8 = 5 THEN p_name || ' inc'
         |  ELSE p_name END AS b_name
         |  FROM part WHERE p_partkey % 2 = 1),
-        |b AS (SELECT b_key, b_name, substr(b_name, 1, 2) AS blk FROM b0),
-        |s AS (SELECT b_key, a_key, b_name, a_name,
+        |bn AS (SELECT DISTINCT b_name FROM b),
+        |ag AS MATERIALIZED (SELECT a_name, min_a_key, unnest(
+        |  list_distinct(list_transform(range(1, length(a_name) - 2),
+        |    i -> substr(a_name, CAST(i AS INT), 4)))) AS g FROM an),
+        |keep AS (SELECT g FROM ag GROUP BY g HAVING count(*) <= 200),
+        |bg AS (SELECT b_name, unnest(
+        |  list_distinct(list_transform(range(1, length(b_name) - 2),
+        |    i -> substr(b_name, CAST(i AS INT), 4)))) AS g FROM bn),
+        |cand AS (SELECT DISTINCT bg.b_name, ag.a_name, ag.min_a_key
+        |  FROM bg JOIN keep USING (g) JOIN ag USING (g)),
+        |sn AS MATERIALIZED (SELECT b_name, a_name, min_a_key,
         |  round(jaro_winkler_similarity(b_name, a_name), 6) AS jw
-        |  FROM b JOIN a USING (blk)
+        |  FROM cand
         |  WHERE round(jaro_winkler_similarity(b_name, a_name), 6)
-        |    >= 8.8e-1)
+        |    >= 8.8e-1),
+        |s AS (SELECT b.b_key, sn.min_a_key AS a_key, b.b_name,
+        |  sn.a_name, sn.jw FROM b JOIN sn USING (b_name))
         |SELECT b_key, a_key, b_name, a_name, jw FROM (
         |  SELECT *, row_number() OVER (PARTITION BY b_key
         |    ORDER BY jw DESC, a_key) AS rn FROM s)

@@ -3977,17 +3977,16 @@ object Queries {
     * bit-identical to DuckDB's `jaro_winkler_similarity` — see
     * StringSimKernels): a dirty feed (deterministic char-drop /
     * char-dup / suffix perturbations of half the part registry) is
-    * linked back to the master registry. Candidate pairs come from a
-    * 2-char-prefix BLOCK join — never all-pairs; block sizes are
-    * vocabulary-bounded here and would get a q22-style frequency cap
-    * at open-vocabulary scale. Top-1 match per dirty record at
-    * rounded jw ≥ 0.88. */
+    * linked back to the master registry. Candidate pairs come from
+    * rare-character-4-gram blocking over DICTIONARY-ENCODED names
+    * (the q22 inverted-index pattern: score distinct name pairs once,
+    * df-capped grams, expand winners to records via the per-name min
+    * key) — never all-pairs, never re-scoring a repeated name, and
+    * robust to name distributions where prefix blocking collapses to
+    * one block. Top-1 match per dirty record at rounded jw ≥ 0.88. */
   def q168RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.StringSimExpressions.jaroWinkler
     val p = t(spark, dir).part
-    val a = p.select(col("p_partkey").as("a_key"),
-        col("p_name").as("a_name"))
-      .withColumn("blk", substring(col("a_name"), 1, 2))
     val b = p.where(col("p_partkey") % 2 === 1)
       .withColumn("k", expr("cast(3 + p_partkey % 3 as int)"))
       .select(col("p_partkey").as("b_key"),
@@ -3998,16 +3997,45 @@ object Queries {
         .when(col("p_partkey") % 8 === 5,
           concat(col("p_name"), lit(" inc")))
         .otherwise(col("p_name")).as("b_name"))
-      .withColumn("blk", substring(col("b_name"), 1, 2))
-    val scored = b.join(a, Seq("blk"))
+    // dictionary-encode before the expensive comparator: score
+    // DISTINCT (b_name, a_name) pairs and expand winners afterwards —
+    // an all-records block join re-evaluates identical JW pairs
+    // millions of times once names repeat. The per-record winner
+    // under (jw DESC, a_key ASC) is always the min a_key of an
+    // argmax-jw name, so carrying min_a_key per name loses nothing.
+    val aNames = p.groupBy(col("p_name").as("a_name"))
+      .agg(min(col("p_partkey")).as("min_a_key"))
+    val bNames = b.select(col("b_name")).distinct()
+    // q-gram blocking (the q22 inverted-index pattern on CHARACTER
+    // 4-grams): candidates = name pairs sharing a non-hot gram, with
+    // the df cap on the registry side killing stop-grams. A prefix
+    // block degenerates on real name distributions (gen10's names all
+    // share one prefix — one block, 2e10 comparator calls, measured
+    // unrunnable); rare-gram candidates survive every perturbation
+    // here (drop/dup touch ≤4 of a name's grams, the suffix none).
+    def grams(n: Column): Column = array_distinct(
+      transform(sequence(lit(1), length(n) - 3),
+        i => substring(n, i, lit(4))))
+    val aG = aNames
+      .select(col("a_name"), col("min_a_key"),
+        explode(grams(col("a_name"))).as("g"))
+    val keep = aG.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 200).select(col("g"))
+    val cand = bNames
+      .select(col("b_name"), explode(grams(col("b_name"))).as("g"))
+      .join(aG.join(keep, Seq("g")), Seq("g"))
+      .select(col("b_name"), col("a_name"), col("min_a_key"))
+      .distinct()
+    val scoredNames = cand
       .withColumn("jw",
         round(jaroWinkler(col("b_name"), col("a_name")), 6))
       .where(col("jw") >= 0.88)
     val w = Window.partitionBy(col("b_key"))
-      .orderBy(col("jw").desc, col("a_key"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("b_key"), col("a_key"), col("b_name"),
-        col("a_name"), col("jw"))
+      .orderBy(col("jw").desc, col("min_a_key"))
+    b.join(broadcast(scoredNames), Seq("b_name"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("b_key"), col("min_a_key").as("a_key"),
+        col("b_name"), col("a_name"), col("jw"))
       .orderBy(col("b_key"))
   }
 
