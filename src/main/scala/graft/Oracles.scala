@@ -1508,6 +1508,74 @@ object Oracles {
         |FROM exact JOIN med USING (join_name)
         |ORDER BY join_name""".stripMargin,
 
+    // q175: brand-grain baskets; all rule metrics integer
+    // fixed-point so the lift ordering is exact.
+    "q175_basket_rules" ->
+      """WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |  p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM bk),
+        |sp AS (SELECT b, count(*) AS s FROM bk GROUP BY 1),
+        |pr AS (SELECT a.b AS ante, c.b AS cons,
+        |  CAST(count(*) AS BIGINT) AS s_ab
+        |  FROM bk a JOIN bk c ON a.ok = c.ok AND a.b <> c.b
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (SELECT ante, cons, s_ab,
+        |  CAST(s_ab * 10000 // sa.s AS BIGINT) AS conf_bp,
+        |  CAST(s_ab * n.n_orders * 1000000 // (sa.s * sb.s) AS BIGINT)
+        |    AS lift_1e6
+        |  FROM pr JOIN sp sa ON sa.b = pr.ante
+        |  JOIN sp sb ON sb.b = pr.cons CROSS JOIN n)
+        |SELECT "rank", ante, cons, s_ab, conf_bp, lift_1e6 FROM (
+        |  SELECT *, row_number() OVER (ORDER BY lift_1e6 DESC, ante,
+        |    cons) AS "rank" FROM sc)
+        |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
+    // q176: ntile(5) over fully tie-broken orders (SQL-standard
+    // equal-fill buckets agree across engines once the order is
+    // total); money as integer cents.
+    "q176_rfm_segments" ->
+      """WITH md AS (SELECT max(o_orderdate) AS d_max FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |  date_diff('day', max(o_orderdate), (SELECT d_max FROM md))
+        |    AS rec_days,
+        |  count(*) AS freq,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS money_c
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT o_custkey, rec_days, money_c,
+        |  ntile(5) OVER (ORDER BY rec_days, o_custkey) AS r,
+        |  ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |  ntile(5) OVER (ORDER BY money_c DESC, o_custkey) AS m
+        |  FROM rfm)
+        |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+        |CAST(sum(money_c) AS DOUBLE)/100.0 AS revenue,
+        |CAST(min(rec_days) AS INT) AS min_rec,
+        |CAST(max(rec_days) AS INT) AS max_rec
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+
+    // q177: running cumulative share classification decided by exact
+    // integer cross-multiplication.
+    "q177_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev),
+        |run AS (SELECT l_partkey, rev_c,
+        |  CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        |  FROM rev),
+        |cls AS (SELECT rev_c,
+        |  CASE WHEN cum_c * 10000 <= total_c * 8000 THEN 'A'
+        |    WHEN cum_c * 10000 <= total_c * 9500 THEN 'B'
+        |    ELSE 'C' END AS cls, total_c
+        |  FROM run CROSS JOIN tot)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |CAST(sum(rev_c) AS DOUBLE)/100.0 AS revenue,
+        |CAST(sum(rev_c) * 10000 // max(total_c) AS BIGINT) AS share_bp
+        |FROM cls GROUP BY cls ORDER BY cls""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

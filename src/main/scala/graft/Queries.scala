@@ -4282,6 +4282,114 @@ object Queries {
       .orderBy(col("join_name"))
   }
 
+  /** Market-basket association rules at brand grain: baskets =
+    * distinct (order, brand) from the fact table (one dim join + one
+    * distinct projection — the only corpus-scale stages), directional
+    * rules a→b scored by support / confidence / lift with ALL metrics
+    * integer fixed-point (lift_1e6 = ⌊1e6·supp_ab·N / (supp_a·supp_b)⌋
+    * — exact rational ranking, no float ordering crosses engines).
+    * Brand-pair space is |brands|² — the rule rollup never scales with
+    * the corpus. Top-20 rules by lift with support ≥ 5. */
+  def q175BasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    val baskets = tt.lineitem
+      .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val supp = baskets.groupBy(col("b")).agg(count(lit(1)).as("s"))
+    val pairs = baskets.join(
+        baskets.select(col("ok"), col("b").as("b2")), Seq("ok"))
+      .where(col("b") =!= col("b2"))
+      .groupBy(col("b").as("ante"), col("b2").as("cons"))
+      .agg(count(lit(1)).as("s_ab"))
+      .where(col("s_ab") >= 5)
+    val scored = pairs
+      .join(broadcast(supp.select(col("b").as("ante"),
+        col("s").as("s_a"))), Seq("ante"))
+      .join(broadcast(supp.select(col("b").as("cons"),
+        col("s").as("s_b"))), Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("s_ab"), col("s_a"),
+        col("s_b"),
+        expr("s_ab * 10000 div s_a").as("conf_bp"),
+        expr("s_ab * n_orders * 1000000 div (s_a * s_b)")
+          .as("lift_1e6"))
+    scored
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("lift_1e6").desc, col("ante"), col("cons"))))
+      .where(col("rank") <= 20)
+      .select(col("rank"), col("ante"), col("cons"), col("s_ab"),
+        col("conf_bp"), col("lift_1e6"))
+      .orderBy(col("rank"))
+  }
+
+  /** RFM customer segmentation: recency (days since last order,
+    * against the corpus max date — no wall clock, T10), frequency
+    * (order count), monetary (integer cents) quintiled with ntile(5)
+    * over fully tie-broken orderings (metric, custkey — both engines
+    * implement SQL-standard equal-fill buckets, deterministic once
+    * the order is total). Output: one row per populated (r,f,m)
+    * cell with customer count and exact money stats — at most 125
+    * rows regardless of corpus size; the only corpus-scale stage is
+    * the per-customer order rollup. */
+  def q176RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir).orders
+    val maxDate = o.agg(max(col("o_orderdate")).as("d_max"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("freq"),
+        centsSum(col("o_totalprice")).as("money_c"))
+      .crossJoin(broadcast(maxDate))
+      .select(col("o_custkey"),
+        datediff(col("d_max"), col("last_d")).as("rec_days"),
+        col("freq"), col("money_c"))
+    rfm
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("rec_days"), col("o_custkey"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("o_custkey"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("money_c").desc, col("o_custkey"))))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("money_c")) / 100.0).as("revenue"),
+        min(col("rec_days")).as("min_rec"),
+        max(col("rec_days")).as("max_rec"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  /** Pareto / ABC inventory classification: parts ranked by exact
+    * integer-cents revenue, classified by the RUNNING cumulative
+    * revenue share (A ≤ 80%, B ≤ 95%, C rest — thresholds compared in
+    * exact basis points: cum·10000 ≤ bp·total, no float division in
+    * the decision). One keyed rollup of the fact table; the ranked
+    * running-sum window is part-frame sized (at open cardinality it
+    * becomes the two-phase prefix-sum — same note as q173). */
+  def q177AbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    val rev = tt.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(centsSum(col("l_extendedprice")).as("rev_c"))
+    val total = rev.agg(sum(col("rev_c")).as("total_c"))
+    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+    rev
+      .withColumn("cum_c", sum(col("rev_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .withColumn("cls",
+        when(col("cum_c") * 10000 <= col("total_c") * 8000, "A")
+          .when(col("cum_c") * 10000 <= col("total_c") * 9500, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("rev_c")) / 100.0).as("revenue"),
+        expr("sum(rev_c) * 10000 div max(total_c)").as("share_bp"))
+      .orderBy(col("cls"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4458,5 +4566,8 @@ object Queries {
     "q171_kcore" -> (q171KcoreBounded _),
     "q172_interval_union" -> (q172IntervalUnion _),
     "q173_funnel_latency" -> (q173FunnelLatency _),
-    "q174_join_cardinality" -> (q174JoinCardinality _))
+    "q174_join_cardinality" -> (q174JoinCardinality _),
+    "q175_basket_rules" -> (q175BasketRules _),
+    "q176_rfm_segments" -> (q176RfmSegments _),
+    "q177_abc_analysis" -> (q177AbcAnalysis _))
 }
