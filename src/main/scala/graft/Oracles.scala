@@ -1576,6 +1576,116 @@ object Oracles {
         |CAST(sum(rev_c) * 10000 // max(total_c) AS BIGINT) AS share_bp
         |FROM cls GROUP BY cls ORDER BY cls""".stripMargin,
 
+    // q178: per-type entropy terms round ONCE from exact integers
+    // (1e-6 fixed point), the per-user entropy is an INTEGER sum of
+    // rounded terms — no float summation order (q160 ln contract).
+    "q178_user_entropy" ->
+      """WITH pt AS (SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tm AS (SELECT user_id, c,
+        |  CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM pt),
+        |pu AS (SELECT user_id,
+        |  CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CAST(round(1e6 * (c / n) * ln(n / c)) AS BIGINT))
+        |    AS BIGINT) AS h_1e6
+        |  FROM tm GROUP BY 1 HAVING max(n) >= 20)
+        |SELECT "rank", user_id, n_events, n_types, h_1e6 FROM (
+        |  SELECT *, row_number() OVER (ORDER BY h_1e6, user_id)
+        |    AS "rank" FROM pu)
+        |WHERE "rank" <= 100 ORDER BY "rank"""".stripMargin,
+
+    // q179: PSI terms are ONE rounded expression of four exact
+    // integers each; the per-type PSI integer-sums rounded terms;
+    // the half split is the exact integer epoch midpoint.
+    "q179_psi_drift" ->
+      """WITH ev AS (SELECT event_type, "value",
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |md AS (SELECT CAST((min(es) + max(es)) // 2 AS BIGINT)
+        |  AS mid FROM ev),
+        |bn AS (SELECT event_type,
+        |  CASE WHEN es < (SELECT mid FROM md) THEN 'a' ELSE 'b' END
+        |    AS half,
+        |  LEAST(CAST(floor("value" / 50.0) AS INT), 9) AS bin,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |sp AS (SELECT DISTINCT event_type, unnest(range(0, 10)) AS bin
+        |  FROM bn),
+        |ha AS (SELECT sp.event_type, sp.bin,
+        |  CAST(coalesce(b.c, 0) AS BIGINT) AS ca,
+        |  t.na FROM sp
+        |  LEFT JOIN (SELECT event_type, bin, c FROM bn
+        |    WHERE half = 'a') b
+        |  ON b.event_type = sp.event_type AND b.bin = sp.bin
+        |  JOIN (SELECT event_type, CAST(sum(c) AS BIGINT) AS na
+        |    FROM bn WHERE half = 'a' GROUP BY 1) t
+        |  ON t.event_type = sp.event_type),
+        |hb AS (SELECT sp.event_type, sp.bin,
+        |  CAST(coalesce(b.c, 0) AS BIGINT) AS cb,
+        |  t.nb FROM sp
+        |  LEFT JOIN (SELECT event_type, bin, c FROM bn
+        |    WHERE half = 'b') b
+        |  ON b.event_type = sp.event_type AND b.bin = sp.bin
+        |  JOIN (SELECT event_type, CAST(sum(c) AS BIGINT) AS nb
+        |    FROM bn WHERE half = 'b' GROUP BY 1) t
+        |  ON t.event_type = sp.event_type),
+        |tm AS (SELECT ha.event_type, ha.na, hb.nb,
+        |  CAST(round(1e6 * ((ca + 1) / (na + 10) - (cb + 1) / (nb + 10))
+        |    * ln(((ca + 1) * (nb + 10)) / ((cb + 1) * (na + 10))))
+        |    AS BIGINT) AS term_1e6
+        |  FROM ha JOIN hb
+        |  ON hb.event_type = ha.event_type AND hb.bin = ha.bin)
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |CAST(max(nb) AS BIGINT) AS n_b,
+        |CAST(sum(term_1e6) AS BIGINT) AS psi_1e6,
+        |CAST(CASE WHEN sum(term_1e6) >= 10000 THEN 1 ELSE 0 END
+        |  AS INT) AS drifted
+        |FROM tm GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q180: decay is a pure integer right-shift per 7 days of age —
+    // no float power; the fold is an integer sum.
+    "q180_decayed_trending" ->
+      """WITH daily AS (SELECT user_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS "day",
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max("day") AS d_max FROM daily),
+        |sc AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(n * 1000000 >> LEAST(
+        |    date_diff('day', "day", (SELECT d_max FROM mx)) // 7, 62))
+        |    AS BIGINT) AS score_1e6
+        |  FROM daily GROUP BY 1)
+        |SELECT "rank", user_id, n_events, score_1e6 FROM (
+        |  SELECT *, row_number() OVER (ORDER BY score_1e6 DESC,
+        |    user_id) AS "rank" FROM sc)
+        |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
+    // q181: per-conversion credit sums to exactly 10000 bp by
+    // largest-remainder construction — all integer.
+    "q181_linear_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, es AS p_es FROM ev
+        |  WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, event_id AS t_id,
+        |  event_type AS touch_type, es AS t_es FROM ev
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.p_id, tc.t_id, tc.touch_type, tc.t_es
+        |  FROM p JOIN tc ON tc.user_id = p.user_id
+        |  AND tc.t_es <= p.p_es AND p.p_es - tc.t_es <= 7 * 86400),
+        |cr AS (SELECT p_id, touch_type,
+        |  CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS k,
+        |  CAST(row_number() OVER (PARTITION BY p_id
+        |    ORDER BY t_es DESC, t_id DESC) AS BIGINT) AS rn
+        |  FROM j)
+        |SELECT touch_type,
+        |CAST(sum(10000 // k + CASE WHEN rn <= 10000 % k THEN 1
+        |  ELSE 0 END) AS BIGINT) AS credit_bp,
+        |CAST(count(*) AS BIGINT) AS n_touches,
+        |CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions
+        |FROM cr GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

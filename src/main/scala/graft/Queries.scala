@@ -4390,6 +4390,166 @@ object Queries {
       .orderBy(col("cls"))
   }
 
+  /** Behavioral-entropy bot screen (the reference's bot-detection
+    * theme, information-theoretic flavor): Shannon entropy of each
+    * user's event-type distribution — a user hammering one endpoint
+    * scores near 0 nats, organic browsing near ln(5). All counts are
+    * exact integers; each per-type term rounds ONCE from one closed
+    * expression of two exact integers (term = (c/n)·ln(n/c) at 1e-6
+    * fixed point — the q160 ln contract) and the per-user entropy is
+    * then an INTEGER sum of rounded terms, so no float summation
+    * order exists anywhere. One corpus-scale keyed aggregation; the
+    * term frame is |users|×|types|. Bottom-100 by entropy among
+    * users with ≥ 20 events. */
+  def q178UserEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val perType = events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val perUser = perType
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("user_id"))))
+      .withColumn("term_1e6", expr(
+        "cast(round(1e6 * (c / n) * ln(n / c)) as bigint)"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("term_1e6")).as("h_1e6"))
+      .where(col("n_events") >= 20)
+    perUser
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("h_1e6"), col("user_id"))))
+      .where(col("rank") <= 100)
+      .select(col("rank"), col("user_id"), col("n_events"),
+        col("n_types"), col("h_1e6"))
+      .orderBy(col("rank"))
+  }
+
+  /** Population-stability-index drift monitor (the training-data
+    * twin of q158's rate anomaly): per event type, the `value`
+    * distribution of the corpus' first time-half vs its second,
+    * histogrammed into the q34 width-50 bins (capped at bin 9) with
+    * +1 Laplace smoothing over the full 10-bin domain so empty bins
+    * contribute finitely. Each bin's PSI term
+    * (p_a−p_b)·ln(p_a/p_b) is ONE rounded expression of four exact
+    * integers (1e-6 fixed point); the per-type PSI is the integer
+    * sum of rounded terms, and the drift flag compares integers.
+    * The half split is the exact integer midpoint of the corpus
+    * epoch-second range — no wall clock (T10). Only the binned
+    * count aggregation touches the corpus; everything after is
+    * |types|×10 cells. */
+  def q179PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+    val mid = ev.agg(
+      ((min(col("es")) + max(col("es"))) / lit(2L)).cast("long")
+        .as("mid"))
+    val binned = ev.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        when(col("es") < col("mid"), lit("a")).otherwise(lit("b"))
+          .as("half"),
+        least(floor(col("value") / 50.0).cast("int"), lit(9))
+          .as("bin"))
+      .groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val spine = binned.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(expr("sequence(0, 9)")).as("bin"))
+    def half(h: String, cn: String, nn: String): DataFrame = binned
+      .where(col("half") === h)
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as(nn))
+      .join(spine, Seq("event_type"))
+      .join(binned.where(col("half") === h)
+          .select(col("event_type"), col("bin"), col("c").as(cn)),
+        Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col(cn), lit(0L)).as(cn), col(nn))
+    val terms = half("a", "ca", "na")
+      .join(half("b", "cb", "nb"), Seq("event_type", "bin"))
+      .withColumn("term_1e6", expr(
+        "cast(round(1e6 * ((ca + 1) / (na + 10) - (cb + 1) / (nb + 10))" +
+          " * ln(((ca + 1) * (nb + 10)) / ((cb + 1) * (na + 10)))) " +
+          "as bigint)"))
+    terms.groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("term_1e6")).as("psi_1e6"))
+      .withColumn("drifted",
+        (col("psi_1e6") >= 10000L).cast("int"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time-decayed trending score (the reference's trending-hashtags
+    * theme made decay-aware): per-user activity where a day's count
+    * is worth half after every 7 days of age against the corpus max
+    * day — recency-weighted "who is hot NOW", not all-time volume.
+    * The decay is a PURE INTEGER right-shift (score += n·1e6 >>
+    * (age/7)) so no float power ever exists; ages cap at 62 shifts.
+    * One (user, day) rollup is the only corpus-scale stage; the
+    * decayed fold is |users|×|days| and commutes (integer adds), so
+    * it maintains incrementally under append — a new day only ADDS
+    * terms (the sketch-maintenance property). Top-20 users. */
+  def q180DecayedTrending(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val maxDay = daily.agg(max(col("day")).as("d_max"))
+    val scored = daily.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), col("n"),
+        expr("shiftright(n * 1000000, " +
+          "cast(least(datediff(d_max, day) div 7, 62) as int))")
+          .as("contrib"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("contrib")).as("score_1e6"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_1e6").desc, col("user_id"))))
+      .where(col("rank") <= 20)
+      .select(col("rank"), col("user_id"), col("n_events"),
+        col("score_1e6"))
+      .orderBy(col("rank"))
+  }
+
+  /** Linear multi-touch attribution (q32's last-touch single hop
+    * generalized to credit EVERY touch): each purchase splits
+    * exactly 10000 credit basis points equally across its
+    * view/click touches of the prior 7 days, with the remainder
+    * assigned to the MOST RECENT touches by largest-remainder
+    * rounding — per-conversion credit sums to exactly 10000 by
+    * construction, so the report's total credit is purchases×10000,
+    * an auditable integer invariant. The touch join is user-keyed
+    * with a range residual (the q32/q100 per-user shape: output
+    * bounded by touches-within-window per purchase, never a
+    * cartesian); credit ranks are per-purchase windows. */
+  def q181LinearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("es").as("p_es"))
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("es").as("t_es"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .where(col("t_es") <= col("p_es")
+        && col("p_es") - col("t_es") <= 7L * 86400L)
+    val w = Window.partitionBy(col("p_id"))
+    val credited = joined
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("t_es").desc, col("t_id").desc)))
+      .withColumn("credit_bp", expr(
+        "10000 div k + if(rn <= 10000 % k, 1, 0)"))
+    credited.groupBy(col("touch_type"))
+      .agg(sum(col("credit_bp")).as("credit_bp"),
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_conversions"))
+      .orderBy(col("touch_type"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4569,5 +4729,9 @@ object Queries {
     "q174_join_cardinality" -> (q174JoinCardinality _),
     "q175_basket_rules" -> (q175BasketRules _),
     "q176_rfm_segments" -> (q176RfmSegments _),
-    "q177_abc_analysis" -> (q177AbcAnalysis _))
+    "q177_abc_analysis" -> (q177AbcAnalysis _),
+    "q178_user_entropy" -> (q178UserEntropy _),
+    "q179_psi_drift" -> (q179PsiDrift _),
+    "q180_decayed_trending" -> (q180DecayedTrending _),
+    "q181_linear_attribution" -> (q181LinearAttribution _))
 }
