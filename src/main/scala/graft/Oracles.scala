@@ -1686,6 +1686,103 @@ object Oracles {
         |CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions
         |FROM cr GROUP BY 1 ORDER BY touch_type""".stripMargin,
 
+    // q182: q171's pair CTEs + 4 unrolled synchronous LPA rounds
+    // (plurality label, smallest-label tie-break) mirroring
+    // Graphs.labelPropagation exactly.
+    "q182_label_propagation" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.src, l.lbl, count(*) AS c
+           |  FROM e0 e JOIN l${i - 1} l ON l.id = e.dst GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT src AS id, lbl FROM (
+           |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+           |    ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS MATERIALIZED (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % 100 = 0),
+         |assigned AS MATERIALIZED (SELECT vec_id, e, cent_id FROM (
+         |SELECT v.vec_id, v.e, c.cent_id,
+         |row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |  round(list_dot_product(v.e, c.ce)
+         |   /(sqrt(list_dot_product(v.e, v.e))*sqrt(list_dot_product(c.ce, c.ce))), 6)
+         |  DESC, c.cent_id) AS crank
+         |FROM v CROSS JOIN cent c) WHERE crank <= 2),
+         |jp AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM assigned a JOIN assigned b
+         |  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.e, b.e)
+         |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e))), 4) >= 0.30),
+         |e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e0),
+         |$rounds,
+         |co AS (SELECT lbl AS community, CAST(count(*) AS BIGINT)
+         |  AS n_nodes FROM l4 GROUP BY 1)
+         |SELECT "rank", community, n_nodes FROM (
+         |  SELECT *, row_number() OVER (ORDER BY n_nodes DESC,
+         |    community) AS "rank" FROM co)
+         |WHERE "rank" <= 50 ORDER BY "rank"""".stripMargin
+    },
+
+    // q183: q163's sessionization; the stationary unroll replays 8
+    // integer fixed-point power-iteration rounds (per-term floor,
+    // mass leak reproduced exactly).
+    "q183_markov_stationary" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT st.s,
+           |  CAST(coalesce(x.pi_in, 0) AS BIGINT) AS pi FROM st
+           |  LEFT JOIN (SELECT p.b AS s,
+           |    sum(pp.pi * p.p_1e6 // 1000000) AS pi_in
+           |    FROM p JOIN p${i - 1} pp ON pp.s = p.a GROUP BY 1) x
+           |  ON x.s = st.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT user_id, ts, event_id, event_type,
+         |CASE WHEN lag(ts) OVER w IS NULL
+         |  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         |  THEN 1 ELSE 0 END AS new_session
+         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, event_id, event_type,
+         |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+         |tr AS (SELECT event_type AS a, lead(event_type, 1) OVER sw AS b
+         |FROM s WINDOW sw AS (PARTITION BY user_id, sid
+         |  ORDER BY ts, event_id)),
+         |tc AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS t_ab
+         |  FROM tr WHERE b IS NOT NULL GROUP BY 1, 2),
+         |tt AS MATERIALIZED (SELECT a, CAST(sum(t_ab) AS BIGINT) AS t_a
+         |  FROM tc GROUP BY 1),
+         |p AS MATERIALIZED (SELECT tc.a, tc.b,
+         |  CAST(t_ab * 1000000 // t_a AS BIGINT) AS p_1e6
+         |  FROM tc JOIN tt ON tt.a = tc.a),
+         |st AS MATERIALIZED (SELECT a AS s, t_a,
+         |  (SELECT count(*) FROM tt) AS m FROM tt),
+         |p0 AS MATERIALIZED (SELECT s, CAST(1000000 // m AS BIGINT)
+         |  AS pi FROM st),
+         |$rounds
+         |SELECT st.s AS state, st.t_a AS n_out,
+         |CAST(coalesce(sf.p_1e6, 0) AS BIGINT) AS p_self_1e6,
+         |p8.pi AS pi_1e6
+         |FROM st JOIN p8 ON p8.s = st.s
+         |LEFT JOIN (SELECT a, p_1e6 FROM p WHERE a = b) sf
+         |  ON sf.a = st.s
+         |ORDER BY state""".stripMargin
+    },
+
+    // q184: 2-D sort-scan skyline via two shared-sort windows; the
+    // strictly-cheaper frame is RANGE … 1 PRECEDING on integer cents.
+    "q184_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |  p_size FROM part),
+        |m AS (SELECT p_partkey, price_c, p_size,
+        |  max(p_size) OVER (ORDER BY price_c
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |  max(p_size) OVER (PARTITION BY price_c) AS m2 FROM p)
+        |SELECT p_partkey, CAST(price_c AS DOUBLE) / 100.0 AS price,
+        |p_size FROM m
+        |WHERE (m1 IS NULL OR m1 < p_size) AND m2 = p_size
+        |ORDER BY price, p_partkey""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

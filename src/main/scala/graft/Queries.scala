@@ -4550,6 +4550,124 @@ object Queries {
       .orderBy(col("touch_type"))
   }
 
+  /** Community detection over the mined similarity graph via
+    * [[graft.operators.Graphs.labelPropagation]] (4 synchronous
+    * rounds, plurality label, smallest-label tie-break — bounded and
+    * deterministic, so the DuckDB oracle replays the rounds exactly
+    * like q171's peel unroll). Completes the graph suite's community
+    * axis next to components (q71/q92: reachability), k-core (q171:
+    * density), PageRank (q93: centrality) — LPA splits dense
+    * near-dup clusters that mere reachability merges. Edge set =
+    * the q167/q171 shared cosine mine; output = top-50 communities
+    * by size. */
+  def q182LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("id") % 100 === 0)
+    val pairs = graft.operators.Caches.persistTracked(
+      Similarity.cosineNearDupPairs(emb, centroids,
+          threshold = 0.30, nprobe = 2)
+        .select(col("id_a"), col("id_b")))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val labels = graft.operators.Graphs.labelPropagation(edges, rounds = 4)
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_nodes").desc, col("community"))))
+      .where(col("rank") <= 50)
+      .select(col("rank"), col("community"), col("n_nodes"))
+      .orderBy(col("rank"))
+  }
+
+  /** Session Markov chain: transition matrix over consecutive
+    * in-session event pairs (q163's sessionization, hop 1) and its
+    * stationary distribution by 8 rounds of INTEGER fixed-point
+    * power iteration (the q93 PageRank arithmetic: probabilities
+    * and masses are 1e6-scaled longs, every step floors — replayable
+    * in any SQL engine, deterministic under any partitioning; the
+    * floored mass leak is bounded by |states| per round and never
+    * redistributed, which the oracle reproduces exactly). The only
+    * corpus-scale stage is the transition count; the matrix and all
+    * iteration frames are |event_types|²-sized and persisted once
+    * so the 8 rounds never re-derive the sessionization. */
+  def q183MarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sid = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(run))
+    val sw = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = sid
+      .withColumn("nxt", lead(col("event_type"), 1).over(sw))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("t_ab"))
+    val tot = trans.groupBy(col("a")).agg(sum(col("t_ab")).as("t_a"))
+    val p = graft.operators.Caches.persistTracked(
+      trans.join(tot, Seq("a"))
+        .select(col("a"), col("b"),
+          expr("t_ab * 1000000 div t_a").as("p_1e6")))
+    val states = graft.operators.Caches.persistTracked(
+      tot.withColumn("m", count(lit(1)).over(Window.partitionBy()))
+        .select(col("a").as("s"), col("t_a"), col("m")))
+    var pi: DataFrame = states
+      .select(col("s"), expr("1000000 div m").as("pi"))
+    var it = 1
+    while (it <= 8) {
+      val nxt = p
+        .join(pi.withColumnRenamed("s", "a").withColumnRenamed("pi", "pa"),
+          Seq("a"))
+        .groupBy(col("b").as("s"))
+        .agg(sum(expr("pa * p_1e6 div 1000000")).as("pi_in"))
+      pi = states.select(col("s")).join(nxt, Seq("s"), "left")
+        .select(col("s"), coalesce(col("pi_in"), lit(0L)).as("pi"))
+      it += 1
+    }
+    states.select(col("s"), col("t_a")).join(pi, Seq("s"))
+      .join(p.where(col("a") === col("b"))
+          .select(col("a").as("s"), col("p_1e6").as("self_1e6")),
+        Seq("s"), "left")
+      .select(col("s").as("state"), col("t_a").as("n_out"),
+        coalesce(col("self_1e6"), lit(0L)).as("p_self_1e6"),
+        col("pi").as("pi_1e6"))
+      .orderBy(col("state"))
+  }
+
+  /** Pareto skyline of the part catalog (minimize price, maximize
+    * size): a part is dominated iff some part is no-worse on both
+    * axes and strictly better on one. The classic 2-D sort-scan
+    * skyline as TWO shared-sort windows — running max size over
+    * strictly-cheaper rows (RANGE … 1 PRECEDING on integer cents)
+    * and max size within the equal-price frame — so dominance never
+    * needs a self-join, let alone all-pairs: O(n log n), and at
+    * open cardinality the range-partitioned sort distributes while
+    * both windows reuse one sort order. Equal (price, size) rows
+    * dominate neither way and all survive, keeping the output
+    * deterministic without arbitrary picks. */
+  def q184Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir).part
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size"))
+    val w1 = Window.orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val w2 = Window.partitionBy(col("price_c"))
+    p.withColumn("m1", max(col("p_size")).over(w1))
+      .withColumn("m2", max(col("p_size")).over(w2))
+      .where((col("m1").isNull || col("m1") < col("p_size"))
+        && col("m2") === col("p_size"))
+      .select(col("p_partkey"), (col("price_c") / 100.0).as("price"),
+        col("p_size"))
+      .orderBy(col("price"), col("p_partkey"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4733,5 +4851,8 @@ object Queries {
     "q178_user_entropy" -> (q178UserEntropy _),
     "q179_psi_drift" -> (q179PsiDrift _),
     "q180_decayed_trending" -> (q180DecayedTrending _),
-    "q181_linear_attribution" -> (q181LinearAttribution _))
+    "q181_linear_attribution" -> (q181LinearAttribution _),
+    "q182_label_propagation" -> (q182LabelPropagation _),
+    "q183_markov_stationary" -> (q183MarkovStationary _),
+    "q184_skyline" -> (q184Skyline _))
 }

@@ -74,6 +74,41 @@ object Graphs {
       .select(col("id"), col("out_deg"), col("r").as("rank_fp"))
   }
 
+  /** Synchronous label-propagation community detection: every round,
+    * each node adopts the PLURALITY label among its neighbors'
+    * previous-round labels, ties broken by the SMALLEST label —
+    * fully deterministic and oracle-replayable (the bounded-round
+    * contract of [[kcoreBounded]]; synchronous updates have no
+    * dependence on node visit order, unlike asynchronous LPA).
+    * Initial label = own node id. Per round: one join keyed on dst,
+    * one (node, label) count, one per-node argmax window — all
+    * shuffles keyed on node ids, label frames are node-sized, and
+    * lineage truncates every 2 rounds so round count never compounds
+    * plan depth. `edges` must be the mirrored undirected (src, dst)
+    * set. Returns (id, lbl) after `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = Caches.persistTracked(edges.select(col("src"), col("dst")))
+    var labels: DataFrame = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var it = 1
+    while (it <= rounds) {
+      val counts = e
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val next = counts
+        .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("lbl"))))
+        .where(col("rn") === 1)
+        .select(col("src").as("id"), col("lbl"))
+      labels = if (it % 2 == 0 && it < rounds) next.transform(Lineage.truncate)
+        else next
+      it += 1
+    }
+    labels
+  }
+
   /** One k-core peel round: degrees over the surviving subgraph, drop
     * nodes below `k`, keep only edges whose BOTH endpoints survive.
     * `edges` must be the mirrored (src,dst)+(dst,src) undirected set,
