@@ -397,6 +397,20 @@ object Oracles {
          |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard FROM pairs)
          |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
+    // q185: the oracle is the UNCAPPED all-pairs definition — a green
+    // row proves prefix filtering loses nothing.
+    "q185_prefix_pairs" ->
+      s"""${SHINGLE_CTES},
+         |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+         |FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, shared, jaccard FROM (
+         |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard FROM pairs)
+         |WHERE jaccard >= 6e-1 ORDER BY id_a, id_b""".stripMargin,
+
     "q23_minhash_lsh" ->
       s"""${SHINGLE_CTES},
          |sig AS (SELECT doc_id, sh, n_sh,

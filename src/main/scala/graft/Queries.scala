@@ -4668,6 +4668,20 @@ object Queries {
       .orderBy(col("price"), col("p_partkey"))
   }
 
+  /** Exact Jaccard ≥ 0.6 near-dup pairs with NO df cap via
+    * [[graft.operators.Dedup.prefixFilterPairs]] (prefix filtering —
+    * each doc indexes only its rarest |d|−⌈t·|d|⌉+1 shingles under
+    * the global df order; provably no false negatives). This is the
+    * LOSSLESS exact-mining regime next to q22's df-capped index
+    * (which trades recall for bounded fanout once the cap engages)
+    * and q23's LSH (probabilistic recall): the oracle is the
+    * uncapped all-pairs definition itself, so a green row proves
+    * the filter drops nothing. */
+  def q185PrefixPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(t(spark, dir).documents, "doc_id", "text",
+      n = 3, thresholdBp = 6000)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4854,5 +4868,6 @@ object Queries {
     "q181_linear_attribution" -> (q181LinearAttribution _),
     "q182_label_propagation" -> (q182LabelPropagation _),
     "q183_markov_stationary" -> (q183MarkovStationary _),
-    "q184_skyline" -> (q184Skyline _))
+    "q184_skyline" -> (q184Skyline _),
+    "q185_prefix_pairs" -> (q185PrefixPairs _))
 }

@@ -127,6 +127,91 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
 
+  /** EXACT all-pairs Jaccard ≥ t via PREFIX FILTERING (the
+    * Bayardo/Chaudhuri all-pairs similarity join; public algorithm,
+    * WWW'07/ICDE'06 family) — the lossless alternative to
+    * [[jaccardPairs]]' df-capped index: instead of dropping hot
+    * shingles (which silently loses pairs once the cap engages — the
+    * recall cliff BASELINE.md measures on the tight vocabulary), each
+    * doc indexes only the PREFIX of its shingles under a global
+    * rarest-first order (df ASC, key ASC), of length
+    * |d| − ⌈t·|d|⌉ + 1. Guarantee: the globally-smallest common
+    * shingle of any pair with jaccard ≥ t lies in BOTH prefixes —
+    * if it were outside A's prefix the whole intersection would fit
+    * in A's suffix of size ⌈t·|A|⌉−1 < t·|A| ≤ |A∩B|, a
+    * contradiction — so the prefix self-join has NO false negatives
+    * and candidates are verified with an exact per-pair set
+    * intersection.
+    *
+    * Scale shape: the index shuffle carries only the rarest
+    * ≈(1−t) fraction of each doc's tokens, and the fanout of a
+    * token is its df *among prefixes*, which on realistic Zipf
+    * vocabularies is the df tail (hot tokens sort last and rarely
+    * make a prefix). On the adversarial tight vocabulary prefixes
+    * stay frequent and cost approaches the uncapped join — exactness
+    * has a price there, measured in BASELINE.md; the capped miner
+    * and LSH remain the approximate scale paths. Verification joins
+    * are candidate-pair-keyed with per-pair array intersection (no
+    * posting re-fanout). `ceil(t·|d|)` is computed in exact integer
+    * basis points, so prefix lengths are engine-portable.
+    *
+    * Emits (id_a, id_b, shared, jaccard) with jaccard ≥
+    * thresholdBp/10⁴, a < b. */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, thresholdBp: Int): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0,10000], got $thresholdBp")
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val posting = sets
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"),
+        xxhash64(col("shingle")).as("sh_key"))
+    val dfc = posting.groupBy(col("sh_key"))
+      .agg(count(lit(1)).as("df"))
+    val prefix = Caches.persistTracked(posting
+      .join(dfc, Seq("sh_key"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("sh_key"))))
+      .where(col("rn") <=
+        col("n_sh") - expr(s"(n_sh * $thresholdBp + 9999) div 10000")
+          + lit(1))
+      .select(col("doc_id"), col("n_sh"), col("sh_key")))
+    // length filter at candidate time: jaccard ≥ t forces
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes before the distinct,
+    // in exact integer basis points
+    val cand = prefix
+      .join(prefix.select(col("doc_id").as("id_b"),
+        col("n_sh").as("nb"), col("sh_key")), Seq("sh_key"))
+      .where(col("doc_id") < col("id_b")
+        && least(col("n_sh"), col("nb")) * 10000
+          >= greatest(col("n_sh"), col("nb")) * thresholdBp)
+      .select(col("doc_id").as("id_a"), col("id_b"))
+      .distinct()
+    // verification carries SORTED HASH signatures, not shingle
+    // strings: a fixed 8-byte element keeps the two pair-keyed
+    // shuffles narrow and the per-pair intersection cheap (same
+    // 2^-64 collision argument as the posting-key hashing above —
+    // a collision would need two distinct shingles of one pair's
+    // union to collide)
+    val sigs = Caches.persistTracked(sets.select(col("doc_id"),
+      col("n_sh"),
+      sort_array(expr("transform(sh, x -> xxhash64(x))")).as("sig")))
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("n_sh").as("na")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("sig_a"), col("sig_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4))
+      .where(col("jaccard") >= lit(thresholdBp / 10000.0))
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+  }
+
   /** Candidate pairs scored by the overlap coefficient
     * |A∩B| / min(|A|,|B|) — the containment metric that catches a short
     * document embedded inside a longer one, which Jaccard dilutes

@@ -1199,4 +1199,36 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r2(20L) === 20L)
   }
+
+  ctest("prefixFilterPairs: lossless vs the uncapped definition, and immune to the capped miner's recall cliff") {
+    import graft.operators.Dedup
+    // 6 identical docs whose every shingle is HOT (df 6), plus a
+    // near-dup pair whose shingles stay rare
+    val docs = (
+      (1L to 6L).map(i => (i, "red green blue yellow")) ++ Seq(
+        (10L, "one two three four five"),
+        (11L, "one two three four six"))
+      ).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prefix = pairSet(
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", n = 3,
+        thresholdBp = 5000))
+    val uncapped = pairSet(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDf = 1000000000L))
+    // exact equivalence to the uncapped all-pairs definition
+    assert(prefix === uncapped)
+    // all 15 hot-clique pairs + the rare near-dup pair are present
+    assert(prefix.size === 16)
+    assert(prefix.contains((10L, 11L, 2L)))
+    // the df-capped miner silently LOSES the 15 pairs whose only
+    // common shingles exceed the cap — the recall cliff prefix
+    // filtering removes
+    val capped = pairSet(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDf = 3L))
+    assert(capped === Set((10L, 11L, 2L)))
+  }
 }
