@@ -1797,6 +1797,60 @@ object Oracles {
         |WHERE (m1 IS NULL OR m1 < p_size) AND m2 = p_size
         |ORDER BY price, p_partkey""".stripMargin,
 
+    // q186: digit from the integer-cents string head; pinned
+    // log10(1+1/d) 1e-6 literals (sum exactly 1e6); chi2 terms are
+    // one rounded double expression of exact integers.
+    "q186_benford_audit" ->
+      """WITH d AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |  (7, 57992), (8, 51153), (9, 45757)) t(digit, exp_1e6)),
+        |o AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n_d FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM o)
+        |SELECT d.digit, CAST(coalesce(o.n_d, 0) AS BIGINT) AS n_d,
+        |CAST(coalesce(o.n_d, 0) * 1000000 // n.n AS BIGINT) AS obs_1e6,
+        |CAST(d.exp_1e6 AS BIGINT) AS exp_1e6,
+        |CAST(round(pow(CAST(coalesce(o.n_d, 0) * 1000000
+        |  - n.n * d.exp_1e6 AS DOUBLE), 2)
+        |  / (CAST(n.n AS DOUBLE) * d.exp_1e6 * 1000000)) AS BIGINT)
+        |  AS chi2_term
+        |FROM d LEFT JOIN o ON o.digit = d.digit CROSS JOIN n
+        |ORDER BY d.digit""".stripMargin,
+
+    // q187: one wide aggregation, unpivoted; min/max as doubles
+    // (comparisons only, no float arithmetic).
+    "q187_column_profile" ->
+      """WITH w AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_distinct,
+        |  CAST(min(l_quantity) AS DOUBLE) AS q_min,
+        |  CAST(max(l_quantity) AS DOUBLE) AS q_max,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_nulls,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS e_distinct,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS e_min,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS e_max,
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+        |  CAST(count(DISTINCT l_discount) AS BIGINT) AS d_distinct,
+        |  CAST(min(l_discount) AS DOUBLE) AS d_min,
+        |  CAST(max(l_discount) AS DOUBLE) AS d_max,
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+        |  CAST(count(DISTINCT l_tax) AS BIGINT) AS t_distinct,
+        |  CAST(min(l_tax) AS DOUBLE) AS t_min,
+        |  CAST(max(l_tax) AS DOUBLE) AS t_max
+        |  FROM lineitem)
+        |SELECT column_name, n_rows, n_nulls, n_distinct, min_v, max_v
+        |FROM (
+        |  SELECT 'l_quantity' AS column_name, n_rows, q_nulls AS n_nulls,
+        |    q_distinct AS n_distinct, q_min AS min_v, q_max AS max_v FROM w
+        |  UNION ALL SELECT 'l_extendedprice', n_rows, e_nulls,
+        |    e_distinct, e_min, e_max FROM w
+        |  UNION ALL SELECT 'l_discount', n_rows, d_nulls, d_distinct,
+        |    d_min, d_max FROM w
+        |  UNION ALL SELECT 'l_tax', n_rows, t_nulls, t_distinct,
+        |    t_min, t_max FROM w)
+        |ORDER BY column_name""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

@@ -4682,6 +4682,68 @@ object Queries {
       n = 3, thresholdBp = 6000)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Benford first-digit audit of order totals (the forensic
+    * data-quality screen: fabricated or unit-mangled money columns
+    * break Benford's law long before range checks fire). Digits come
+    * from the integer-cents STRING head (long→string rendering is
+    * engine-stable; no float log10 in the digit path), expected
+    * proportions are pinned 1e-6 literals of log10(1+1/d) that sum
+    * to exactly 10⁶, and each digit's χ² term is ONE rounded double
+    * expression of exact integers (the q158/q170 contract — squares
+    * ride in doubles because (n_d·10⁶−n·e₆)² overflows longs at
+    * corpus scale). One scan, 9 output rows; a digit spine keeps
+    * absent digits as explicit zero rows. */
+  def q186BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = spark.sql(
+      """SELECT * FROM VALUES (1, 301030L), (2, 176091L), (3, 124939L),
+        |(4, 96910L), (5, 79181L), (6, 66947L), (7, 57992L),
+        |(8, 51153L), (9, 45757L) AS t(digit, exp_1e6)""".stripMargin)
+    val obs = t(spark, dir).orders
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val total = obs.agg(sum(col("n_d")).as("n"))
+    digits.join(broadcast(obs), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_d"), lit(0L)).as("n_d"),
+        col("exp_1e6"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_d"),
+        expr("n_d * 1000000 div n").as("obs_1e6"), col("exp_1e6"),
+        expr("cast(round(pow(cast(n_d * 1000000 - n * exp_1e6 as double), 2)" +
+          " / (cast(n as double) * exp_1e6 * 1000000)) as bigint)")
+          .as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** One-pass column profile of the fact table (the Deequ-style
+    * audit a pipeline runs before accepting a drop): per pinned
+    * numeric column — row count, nulls, exact distincts, min, max —
+    * computed in ONE wide aggregation (a single scan regardless of
+    * column count; the multi-distinct expand is the known cost and
+    * the point: profile passes batch the metrics, never one scan
+    * per metric) and unpivoted to long format via stack. Min/max
+    * are emitted as doubles (no cross-row float arithmetic — only
+    * comparisons, which are exact). */
+  def q187ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val wide = t(spark, dir).lineitem.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      .mkString(", ")
+    wide.selectExpr("n_rows",
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_v, max_v)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy(col("column_name"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4869,5 +4931,7 @@ object Queries {
     "q182_label_propagation" -> (q182LabelPropagation _),
     "q183_markov_stationary" -> (q183MarkovStationary _),
     "q184_skyline" -> (q184Skyline _),
-    "q185_prefix_pairs" -> (q185PrefixPairs _))
+    "q185_prefix_pairs" -> (q185PrefixPairs _),
+    "q186_benford_audit" -> (q186BenfordAudit _),
+    "q187_column_profile" -> (q187ColumnProfile _))
 }
