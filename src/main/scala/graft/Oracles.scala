@@ -1851,6 +1851,92 @@ object Oracles {
         |    t_min, t_max FROM w)
         |ORDER BY column_name""".stripMargin,
 
+    // q188: q107's register chain, then inclusion-exclusion over
+    // the register-max union merge; estimates replay exactly.
+    "q188_hll_intersection" ->
+      """WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+        |hh AS (SELECT event_type, user_id,
+        |  md5('hll|' || CAST(user_id AS VARCHAR)) AS h FROM p),
+        |hx AS (SELECT event_type,
+        |  (strpos('0123456789abcdef', h[1]) - 1) * 16
+        |    + strpos('0123456789abcdef', h[2]) - 1 AS bucket,
+        |  substring(h, 3, 12) AS h12 FROM hh),
+        |zz AS (SELECT event_type, bucket, h12,
+        |  length(regexp_extract(h12, '^(0*)', 1)) AS zc FROM hx),
+        |rk AS (SELECT event_type, bucket,
+        |  CASE WHEN zc = 12 THEN 49 ELSE zc * 4
+        |    + CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3
+        |      WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1
+        |      WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1 END AS r FROM zz),
+        |regs AS MATERIALIZED (SELECT event_type, bucket, max(r) AS r
+        |  FROM rk GROUP BY 1, 2),
+        |pt AS (SELECT event_type,
+        |  round(0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        |    / (s_used + (256 - nb) * 562949953421312::BIGINT), 2) AS est
+        |  FROM (SELECT event_type,
+        |    CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS s_used,
+        |    count(*) AS nb FROM regs GROUP BY 1)),
+        |tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM regs) a
+        |  JOIN (SELECT DISTINCT event_type FROM regs) b
+        |  ON a.event_type < b.event_type),
+        |ur AS (SELECT ta, tb, bucket, max(r) AS r FROM (
+        |  SELECT tp.ta, tp.tb, g.bucket, g.r FROM tp
+        |    JOIN regs g ON g.event_type = tp.ta
+        |  UNION ALL SELECT tp.ta, tp.tb, g.bucket, g.r FROM tp
+        |    JOIN regs g ON g.event_type = tp.tb) GROUP BY 1, 2, 3),
+        |eu AS (SELECT ta, tb,
+        |  round(0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        |    / (s_used + (256 - nb) * 562949953421312::BIGINT), 2)
+        |    AS est_union
+        |  FROM (SELECT ta, tb,
+        |    CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS s_used,
+        |    count(*) AS nb FROM ur GROUP BY 1, 2)),
+        |ex AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM p a JOIN p b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT eu.ta, eu.tb, pa.est AS est_a, pb.est AS est_b,
+        |eu.est_union,
+        |round(pa.est + pb.est - eu.est_union, 2) AS est_inter,
+        |ex.exact_inter,
+        |round((round(pa.est + pb.est - eu.est_union, 2) - ex.exact_inter)
+        |  / nullif(ex.exact_inter, 0), 4) AS rel_err
+        |FROM eu JOIN pt pa ON pa.event_type = eu.ta
+        |JOIN pt pb ON pb.event_type = eu.tb
+        |JOIN ex ON ex.ta = eu.ta AND ex.tb = eu.tb
+        |ORDER BY eu.ta, eu.tb""".stripMargin,
+
+    // q189: PAA frames are integer SUMS; tercile symbols by exact
+    // nearest-rank cross-multiplication; motifs from lead windows.
+    "q189_sax_motifs" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_trunc('day', ts) AS DATE) AS "day",
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |fr AS (SELECT event_type,
+        |  date_diff('day', min("day") OVER (PARTITION BY event_type),
+        |    "day") // 3 AS frame, n FROM daily),
+        |pa AS (SELECT event_type, frame, CAST(sum(n) AS BIGINT) AS paa
+        |  FROM fr GROUP BY 1, 2),
+        |sy AS (SELECT event_type, frame,
+        |  CASE WHEN rk * 3 <= nf THEN 'a'
+        |    WHEN rk * 3 <= nf * 2 THEN 'b' ELSE 'c' END AS sym
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY paa, frame) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nf FROM pa)),
+        |wd AS (SELECT event_type,
+        |  sym || lead(sym, 1) OVER ow || lead(sym, 2) OVER ow AS word,
+        |  lead(sym, 2) OVER ow AS s3 FROM sy
+        |  WINDOW ow AS (PARTITION BY event_type ORDER BY frame)),
+        |ct AS (SELECT event_type, word,
+        |  CAST(count(*) AS BIGINT) AS n_occurs FROM wd
+        |  WHERE s3 IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, "rank", word, n_occurs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_occurs DESC, word) AS "rank" FROM ct)
+        |WHERE "rank" <= 3 ORDER BY event_type, "rank"""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

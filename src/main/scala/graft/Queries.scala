@@ -4744,6 +4744,115 @@ object Queries {
       .orderBy(col("column_name"))
   }
 
+  /** Cross-segment audience overlap from PORTABLE HLL registers by
+    * inclusion–exclusion: |A∩B| ≈ est(A)+est(B)−est(A∪B), where the
+    * union estimate falls out of the register-max merge (q114's
+    * monoid) WITHOUT touching raw data — the sketch-composition
+    * query a 100 TB segmentation system answers from 256-long
+    * register tables per segment while the corpus stays cold. The
+    * q107 register chain is mined once; type-pair union registers,
+    * estimates, and the exact intersections (verification columns)
+    * are |types|²-sized. Fully oracle-checked: the md5 registers
+    * replay exactly in DuckDB, so even the estimates hash-match. */
+  def q188HllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Caches.persistTracked(
+      events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct())
+    val regs = graft.operators.Caches.persistTracked(
+      hllRanks(pairs, "user_id")
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r")))
+    val alpha =
+      expr("0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0")
+    def est(g: DataFrame, keys: Seq[String]): DataFrame = g
+      .groupBy(keys.map(col): _*)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).as("s_used"),
+        count(lit(1)).as("nb"))
+      .withColumn("est", round(alpha
+        / (col("s_used") + (lit(256L) - col("nb")) * lit(562949953421312L)),
+        2))
+      .select(keys.map(col) :+ col("est"): _*)
+    val perType = est(regs, Seq("event_type"))
+    val types = regs.select(col("event_type")).distinct()
+    val typePairs = types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .where(col("ta") < col("tb"))
+    val unionRegs = typePairs
+      .join(regs.withColumnRenamed("event_type", "ta"), Seq("ta"))
+      .unionByName(typePairs
+        .join(regs.withColumnRenamed("event_type", "tb"), Seq("tb"))
+        .select(col("ta"), col("tb"), col("bucket"), col("r")))
+      .groupBy(col("ta"), col("tb"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val estUnion = est(unionRegs, Seq("ta", "tb"))
+      .withColumnRenamed("est", "est_union")
+    val exact = pairs.select(col("event_type").as("ta"), col("user_id"))
+      .join(pairs.select(col("event_type").as("tb"), col("user_id")),
+        Seq("user_id"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    estUnion
+      .join(perType.select(col("event_type").as("ta"),
+        col("est").as("est_a")), Seq("ta"))
+      .join(perType.select(col("event_type").as("tb"),
+        col("est").as("est_b")), Seq("tb"))
+      .join(exact, Seq("ta", "tb"))
+      .withColumn("est_inter",
+        round(col("est_a") + col("est_b") - col("est_union"), 2))
+      .withColumn("rel_err", expr(
+        "round((est_inter - exact_inter) / nullif(exact_inter, 0), 4)"))
+      .select(col("ta"), col("tb"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"), col("exact_inter"),
+        col("rel_err"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** SAX motif discovery over the daily event-rate series (PAA +
+    * symbolic aggregate approximation, Lin et al. 2003 — the
+    * time-series representation a monitoring system mines for
+    * recurring shapes): per type, daily counts → 3-day PAA frames
+    * (integer SUMS — scale-free for rank breakpoints, no division)
+    * → tercile symbols by exact nearest-rank cut (r·3 ≤ F / ≤ 2F,
+    * integer cross-multiplication) → sliding 3-symbol words → top-3
+    * motifs per type. Everything after the daily rollup is
+    * frame-table sized; symbols and ranks are engine-portable
+    * integers/strings throughout. */
+  def q189SaxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("event_type"))
+    val frames = daily
+      .withColumn("x", datediff(col("day"), min(col("day")).over(tw)))
+      .groupBy(col("event_type"), expr("x div 3").as("frame"))
+      .agg(sum(col("n")).as("paa"))
+    val sym = frames
+      .withColumn("rk", row_number().over(
+        tw.orderBy(col("paa"), col("frame"))))
+      .withColumn("nf", count(lit(1)).over(tw))
+      .withColumn("sym",
+        when(col("rk") * 3 <= col("nf"), "a")
+          .when(col("rk") * 3 <= col("nf") * 2, "b")
+          .otherwise("c"))
+    val ow = tw.orderBy(col("frame"))
+    val words = sym
+      .withColumn("s2", lead(col("sym"), 1).over(ow))
+      .withColumn("s3", lead(col("sym"), 2).over(ow))
+      .where(col("s3").isNotNull)
+      .select(col("event_type"),
+        concat(col("sym"), col("s2"), col("s3")).as("word"))
+    words.groupBy(col("event_type"), col("word"))
+      .agg(count(lit(1)).as("n_occurs"))
+      .withColumn("rank", row_number().over(
+        tw.orderBy(col("n_occurs").desc, col("word"))))
+      .where(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("word"),
+        col("n_occurs"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4933,5 +5042,7 @@ object Queries {
     "q184_skyline" -> (q184Skyline _),
     "q185_prefix_pairs" -> (q185PrefixPairs _),
     "q186_benford_audit" -> (q186BenfordAudit _),
-    "q187_column_profile" -> (q187ColumnProfile _))
+    "q187_column_profile" -> (q187ColumnProfile _),
+    "q188_hll_intersection" -> (q188HllIntersection _),
+    "q189_sax_motifs" -> (q189SaxMotifs _))
 }
