@@ -1937,6 +1937,67 @@ object Oracles {
         |    ORDER BY n_occurs DESC, word) AS "rank" FROM ct)
         |WHERE "rank" <= 3 ORDER BY event_type, "rank"""".stripMargin,
 
+    // q190: 5 unrolled greedy rounds — anti-join gain count, top-1
+    // by (gain DESC, doc_id), covered-set union — mirroring the
+    // Spark rounds exactly.
+    "q190_greedy_coverage" -> {
+      val rounds = (2 to 5).map { i =>
+        s"""g$i AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+           |  FROM tokd t LEFT JOIN c${i - 1} c ON c.tok = t.tok
+           |  WHERE c.tok IS NULL GROUP BY 1),
+           |w$i AS MATERIALIZED (SELECT $i AS "round", doc_id, gain
+           |  FROM g$i ORDER BY gain DESC, doc_id LIMIT 1),
+           |c$i AS MATERIALIZED (SELECT tok FROM c${i - 1}
+           |  UNION SELECT t.tok FROM tokd t JOIN w$i USING (doc_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""${SHINGLE_CTES},
+         |tokd AS MATERIALIZED (SELECT doc_id, unnest(sh) AS tok
+         |  FROM ss),
+         |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM tokd GROUP BY 1),
+         |w1 AS MATERIALIZED (SELECT 1 AS "round", doc_id, gain
+         |  FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+         |c1 AS MATERIALIZED (SELECT DISTINCT t.tok FROM tokd t
+         |  JOIN w1 USING (doc_id)),
+         |$rounds,
+         |ws AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+         |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+         |  UNION ALL SELECT * FROM w5)
+         |SELECT "round", doc_id, gain,
+         |CAST(sum(gain) OVER (ORDER BY "round"
+         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_total
+         |FROM ws ORDER BY "round"""".stripMargin
+    },
+
+    // q191: Apriori — candidates from F2 self-join + all-subsets
+    // pruning; support counted only for candidates.
+    "q191_frequent_triples" ->
+      """WITH bk AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |  p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM bk),
+        |f2 AS MATERIALIZED (SELECT a.b AS pa, c.b AS pb
+        |  FROM bk a JOIN bk c ON a.ok = c.ok AND a.b < c.b
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |cd AS (SELECT x.pa AS ba, x.pb AS bb, y.pb AS bc
+        |  FROM f2 x JOIN f2 y ON y.pa = x.pb
+        |  WHERE EXISTS (SELECT 1 FROM f2 z
+        |    WHERE z.pa = x.pa AND z.pb = y.pb)),
+        |tri AS (SELECT a.ok, a.b AS ba, b.b AS bb, c.b AS bc
+        |  FROM bk a JOIN bk b ON b.ok = a.ok AND a.b < b.b
+        |  JOIN bk c ON c.ok = a.ok AND b.b < c.b),
+        |sp AS (SELECT tri.ba, tri.bb, tri.bc,
+        |  CAST(count(*) AS BIGINT) AS support
+        |  FROM tri JOIN cd ON cd.ba = tri.ba AND cd.bb = tri.bb
+        |    AND cd.bc = tri.bc
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+        |SELECT "rank", ba, bb, bc, support,
+        |CAST(support * 10000 // n_orders AS BIGINT) AS support_bp
+        |FROM (SELECT *, row_number() OVER (ORDER BY support DESC,
+        |  ba, bb, bc) AS "rank" FROM sp) CROSS JOIN n
+        |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

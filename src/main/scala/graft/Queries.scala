@@ -4853,6 +4853,102 @@ object Queries {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Greedy maximum-coverage corpus selection (the submodular
+    * coreset pick a training pipeline runs to choose K shards/docs
+    * covering the most vocabulary — the classic (1−1/e) greedy,
+    * public algorithm): 5 rounds, each = one anti-join of the token
+    * posting list against the covered set, one per-doc gain count,
+    * and a distributed top-1 via sort+limit (TakeOrderedAndProject —
+    * never a single-partition window). Marginal-gain ties break on
+    * doc_id; the covered set is persisted per round and the oracle
+    * unrolls the identical 5 rounds. Running covered_total is exact
+    * because each winner's gain counts only then-uncovered tokens.
+    * Rounds after full coverage emit nothing, identically in both
+    * engines. Coverage universe = word-3-gram shingles (token
+    * coverage saturates in one pick on a closed vocabulary; the
+    * shingle space stays meaningful on every corpus). */
+  def q190GreedyCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val posting = graft.operators.Caches.persistTracked(
+      Dedup.shingleSets(t(spark, dir).documents, "doc_id", "text", n = 3)
+        .select(col("doc_id"), explode(col("sh")).as("tok")))
+    var covered: DataFrame = posting.select(col("tok")).where(lit(false))
+    var winners: DataFrame = null
+    var round = 1
+    while (round <= 5) {
+      val gains = posting.join(covered, Seq("tok"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      val w = graft.operators.Caches.persistTracked(
+        gains.orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .select(lit(round).as("round"), col("doc_id"), col("gain")))
+      winners = if (winners == null) w else winners.unionByName(w)
+      covered = graft.operators.Caches.persistTracked(
+        covered.unionByName(
+          posting.join(w.select(col("doc_id")), Seq("doc_id"),
+            "left_semi").select(col("tok"))).distinct())
+      round += 1
+    }
+    winners
+      .withColumn("covered_total", sum(col("gain")).over(
+        Window.orderBy(col("round"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("round"))
+  }
+
+  /** Apriori frequent-triple mining at brand grain (level 3 of
+    * q175's association analysis): candidate triples come from
+    * joining frequent PAIRS on the shared middle item and pruning
+    * by the all-subsets-frequent property ({a,c} must be frequent
+    * too) — the Apriori candidate step that keeps the triple space
+    * a function of |F2|², not |brands|³. Support counting is
+    * ORDER-KEYED triple enumeration (per-basket fanout C(k,3), ~4
+    * rows for TPC-H-sized baskets) semi-joined to the broadcast
+    * candidate set BEFORE the shuffle — measured at gen10 the
+    * alternative candidate-driven join (baskets ⋈ candidates on one
+    * brand) fans out to ~440M rows and is the anti-pattern for
+    * small baskets; with 100-item baskets the regimes flip, which
+    * is the documented trade. Supports are exact integers; share
+    * in basis points. */
+  def q191FrequentTriples(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    val baskets = graft.operators.Caches.persistTracked(tt.lineitem
+      .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct())
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val f2 = baskets
+      .join(baskets.select(col("ok"), col("b").as("b2")), Seq("ok"))
+      .where(col("b") < col("b2"))
+      .groupBy(col("b").as("pa"), col("b2").as("pb"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 5)
+      .select(col("pa"), col("pb"))
+    val cands = f2
+      .join(f2.select(col("pa").as("pb"), col("pb").as("bc")), Seq("pb"))
+      .select(col("pa").as("ba"), col("pb").as("bb"), col("bc"))
+      .join(f2.select(col("pa").as("ba"), col("pb").as("bc")),
+        Seq("ba", "bc"), "left_semi")
+    val support = baskets.select(col("ok"), col("b").as("ba"))
+      .join(baskets.select(col("ok"), col("b").as("bb")), Seq("ok"))
+      .where(col("ba") < col("bb"))
+      .join(baskets.select(col("ok"), col("b").as("bc")), Seq("ok"))
+      .where(col("bb") < col("bc"))
+      .join(broadcast(cands), Seq("ba", "bb", "bc"), "left_semi")
+      .groupBy(col("ba"), col("bb"), col("bc"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 5)
+    support.crossJoin(broadcast(nOrders))
+      .withColumn("support_bp",
+        expr("support * 10000 div n_orders"))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("support").desc, col("ba"), col("bb"), col("bc"))))
+      .where(col("rank") <= 20)
+      .select(col("rank"), col("ba"), col("bb"), col("bc"),
+        col("support"), col("support_bp"))
+      .orderBy(col("rank"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5044,5 +5140,7 @@ object Queries {
     "q186_benford_audit" -> (q186BenfordAudit _),
     "q187_column_profile" -> (q187ColumnProfile _),
     "q188_hll_intersection" -> (q188HllIntersection _),
-    "q189_sax_motifs" -> (q189SaxMotifs _))
+    "q189_sax_motifs" -> (q189SaxMotifs _),
+    "q190_greedy_coverage" -> (q190GreedyCoverage _),
+    "q191_frequent_triples" -> (q191FrequentTriples _))
 }
