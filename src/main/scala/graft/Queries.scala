@@ -4444,14 +4444,19 @@ object Queries {
     val mid = ev.agg(
       ((min(col("es")) + max(col("es"))) / lit(2L)).cast("long")
         .as("mid"))
-    val binned = ev.crossJoin(broadcast(mid))
-      .select(col("event_type"),
-        when(col("es") < col("mid"), lit("a")).otherwise(lit("b"))
-          .as("half"),
-        least(floor(col("value") / 50.0).cast("int"), lit(9))
-          .as("bin"))
-      .groupBy(col("event_type"), col("half"), col("bin"))
-      .agg(count(lit(1)).as("c"))
+    // persisted: four downstream consumers (per-half counts and
+    // totals) would otherwise each rescan the corpus — with the
+    // cache, the query reads events exactly twice (midpoint pass +
+    // binning pass, the honest minimum for a data-dependent split)
+    val binned = graft.operators.Caches.persistTracked(
+      ev.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          when(col("es") < col("mid"), lit("a")).otherwise(lit("b"))
+            .as("half"),
+          least(floor(col("value") / 50.0).cast("int"), lit(9))
+            .as("bin"))
+        .groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("c")))
     val spine = binned.select(col("event_type")).distinct()
       .select(col("event_type"),
         explode(expr("sequence(0, 9)")).as("bin"))
@@ -4604,11 +4609,14 @@ object Queries {
       .withColumn("sid", sum(col("new_session")).over(run))
     val sw = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))
-    val trans = sid
+    // persisted: both the row-totals and the matrix join consume it,
+    // and without the cache each would re-run the corpus-scale
+    // sessionization windows
+    val trans = graft.operators.Caches.persistTracked(sid
       .withColumn("nxt", lead(col("event_type"), 1).over(sw))
       .where(col("nxt").isNotNull)
       .groupBy(col("event_type").as("a"), col("nxt").as("b"))
-      .agg(count(lit(1)).as("t_ab"))
+      .agg(count(lit(1)).as("t_ab")))
     val tot = trans.groupBy(col("a")).agg(sum(col("t_ab")).as("t_a"))
     val p = graft.operators.Caches.persistTracked(
       trans.join(tot, Seq("a"))
