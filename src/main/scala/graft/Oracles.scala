@@ -1998,6 +1998,109 @@ object Oracles {
         |  ba, bb, bc) AS "rank" FROM sp) CROSS JOIN n
         |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
 
+    // q192: truth = uncapped all-pairs; capped (df <= 50) and LSH
+    // (q23's signature replay) scored by exact semi-join recall.
+    "q192_mining_recall" ->
+      s"""${SHINGLE_CTES},
+         |post AS MATERIALIZED (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
+         |tp AS MATERIALIZED (SELECT id_a, id_b
+         |  FROM (SELECT a.doc_id, b.doc_id AS doc_id_b, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS shared
+         |    FROM post a JOIN post b ON a.shingle = b.shingle
+         |      AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2, 3, 4) t(id_a, id_b, na, nb, shared)
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |keep AS (SELECT shingle FROM post GROUP BY shingle
+         |  HAVING count(*) <= 50),
+         |fp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p
+         |  JOIN keep k ON p.shingle = k.shingle),
+         |cp AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS shared
+         |  FROM fp a JOIN fp b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |  list_transform(range(0, 8), s -> list_aggregate(
+         |    list_transform(sh, x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+         |FROM ss),
+         |banded AS (SELECT s.doc_id, t.b AS band,
+         |  md5(array_to_string(s.sig[t.b*2+1:t.b*2+2], '#')) AS bucket
+         |FROM sig s CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+         |lc AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |FROM banded l JOIN banded r ON l.band = r.band
+         |  AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |lp AS MATERIALIZED (SELECT c.id_a, c.id_b FROM lc c
+         |  JOIN ss a ON c.id_a = a.doc_id JOIN ss b ON c.id_b = b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))), 4)
+         |    >= 0.2),
+         |nt AS (SELECT count(*) AS n_truth FROM tp),
+         |rows_out AS (
+         |  SELECT 'capped_df50' AS regime,
+         |    (SELECT count(*) FROM cp) AS n_pairs,
+         |    (SELECT count(*) FROM cp JOIN tp USING (id_a, id_b))
+         |      AS n_hit
+         |  UNION ALL SELECT 'exact_prefix',
+         |    (SELECT count(*) FROM tp),
+         |    (SELECT count(*) FROM tp)
+         |  UNION ALL SELECT 'lsh_b4r2',
+         |    (SELECT count(*) FROM lp),
+         |    (SELECT count(*) FROM lp JOIN tp USING (id_a, id_b)))
+         |SELECT regime, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |CAST(n_hit AS BIGINT) AS n_hit,
+         |CAST(n_hit * 10000 // nt.n_truth AS BIGINT) AS recall_bp
+         |FROM rows_out CROSS JOIN nt ORDER BY regime""".stripMargin,
+
+    // q193: weeks-lifetime hazard with right-censoring in the final
+    // 7 days; at_risk is a descending running sum.
+    "q193_churn_hazard" ->
+      """WITH per AS (SELECT o_custkey,
+        |  min(CAST(o_orderdate AS DATE)) AS first_d,
+        |  max(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS m FROM per),
+        |u AS (SELECT date_diff('day', first_d, last_d) // 90 AS k,
+        |  CASE WHEN last_d > m - INTERVAL 90 DAY THEN 1 ELSE 0 END
+        |    AS censored
+        |  FROM per CROSS JOIN mx),
+        |bk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_ending,
+        |  CAST(sum(censored) AS BIGINT) AS n_censored
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT k, n_ending, n_censored,
+        |  n_ending - n_censored AS churned,
+        |  CAST(sum(n_ending) OVER (ORDER BY k DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk
+        |  FROM bk)
+        |SELECT CAST(k AS BIGINT) AS k, at_risk,
+        |CAST(churned AS BIGINT) AS churned, n_censored,
+        |CAST(churned * 10000 // at_risk AS BIGINT) AS hazard_bp
+        |FROM r ORDER BY k""".stripMargin,
+
+    // q194: cumulative distinct users == running sum of daily new
+    // counts (first-seen identity) — no distinct-over-window.
+    "q194_daily_audience" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS "day" FROM events),
+        |pd AS (SELECT "day", CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY 1),
+        |fs AS (SELECT user_id, min("day") AS first_d FROM ev
+        |  GROUP BY 1),
+        |du AS (SELECT DISTINCT user_id, "day" FROM ev),
+        |us AS (SELECT du."day",
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN du."day" = fs.first_d THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new
+        |  FROM du JOIN fs USING (user_id) GROUP BY 1)
+        |SELECT strftime(us."day", '%Y-%m-%d') AS "day", pd.n_events,
+        |us.n_users, us.n_new,
+        |CAST(us.n_users - us.n_new AS BIGINT) AS n_returning,
+        |CAST(sum(us.n_new) OVER (ORDER BY us."day"
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM us JOIN pd ON pd."day" = us."day"
+        |ORDER BY us."day"""".stripMargin,
+
     // q158: the anomaly FLAG is pure integer algebra over exact
     // window sums — z² ≥ 4 ⟺ (n·k−s1)² ≥ 4·(k·s2−s1²); the reported
     // z derives from the same integers and rounds once.

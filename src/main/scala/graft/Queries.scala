@@ -4957,6 +4957,116 @@ object Queries {
       .orderBy(col("rank"))
   }
 
+  /** Mining-recall self-audit: the engine measures its OWN
+    * approximate dedup regimes against the lossless truth — the
+    * uncapped exact pair set from [[Dedup.prefixFilterPairs]] —
+    * in one query: the df-capped inverted index (cap forced low so
+    * it engages at every SF) and banded MinHash-LSH, each scored by
+    * pair recall in basis points (both regimes only emit verified
+    * jaccard ≥ t pairs, so precision is structurally 10⁴ and
+    * RECALL is the informative number; the truth row pins itself at
+    * 10000). This is the production acceptance test for choosing a
+    * mining regime, runnable on a corpus sample before committing
+    * the full 100 TB mine. All counts exact; semi-joins on pair
+    * keys. */
+  def q192MiningRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+    val exact = graft.operators.Caches.persistTracked(
+      Dedup.prefixFilterPairs(d, "doc_id", "text", n = 3,
+        thresholdBp = 2000)
+        .select(col("id_a"), col("id_b")))
+    val lsh = graft.operators.Caches.persistTracked(
+      Dedup.minhashLshPairs(d, "doc_id", "text", n = 3, bands = 4,
+        rowsPerBand = 2, threshold = 0.2)
+        .select(col("id_a"), col("id_b")))
+    val capped = graft.operators.Caches.persistTracked(
+      Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.2,
+        maxDf = 50L)
+        .select(col("id_a"), col("id_b")))
+    val nTruth = exact.agg(count(lit(1)).as("n_truth"))
+    def audit(name: String, r: DataFrame): DataFrame = r
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(r.join(exact, Seq("id_a", "id_b"),
+        "left_semi").agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(nTruth))
+      .select(lit(name).as("regime"), col("n_pairs"), col("n_hit"),
+        expr("n_hit * 10000 div n_truth").as("recall_bp"))
+    audit("capped_df50", capped)
+      .unionByName(audit("exact_prefix", exact))
+      .unionByName(audit("lsh_b4r2", lsh))
+      .orderBy(col("regime"))
+  }
+
+  /** Discrete-time churn hazard curve over customer ORDER
+    * lifetimes (the orders table spans ~6 years, so the curve has
+    * ~26 quarter buckets; the events stream is one uniform month
+    * and would degenerate): customers grouped by lifetime in
+    * quarters (last − first order date, integer 90-day buckets);
+    * hazard(k) = churners(k) / at-risk(k) in exact basis points,
+    * where customers whose last order falls in the corpus' final 90
+    * days are CENSORED (still alive at observation end — counted at
+    * risk, never as churn; the standard right-censoring treatment,
+    * wall-clock-free per T10). at_risk(k) is a descending running
+    * sum over the quarter-frame aggregate — everything after the
+    * per-customer rollup is |quarters|-sized. */
+  def q193ChurnHazard(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir).orders
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("day"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("day")).as("first_d"), max(col("day")).as("last_d"))
+    val mx = per.agg(max(col("last_d")).as("m"))
+    val byK = per.crossJoin(broadcast(mx))
+      .select(expr("datediff(last_d, first_d) div 90").as("k"),
+        (col("last_d") > date_sub(col("m"), 90)).cast("long")
+          .as("censored"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_ending"),
+        sum(col("censored")).as("n_censored"))
+      .withColumn("churned", col("n_ending") - col("n_censored"))
+    byK
+      .withColumn("at_risk", sum(col("n_ending")).over(
+        Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("k"), col("at_risk"), col("churned"),
+        col("n_censored"),
+        expr("churned * 10000 div at_risk").as("hazard_bp"))
+      .orderBy(col("k"))
+  }
+
+  /** Daily audience audit — new vs returning users and the
+    * cumulative distinct-audience curve, computed WITHOUT any
+    * distinct-over-window: a user is "new" on their first-seen day
+    * (one per-user min), so cumulative distinct users ≡ running sum
+    * of daily new counts — the identity that turns an unbounded
+    * distinct into an integer prefix sum. Two corpus-scale keyed
+    * aggregations ((user,day) distinct + per-user first-seen);
+    * everything after is day-frame sized. */
+  def q194DailyAudience(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+    val perDay = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_d"))
+    val users = ev.distinct()
+      .join(firstSeen, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("day") === col("first_d"), 1L).otherwise(0L))
+          .as("n_new"))
+    users.join(perDay, Seq("day"))
+      .withColumn("n_returning", col("n_users") - col("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(fmtDate(col("day")).as("day"), col("n_events"),
+        col("n_users"), col("n_new"), col("n_returning"),
+        col("cum_users"))
+      .orderBy(col("day"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5150,5 +5260,8 @@ object Queries {
     "q188_hll_intersection" -> (q188HllIntersection _),
     "q189_sax_motifs" -> (q189SaxMotifs _),
     "q190_greedy_coverage" -> (q190GreedyCoverage _),
-    "q191_frequent_triples" -> (q191FrequentTriples _))
+    "q191_frequent_triples" -> (q191FrequentTriples _),
+    "q192_mining_recall" -> (q192MiningRecall _),
+    "q193_churn_hazard" -> (q193ChurnHazard _),
+    "q194_daily_audience" -> (q194DailyAudience _))
 }
