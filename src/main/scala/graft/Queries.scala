@@ -4494,28 +4494,13 @@ object Queries {
     * decayed fold is |users|×|days| and commutes (integer adds), so
     * it maintains incrementally under append — a new day only ADDS
     * terms (the sketch-maintenance property). Top-20 users. */
-  def q180DecayedTrending(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
-      .groupBy(col("user_id"),
-        date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg(count(lit(1)).as("n"))
-    val maxDay = daily.agg(max(col("day")).as("d_max"))
-    val scored = daily.crossJoin(broadcast(maxDay))
-      .select(col("user_id"), col("n"),
-        expr("shiftright(n * 1000000, " +
-          "cast(least(datediff(d_max, day) div 7, 62) as int))")
-          .as("contrib"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("n")).as("n_events"),
-        sum(col("contrib")).as("score_1e6"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score_1e6").desc, col("user_id"))))
-      .where(col("rank") <= 20)
-      .select(col("rank"), col("user_id"), col("n_events"),
-        col("score_1e6"))
-      .orderBy(col("rank"))
-  }
+  def q180DecayedTrending(spark: SparkSession, dir: String): DataFrame =
+    Analytics.decayedTrending(
+      events(spark, dir)
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n")),
+      k = 20)
 
   /** Linear multi-touch attribution (q32's last-touch single hop
     * generalized to credit EVERY touch): each purchase splits

@@ -164,4 +164,31 @@ object Analytics {
         when(col("prev_n").isNull, lit(10000L))
           .otherwise(expr("n * 10000 div prev_n")).as("conv_bp"))
   }
+
+  /** Time-decayed trending fold over a (user_id, day, n) daily-count
+    * frame — q180's arithmetic, factored so the batch query and the
+    * streaming maintenance ([[graft.streaming.TrendIngest]]) serve
+    * through ONE implementation: a day's count is worth half per 7
+    * days of age against the frame's max day, as a PURE INTEGER
+    * right-shift (no float powers; shifts cap at 62). The fold is
+    * additive integer sums, so partial daily counts from any split
+    * of the data (micro-batches, shards) re-aggregate to the
+    * identical result. Top-`k` by (score DESC, user_id). */
+  def decayedTrending(daily: DataFrame, k: Int = 20): DataFrame = {
+    val maxDay = daily.agg(max(col("day")).as("d_max"))
+    daily.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), col("n"),
+        expr("shiftright(n * 1000000, " +
+          "cast(least(datediff(d_max, day) div 7, 62) as int))")
+          .as("contrib"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("contrib")).as("score_1e6"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_1e6").desc, col("user_id"))))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("user_id"), col("n_events"),
+        col("score_1e6"))
+      .orderBy(col("rank"))
+  }
 }

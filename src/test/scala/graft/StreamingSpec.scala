@@ -1312,6 +1312,48 @@ class StreamingSpec extends AnyFunSuite {
       s"retry must overwrite its own batch dir, not append: $before -> $after")
   }
 
+  test("TrendIngest: additive day-partials serve the decayed top-k identically to batch (q180 twin)") {
+    implicit val ctx = spark.sqlContext
+    val ev = Queries.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+    val rows = ev.as[(Long, java.sql.Date)].collect()
+    val idxDir = GraftTestSpark.tmpDir("graft-trend-idx")
+    val chk = GraftTestSpark.tmpDir("graft-trend-chk")
+    val input = MemoryStream[(Long, java.sql.Date)]
+    val q = graft.streaming.TrendIngest.ingest(
+        input.toDF().toDF("user_id", "day"), idxDir)
+      .option("checkpointLocation", chk).start()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val served = rowsOf(
+      graft.streaming.TrendIngest.serveTopK(spark, idxDir))
+    // truth = the catalog query itself over the same events
+    val batch = rowsOf(
+      Queries.q180DecayedTrending(spark, "/root/testdata/sf0.001"))
+    assert(served.nonEmpty && served === batch,
+      s"served-through-partials diverged: $served vs $batch")
+    // retry idempotence: re-applying an already-written batch id must
+    // not double-append (the batch=<id> overwrite contract)
+    val slice = ev.limit(100)
+    graft.streaming.TrendIngest.applyBatch(slice, idxDir, 0L)
+    graft.streaming.TrendIngest.applyBatch(slice, idxDir, 0L)
+    val after = rowsOf(
+      graft.streaming.TrendIngest.serveTopK(spark, idxDir))
+    // scores may change (batch 0 replaced), but no double count: the
+    // partials for batch 0 must equal ONE application of the slice
+    val partials0 = spark.read
+      .parquet(s"$idxDir/daily/batch=0").agg(sum($"n")).head().getLong(0)
+    assert(partials0 === 100L,
+      s"retry must overwrite its own batch dir, not append: $partials0")
+    assert(after.nonEmpty)
+  }
+
   // ---- CdcStream: versioned copy-on-write MERGE maintenance ----
 
   private def cdcRow(id: Long, seq: Long, op: String, text: String,
