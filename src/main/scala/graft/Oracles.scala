@@ -2564,6 +2564,72 @@ object Oracles {
         |SELECT cent_id, pos, round(m, 6) AS m FROM m2
         |ORDER BY cent_id, pos""".stripMargin,
 
+    // q195: nearest-rank bands; the index ⌈p·n/100⌉ is pure integer;
+    // the value at a rank is order-independent under ties.
+    "q195_monthly_bands" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS "month",
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |r AS (SELECT "month", c,
+        |  row_number() OVER (PARTITION BY "month" ORDER BY c) AS rk,
+        |  count(*) OVER (PARTITION BY "month") AS n FROM o)
+        |SELECT "month", CAST(max(n) AS BIGINT) AS n_orders,
+        |CAST(max(CASE WHEN rk = (10 * n + 99) // 100 THEN c END)
+        |  AS DOUBLE) / 100.0 AS p10,
+        |CAST(max(CASE WHEN rk = (50 * n + 99) // 100 THEN c END)
+        |  AS DOUBLE) / 100.0 AS p50,
+        |CAST(max(CASE WHEN rk = (90 * n + 99) // 100 THEN c END)
+        |  AS DOUBLE) / 100.0 AS p90
+        |FROM r GROUP BY 1 ORDER BY "month"""".stripMargin,
+
+    // q196: q55's fixed-point fit chain extended one assignment pass
+    // (c2 from m2), then the label-purity rollup.
+    "q196_cluster_purity" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |c0 AS (SELECT id AS cent_id, vv AS cv FROM v ORDER BY id LIMIT 4),
+        |a1 AS (SELECT id, vv, cent_id FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM v CROSS JOIN c0 c) WHERE rk = 1),
+        |m1 AS (SELECT cent_id, CAST(p.pos AS INT) AS pos,
+        |  CAST(sum(CAST(round(vv[CAST(p.pos AS INT)+1]*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS m
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        |  GROUP BY cent_id, p.pos),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cent_id),
+        |a2 AS (SELECT id, vv, cent_id FROM (
+        |  SELECT v.id, v.vv, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM v CROSS JOIN c1 c) WHERE rk = 1),
+        |m2 AS (SELECT cent_id, CAST(p.pos AS INT) AS pos,
+        |  CAST(sum(CAST(round(vv[CAST(p.pos AS INT)+1]*1e6) AS BIGINT)) AS DOUBLE)/1e6/count(*) AS m
+        |  FROM a2 CROSS JOIN (SELECT unnest(range(64)) AS pos) p
+        |  GROUP BY cent_id, p.pos),
+        |c2 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m2 GROUP BY cent_id),
+        |a3 AS (SELECT id, cent_id FROM (
+        |  SELECT v.id, c.cent_id,
+        |  row_number() OVER (PARTITION BY v.id ORDER BY
+        |    round(list_dot_product(v.vv, c.cv)
+        |     /(sqrt(list_dot_product(v.vv, v.vv))*sqrt(list_dot_product(c.cv, c.cv))), 6)
+        |    DESC, c.cent_id) AS rk
+        |  FROM v CROSS JOIN c2 c) WHERE rk = 1),
+        |bc AS (SELECT a3.cent_id, e.label,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM a3 JOIN embeddings e ON e.vec_id = a3.id GROUP BY 1, 2),
+        |sz AS (SELECT cent_id, CAST(sum(c) AS BIGINT) AS n_members
+        |  FROM bc GROUP BY 1)
+        |SELECT t.cent_id, sz.n_members, t.label AS top_label,
+        |t.c AS top_n,
+        |CAST(t.c * 10000 // sz.n_members AS BIGINT) AS purity_bp
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cent_id
+        |  ORDER BY c DESC, label) AS rn FROM bc) t
+        |JOIN sz USING (cent_id)
+        |WHERE t.rn = 1 ORDER BY t.cent_id""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -5052,6 +5052,67 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Monthly robust price bands: exact nearest-rank P10/P50/P90 of
+    * order totals per month over the ~6-year orders table (the
+    * percentile-band time series an ops dashboard tracks instead of
+    * drift-prone means). Ranks are row_number over integer cents
+    * with the index ⌈p·n/100⌉ computed in pure integers — no
+    * interpolation, no float ordering; one month-partitioned sort
+    * serves all three bands. */
+  def q195MonthlyBands(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir).orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val ranked = o
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("month")).orderBy(col("c"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("month"))))
+    def band(p: Int) =
+      (max(when(col("rk") === expr(s"($p * n + 99) div 100"),
+        col("c"))) / 100.0)
+    ranked.groupBy(col("month"))
+      .agg(max(col("n")).as("n_orders"),
+        band(10).as("p10"), band(50).as("p50"), band(90).as("p90"))
+      .orderBy(col("month"))
+  }
+
+  /** K-means cluster-purity audit (the ML-eval closing the q55/q63
+    * fit + q152 kNN-confusion loop): vectors are assigned to the
+    * q55-fitted centroids (deterministic fixed-point fit, cosine
+    * argmax with centroid-id tie-break) and each cluster is scored
+    * by label purity — majority-label share in exact basis points.
+    * The confusion rollup is |clusters|×|labels|; the only
+    * corpus-scale stages are the fit passes and one broadcast
+    * assignment scan. */
+  def q196ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val cents = Similarity.fitCentroids(
+      emb.select(col("id"), col("vec")), k = 4, iters = 2)
+    val assigned = Similarity.nearestCentroids(
+      emb.select(col("id"), col("vec")),
+      cents.select(col("cent_id").as("id"), col("cent_v").as("vec")),
+      "m_id", keep = 1)
+    val byCl = assigned.select(col("m_id").as("id"), col("cent_id"))
+      .join(emb.select(col("id"), col("label")), Seq("id"))
+      .groupBy(col("cent_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = byCl.groupBy(col("cent_id"))
+      .agg(sum(col("c")).as("n_members"))
+    byCl
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cent_id"))
+          .orderBy(col("c").desc, col("label"))))
+      .where(col("rn") === 1)
+      .join(sizes, Seq("cent_id"))
+      .select(col("cent_id"), col("n_members"),
+        col("label").as("top_label"), col("c").as("top_n"),
+        expr("c * 10000 div n_members").as("purity_bp"))
+      .orderBy(col("cent_id"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5248,5 +5309,7 @@ object Queries {
     "q191_frequent_triples" -> (q191FrequentTriples _),
     "q192_mining_recall" -> (q192MiningRecall _),
     "q193_churn_hazard" -> (q193ChurnHazard _),
-    "q194_daily_audience" -> (q194DailyAudience _))
+    "q194_daily_audience" -> (q194DailyAudience _),
+    "q195_monthly_bands" -> (q195MonthlyBands _),
+    "q196_cluster_purity" -> (q196ClusterPurity _))
 }
