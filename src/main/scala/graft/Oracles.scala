@@ -2630,6 +2630,80 @@ object Oracles {
         |JOIN sz USING (cent_id)
         |WHERE t.rn = 1 ORDER BY t.cent_id""".stripMargin,
 
+    // q197: exact integer cross-ratio index; DuckDB dayofweek is
+    // 0-based Sunday, Spark's is 1-based — aligned with +1.
+    "q197_seasonal_index" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_trunc('day', ts) AS DATE) AS "day",
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, dayofweek("day") + 1 AS dow, n
+        |  FROM daily),
+        |bd AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS s_dow,
+        |  CAST(count(*) AS BIGINT) AS d_dow FROM dw GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s_total,
+        |  CAST(count(*) AS BIGINT) AS d_total FROM daily GROUP BY 1)
+        |SELECT bd.event_type, CAST(dow AS INT) AS dow, s_dow, d_dow,
+        |CAST(s_dow * d_total * 10000 // (s_total * d_dow) AS BIGINT)
+        |  AS idx_bp
+        |FROM bd JOIN bt USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // q198: every sum exact; ONE rounded double division (numerator
+    // is G·n·S-sized, within long range).
+    "q198_gini_concentration" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |sg AS (SELECT pc.o_custkey, pc.x,
+        |  c.c_mktsegment AS segment FROM pc
+        |  JOIN customer c ON c.c_custkey = pc.o_custkey),
+        |rk AS (SELECT segment, x,
+        |  CAST(row_number() OVER (PARTITION BY segment
+        |    ORDER BY x, o_custkey) AS BIGINT) AS i FROM sg),
+        |ag AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(x) AS BIGINT) AS s,
+        |  CAST(sum(i * x) AS BIGINT) AS six FROM rk GROUP BY 1)
+        |SELECT segment, n_customers,
+        |CAST(s AS DOUBLE) / 100.0 AS revenue,
+        |CAST(round(1e6 * (2 * six - (n_customers + 1) * s)
+        |  / (CAST(n_customers AS DOUBLE) * s)) AS BIGINT) AS gini_1e6
+        |FROM ag ORDER BY segment""".stripMargin,
+
+    // q199: one wide moment aggregation; each r is one rounded
+    // double expression with casts BEFORE the large products
+    // (determinism is the contract, not exactness past 2^53).
+    "q199_correlation_matrix" -> {
+      val pairs = Seq(("d", "p"), ("d", "q"), ("d", "t"),
+        ("p", "q"), ("p", "t"), ("q", "t"))
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '${a}_$b' AS pair, n,
+           |CAST(round(1e6 * (CAST(n AS DOUBLE) * sp_$a$b
+           |  - CAST(s_$a AS DOUBLE) * s_$b)
+           |  / (sqrt(CAST(n AS DOUBLE) * ss_$a
+           |  - CAST(s_$a AS DOUBLE) * s_$a)
+           |  * sqrt(CAST(n AS DOUBLE) * ss_$b
+           |  - CAST(s_$b AS DOUBLE) * s_$b))) AS BIGINT) AS r_1e6
+           |FROM w""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         |  CAST(round(l_discount * 10000) AS BIGINT) AS d,
+         |  CAST(round(l_tax * 10000) AS BIGINT) AS t FROM lineitem),
+         |w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(q) AS BIGINT) AS s_q, CAST(sum(p) AS BIGINT) AS s_p,
+         |  CAST(sum(d) AS BIGINT) AS s_d, CAST(sum(t) AS BIGINT) AS s_t,
+         |  sum(q*q) AS ss_q, sum(p*p) AS ss_p,
+         |  sum(d*d) AS ss_d, sum(t*t) AS ss_t,
+         |  sum(d*p) AS sp_dp, sum(d*q) AS sp_dq,
+         |  sum(d*t) AS sp_dt, sum(p*q) AS sp_pq,
+         |  sum(p*t) AS sp_pt, sum(q*t) AS sp_qt
+         |  FROM f)
+         |SELECT pair, n, r_1e6 FROM (
+         |$rows)
+         |ORDER BY pair""".stripMargin
+    },
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -5113,6 +5113,110 @@ object Queries {
       .orderBy(col("cent_id"))
   }
 
+  /** Day-of-week seasonality index per event type: how much a
+    * weekday runs above/below the type's own daily mean, as the
+    * EXACT integer cross-ratio idx_bp = (s_dow·d_total·10⁴) div
+    * (s_total·d_dow) over observed-day counts — no float mean ever
+    * exists, so the index is engine- and partitioning-exact. One
+    * daily rollup; the index frame is |types|×7. */
+  def q197SeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("s_dow"), count(lit(1)).as("d_dow"))
+    val byType = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s_total"), count(lit(1)).as("d_total"))
+    byDow.join(broadcast(byType), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("s_dow"),
+        col("d_dow"),
+        expr("s_dow * d_total * 10000 div (s_total * d_dow)")
+          .as("idx_bp"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** Revenue concentration per market segment as the exact Gini
+    * coefficient: customers ranked ascending by integer-cents
+    * revenue (custkey tie-break), G = (2·Σi·xᵢ − (n+1)·S)/(n·S)
+    * with every sum an exact long and ONE rounded double division
+    * (the q170 contract — the numerator stays within long range
+    * because it is G·n·S-sized, never Σi·xᵢ·10⁶-sized). The
+    * rank-weighted sum is a segment-partitioned window over the
+    * per-customer rollup; pairs naturally with q177's ABC classes
+    * (share thresholds) by measuring the whole curve instead. */
+  def q198GiniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    val perCust = tt.orders
+      .groupBy(col("o_custkey"))
+      .agg(centsSum(col("o_totalprice")).as("x"))
+      .join(tt.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")), Seq("o_custkey"))
+    val ranked = perCust.withColumn("i", row_number().over(
+      Window.partitionBy(col("segment"))
+        .orderBy(col("x"), col("o_custkey"))))
+    ranked.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("s"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("segment"), col("n_customers"),
+        (col("s") / 100.0).as("revenue"),
+        expr("cast(round(1e6 * (2 * six - (n_customers + 1) * s)" +
+          " / (cast(n_customers as double) * s)) as bigint)")
+          .as("gini_1e6"))
+      .orderBy(col("segment"))
+  }
+
+  /** Pearson correlation matrix of the fact table's numeric columns
+    * (quantity, price cents, discount bp, tax bp — all exact
+    * integer features), from ONE scan: a single wide aggregation
+    * collects every moment sum as an exact long, and each pairwise
+    * r is ONE rounded double expression over those longs with
+    * explicit double casts BEFORE the large products (n·sxy
+    * overflows longs at corpus scale; identical IEEE expression
+    * trees keep the rounded value engine-exact — determinism is
+    * the contract, q170's). Six rows out of four columns; profile
+    * breadth never multiplies scans (q187's rule). */
+  def q199CorrelationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val f = t(spark, dir).lineitem.select(
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("p"),
+      round(col("l_discount") * 10000).cast("long").as("d"),
+      round(col("l_tax") * 10000).cast("long").as("t"))
+    val cols = Seq("q", "p", "d", "t")
+    // second-moment sums ride as exact DECIMAL(38,0): Σp² overflows
+    // longs at corpus scale (cents² ≈ 1e14 per row), and decimal
+    // sums stay exact and order-independent like integer sums —
+    // DuckDB's BIGINT sums are HUGEINT for the same reason. The
+    // per-row product still fits a long (≤ ~1e14).
+    val sums = count(lit(1)).as("n") +:
+      (cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        cols.map(c => sum((col(c) * col(c)).cast("decimal(38,0)"))
+          .as(s"ss_$c")) ++
+        (for (a <- cols; b <- cols if a < b)
+          yield sum((col(a) * col(b)).cast("decimal(38,0)"))
+            .as(s"sp_${a}${b}")))
+    val wide = f.agg(sums.head, sums.tail: _*)
+    def rExpr(a: String, b: String) =
+      s"cast(round(1e6 * (cast(n as double) * sp_${a}${b}" +
+        s" - cast(s_$a as double) * s_$b)" +
+        s" / (sqrt(cast(n as double) * ss_$a" +
+        s" - cast(s_$a as double) * s_$a)" +
+        s" * sqrt(cast(n as double) * ss_$b" +
+        s" - cast(s_$b as double) * s_$b))) as bigint)"
+    val pairs = for (a <- cols; b <- cols if a < b)
+      yield (s"${a}_${b}", rExpr(a, b))
+    val withR = wide.select(col("n") +:
+      pairs.map { case (nm, e) => expr(e).as(s"r_$nm") }: _*)
+    val stackArgs = pairs.map { case (nm, _) => s"'$nm', r_$nm" }
+      .mkString(", ")
+    withR.selectExpr("n",
+      s"stack(${pairs.size}, $stackArgs) AS (pair, r_1e6)")
+      .select(col("pair"), col("n"), col("r_1e6"))
+      .orderBy(col("pair"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5311,5 +5415,8 @@ object Queries {
     "q193_churn_hazard" -> (q193ChurnHazard _),
     "q194_daily_audience" -> (q194DailyAudience _),
     "q195_monthly_bands" -> (q195MonthlyBands _),
-    "q196_cluster_purity" -> (q196ClusterPurity _))
+    "q196_cluster_purity" -> (q196ClusterPurity _),
+    "q197_seasonal_index" -> (q197SeasonalIndex _),
+    "q198_gini_concentration" -> (q198GiniConcentration _),
+    "q199_correlation_matrix" -> (q199CorrelationMatrix _))
 }
