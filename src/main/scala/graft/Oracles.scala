@@ -2704,6 +2704,80 @@ object Oracles {
          |ORDER BY pair""".stripMargin
     },
 
+    // q200: the readiness gate composes q21 fingerprints, q23 LSH,
+    // q89 13-gram contamination, and q195's rank index; every value
+    // integer, every threshold pinned, pass applies the row's op.
+    "q200_corpus_scorecard" ->
+      s"""${SHINGLE_CTES},
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents),
+         |fp AS (SELECT CAST(count(DISTINCT
+         |  md5(array_to_string($TOKS, ' '))) AS BIGINT) AS n_fp
+         |  FROM documents),
+         |shc AS (SELECT CAST(count(*) AS BIGINT) AS n_short
+         |  FROM documents WHERE n_chars < 100),
+         |en AS (SELECT CAST(count(*) AS BIGINT) AS n_en
+         |  FROM documents WHERE lang = 'en'),
+         |tok13 AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |g13 AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(tk) < 13 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)-11),
+         |      i -> array_to_string(tk[i:i+12], ' ')) END) AS sh
+         |  FROM tok13),
+         |p13 AS (SELECT doc_id, unnest(sh) AS g FROM g13
+         |  WHERE len(sh) > 0),
+         |bg13 AS (SELECT DISTINCT g FROM p13 WHERE doc_id % 50 = 0),
+         |ctm AS (SELECT CAST(count(*) AS BIGINT) AS n_contam FROM (
+         |  SELECT DISTINCT p.doc_id FROM p13 p JOIN bg13 ON p.g = bg13.g
+         |  WHERE p.doc_id % 50 <> 0)),
+         |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |sig AS (SELECT doc_id, sh, n_sh,
+         |  list_transform(range(0, 8), s -> list_aggregate(
+         |    list_transform(sh, x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS sig
+         |FROM ss),
+         |banded AS (SELECT s.doc_id, t.b AS band,
+         |  md5(array_to_string(s.sig[t.b*2+1:t.b*2+2], '#')) AS bucket
+         |FROM sig s CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+         |lc AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |FROM banded l JOIN banded r ON l.band = r.band
+         |  AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |lp AS (SELECT c.id_a, c.id_b FROM lc c
+         |  JOIN ss a ON c.id_a = a.doc_id JOIN ss b ON c.id_b = b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))), 4)
+         |    >= 0.2),
+         |inv AS (SELECT CAST(count(*) AS BIGINT) AS n_inv FROM (
+         |  SELECT DISTINCT u FROM (SELECT unnest([id_a, id_b]) AS u
+         |    FROM lp))),
+         |med AS (SELECT CAST(v AS BIGINT) AS p50 FROM (
+         |  SELECT len($TOKS) AS v,
+         |    row_number() OVER (ORDER BY len($TOKS)) AS rk,
+         |    count(*) OVER () AS n FROM documents)
+         |  WHERE rk = (50 * n + 99) // 100),
+         |res AS (
+         |  SELECT 'contaminated_bp' AS metric,
+         |    CAST(n_contam * 10000 // n_train AS BIGINT) AS value,
+         |    '<=' AS op, CAST(1500 AS BIGINT) AS threshold
+         |    FROM ctm CROSS JOIN ntr
+         |  UNION ALL SELECT 'exact_dup_bp',
+         |    CAST((n_docs - n_fp) * 10000 // n_docs AS BIGINT), '<=',
+         |    2500 FROM fp CROSS JOIN tot
+         |  UNION ALL SELECT 'lang_en_bp',
+         |    CAST(n_en * 10000 // n_docs AS BIGINT), '>=', 2000
+         |    FROM en CROSS JOIN tot
+         |  UNION ALL SELECT 'near_dup_bp',
+         |    CAST(n_inv * 10000 // n_docs AS BIGINT), '<=', 2500
+         |    FROM inv CROSS JOIN tot
+         |  UNION ALL SELECT 'short_doc_bp',
+         |    CAST(n_short * 10000 // n_docs AS BIGINT), '<=', 2000
+         |    FROM shc CROSS JOIN tot
+         |  UNION ALL SELECT 'token_p50', p50, '>=', 10 FROM med)
+         |SELECT metric, value, op, threshold,
+         |CAST(CASE WHEN op = '<=' THEN value <= threshold
+         |  ELSE value >= threshold END AS INT) AS passed
+         |FROM res ORDER BY metric""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

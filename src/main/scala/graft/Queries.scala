@@ -5217,6 +5217,79 @@ object Queries {
       .orderBy(col("pair"))
   }
 
+  /** q200 — the corpus-readiness scorecard: the nightly go/no-go
+    * gate a training pipeline runs before accepting a corpus drop,
+    * COMPOSING the catalog's primitives into one auditable report —
+    * exact-dup rate (q21's fingerprints), near-dup involvement
+    * (q23's verified LSH pairs), benchmark 13-gram contamination
+    * (q89's machinery), short-doc and language-mix shares, and the
+    * exact nearest-rank median tokens per doc (q195's rank index).
+    * Every value is an integer (basis points or counts), every
+    * threshold is pinned, and the pass flag applies the row's own
+    * comparison direction — so the gate decision can never drift
+    * across engines or partitionings. Each metric is a 1-row
+    * aggregate attached by broadcast; the corpus-scale stages are
+    * the scans the underlying operators already cost. */
+  def q200CorpusScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.operators.Caches.persistTracked(
+      t(spark, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("n_chars")))
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    def row(metric: String, value: Column, op: String,
+        threshold: Long)(src: DataFrame): DataFrame =
+      src.select(lit(metric).as("metric"),
+        value.cast("long").as("value"), lit(op).as("op"),
+        lit(threshold).as("threshold"))
+    val dupRow = row("exact_dup_bp",
+      expr("(n_docs - n_fp) * 10000 div n_docs"), "<=", 2500L)(
+      d.select(fingerprint(col("text")).as("fp"))
+        .agg(countDistinct(col("fp")).as("n_fp"))
+        .crossJoin(broadcast(total)))
+    val shortRow = row("short_doc_bp",
+      expr("n_short * 10000 div n_docs"), "<=", 2000L)(
+      d.where(col("n_chars") < 100)
+        .agg(count(lit(1)).as("n_short"))
+        .crossJoin(broadcast(total)))
+    val enRow = row("lang_en_bp",
+      expr("n_en * 10000 div n_docs"), ">=", 2000L)(
+      d.where(col("lang") === "en")
+        .agg(count(lit(1)).as("n_en"))
+        .crossJoin(broadcast(total)))
+    val post = Dedup.shingleSets(d, "doc_id", "text", 13)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val benchGrams = post.where(col("doc_id") % 50 === 0)
+      .select(col("g")).distinct()
+    val contamRow = row("contaminated_bp",
+      expr("n_contam * 10000 div n_train"), "<=", 1500L)(
+      post.where(col("doc_id") % 50 =!= 0)
+        .join(benchGrams, Seq("g"))
+        .select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_contam"))
+        .crossJoin(broadcast(d.where(col("doc_id") % 50 =!= 0)
+          .agg(count(lit(1)).as("n_train")))))
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", n = 3,
+      bands = 4, rowsPerBand = 2, threshold = 0.2)
+    val nearRow = row("near_dup_bp",
+      expr("n_inv * 10000 div n_docs"), "<=", 2500L)(
+      pairs.select(explode(array(col("id_a"), col("id_b")))
+        .as("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_inv"))
+        .crossJoin(broadcast(total)))
+    val tokRow = row("token_p50", col("p50"), ">=", 10L)(
+      d.select(size(tokens(col("text"))).cast("long").as("v"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .where(col("rk") === expr("(50 * n + 99) div 100"))
+        .agg(max(col("v")).as("p50")))
+    dupRow.unionByName(shortRow).unionByName(enRow)
+      .unionByName(contamRow).unionByName(nearRow).unionByName(tokRow)
+      .withColumn("passed",
+        when(col("op") === "<=", col("value") <= col("threshold"))
+          .otherwise(col("value") >= col("threshold")).cast("int"))
+      .orderBy(col("metric"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5418,5 +5491,6 @@ object Queries {
     "q196_cluster_purity" -> (q196ClusterPurity _),
     "q197_seasonal_index" -> (q197SeasonalIndex _),
     "q198_gini_concentration" -> (q198GiniConcentration _),
-    "q199_correlation_matrix" -> (q199CorrelationMatrix _))
+    "q199_correlation_matrix" -> (q199CorrelationMatrix _),
+    "q200_corpus_scorecard" -> (q200CorpusScorecard _))
 }
