@@ -2778,6 +2778,86 @@ object Oracles {
          |  ELSE value >= threshold END AS INT) AS passed
          |FROM res ORDER BY metric""".stripMargin,
 
+    // q201: integer CUSUM (C_k = n·prefix − k·S), integer argmax
+    // with (|C|, day) tie-break; side means round once each.
+    "q201_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(date_trunc('day', ts) AS DATE) AS "day",
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, "day", x,
+        |  CAST(row_number() OVER ow AS BIGINT) AS k,
+        |  CAST(count(*) OVER tw AS BIGINT) AS n,
+        |  CAST(sum(x) OVER tw AS BIGINT) AS s,
+        |  CAST(sum(x) OVER (PARTITION BY event_type ORDER BY "day"
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre_s
+        |  FROM daily
+        |  WINDOW ow AS (PARTITION BY event_type ORDER BY "day"),
+        |    tw AS (PARTITION BY event_type)),
+        |ck AS (SELECT *, n * pre_s - k * s AS cusum_scaled FROM c),
+        |am AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(cusum_scaled) DESC, "day") AS rn FROM ck)
+        |SELECT event_type, strftime("day", '%Y-%m-%d') AS shift_day,
+        |CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+        |round(CAST(pre_s AS DOUBLE) / k, 4) AS mean_before,
+        |round(CAST(s - pre_s AS DOUBLE) / (n - k), 4) AS mean_after
+        |FROM am WHERE rn = 1 AND k < n
+        |ORDER BY event_type""".stripMargin,
+
+    // q202: q170's OLS sums, grouped per brand; zero-variance
+    // brands emit NULL via nullif identically.
+    "q202_discount_elasticity" ->
+      """WITH f AS (SELECT p.p_brand,
+        |  CAST(l.l_quantity AS BIGINT) AS y,
+        |  CAST(round(l.l_discount * 10000) AS BIGINT) AS x
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy, sum(x*x) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM f GROUP BY 1)
+        |SELECT p_brand, n, sy AS total_qty,
+        |CAST(round(1e6 * (CAST(n AS DOUBLE) * sxy
+        |  - CAST(sx AS DOUBLE) * sy)
+        |  / nullif(CAST(n AS DOUBLE) * sxx
+        |  - CAST(sx AS DOUBLE) * sx, 0.0e0)) AS BIGINT) AS slope_1e6,
+        |CAST(floor(1e4 * (CAST(n AS DOUBLE) * sxy
+        |  - CAST(sx AS DOUBLE) * sy)
+        |  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |  / nullif((CAST(n AS DOUBLE) * sxx
+        |  - CAST(sx AS DOUBLE) * sx)
+        |  * (CAST(n AS DOUBLE) * syy
+        |  - CAST(sy AS DOUBLE) * sy), 0.0e0)) AS BIGINT) AS r2_bp
+        |FROM s ORDER BY p_brand""".stripMargin,
+
+    // q203: deciles by integer cross-multiplication; shares from
+    // running integer sums.
+    "q203_lorenz_deciles" ->
+      """WITH pc AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |sg AS (SELECT pc.o_custkey, pc.x, c.c_mktsegment AS segment
+        |  FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey),
+        |rk AS (SELECT segment, x,
+        |  CAST(row_number() OVER (PARTITION BY segment
+        |    ORDER BY x, o_custkey) AS BIGINT) AS i,
+        |  CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n,
+        |  CAST(sum(x) OVER (PARTITION BY segment) AS BIGINT) AS s
+        |  FROM sg),
+        |dc AS (SELECT segment, (10 * i + n - 1) // n AS decile,
+        |  x, s FROM rk),
+        |ag AS (SELECT segment, decile,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(x) AS BIGINT) AS dx, CAST(max(s) AS BIGINT) AS s
+        |  FROM dc GROUP BY 1, 2),
+        |cm AS (SELECT *, CAST(sum(dx) OVER (PARTITION BY segment
+        |  ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  AS cum_x FROM ag)
+        |SELECT segment, CAST(decile AS BIGINT) AS decile, n_customers,
+        |CAST(dx * 10000 // s AS BIGINT) AS share_bp,
+        |CAST(cum_x * 10000 // s AS BIGINT) AS cum_share_bp
+        |FROM cm ORDER BY segment, decile""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -5290,6 +5290,116 @@ object Queries {
       .orderBy(col("metric"))
   }
 
+  /** CUSUM changepoint detection per event type (the classic
+    * level-shift detector, complementing q158's spike flag and
+    * q170's monotone trend): over the daily count series, the
+    * cumulative deviation from the SERIES mean is kept in exact
+    * integers by scaling with n — C_k = n·Σ_{i≤k}x_i − k·S — so the
+    * argmax |C_k| (the most likely shift point) is an integer
+    * decision with a (|C|, day) tie-break; the reported shift
+    * magnitude compares the exact integer means of the two sides
+    * in one rounded division each. Everything after the daily
+    * rollup is |types|×|days|. */
+  def q201Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tw = Window.partitionBy(col("event_type"))
+    val ow = tw.orderBy(col("day"))
+    val run = ow.rowsBetween(Window.unboundedPreceding, 0)
+    val cusum = daily
+      .withColumn("k", row_number().over(ow))
+      .withColumn("n", count(lit(1)).over(tw))
+      .withColumn("s", sum(col("x")).over(tw))
+      .withColumn("ck",
+        col("n") * sum(col("x")).over(run) - col("k") * col("s"))
+      .withColumn("pre_s", sum(col("x")).over(run))
+    cusum
+      .withColumn("rn", row_number().over(tw.orderBy(
+        abs(col("ck")).desc, col("day"))))
+      .where(col("rn") === 1 && col("k") < col("n"))
+      .select(col("event_type"), fmtDate(col("day")).as("shift_day"),
+        col("ck").as("cusum_scaled"),
+        round(col("pre_s").cast("double") / col("k"), 4)
+          .as("mean_before"),
+        round((col("s") - col("pre_s")).cast("double")
+          / (col("n") - col("k")), 4).as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-brand discount elasticity: q170's exact-integer OLS
+    * machinery applied GROUPED — slope of line-item quantity
+    * against discount basis points within each brand (do discounts
+    * move volume, and for which brands?). All five OLS sums are
+    * exact longs per brand; slope (quantity per discount-bp, 1e6
+    * fixed point) and r² (bp) each round once from one double
+    * expression. Degenerate brands (zero discount variance) emit
+    * NULL slope via nullif — identically in both engines. One
+    * fact-scan rollup; the OLS frame is |brands|-sized. */
+  def q202DiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    val f = tt.lineitem
+      .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .select(col("p_brand"),
+        col("l_quantity").cast("long").as("y"),
+        round(col("l_discount") * 10000).cast("long").as("x"))
+    f.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("p_brand"), col("n"), col("sy").as("total_qty"),
+        expr("cast(round(1e6 * (cast(n as double) * sxy" +
+          " - cast(sx as double) * sy)" +
+          " / nullif(cast(n as double) * sxx" +
+          " - cast(sx as double) * sx, 0.0e0)) as bigint)")
+          .as("slope_1e6"),
+        expr("cast(floor(1e4 * (cast(n as double) * sxy" +
+          " - cast(sx as double) * sy)" +
+          " * (cast(n as double) * sxy - cast(sx as double) * sy)" +
+          " / nullif((cast(n as double) * sxx" +
+          " - cast(sx as double) * sx)" +
+          " * (cast(n as double) * syy" +
+          " - cast(sy as double) * sy), 0.0e0)) as bigint)")
+          .as("r2_bp"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Lorenz curve deciles per market segment (the whole curve whose
+    * area q198 summarizes): customers ranked ascending by
+    * integer-cents revenue, decile d = ⌈10·i/n⌉ by integer
+    * cross-multiplication, each decile reporting its exact customer
+    * count and cumulative revenue share in basis points (running
+    * integer sums; the share denominator attaches per segment). */
+  def q203LorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val tt = t(spark, dir)
+    val perCust = tt.orders
+      .groupBy(col("o_custkey"))
+      .agg(centsSum(col("o_totalprice")).as("x"))
+      .join(tt.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("segment")), Seq("o_custkey"))
+    val sw = Window.partitionBy(col("segment"))
+    val ranked = perCust
+      .withColumn("i", row_number().over(
+        sw.orderBy(col("x"), col("o_custkey"))))
+      .withColumn("n", count(lit(1)).over(sw))
+      .withColumn("s", sum(col("x")).over(sw))
+      .withColumn("decile", expr("(10 * i + n - 1) div n"))
+    ranked.groupBy(col("segment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("dx"), max(col("s")).as("s"))
+      .withColumn("cum_x", sum(col("dx")).over(
+        Window.partitionBy(col("segment")).orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("segment"), col("decile"), col("n_customers"),
+        expr("dx * 10000 div s").as("share_bp"),
+        expr("cum_x * 10000 div s").as("cum_share_bp"))
+      .orderBy(col("segment"), col("decile"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5492,5 +5602,8 @@ object Queries {
     "q197_seasonal_index" -> (q197SeasonalIndex _),
     "q198_gini_concentration" -> (q198GiniConcentration _),
     "q199_correlation_matrix" -> (q199CorrelationMatrix _),
-    "q200_corpus_scorecard" -> (q200CorpusScorecard _))
+    "q200_corpus_scorecard" -> (q200CorpusScorecard _),
+    "q201_changepoint" -> (q201Changepoint _),
+    "q202_discount_elasticity" -> (q202DiscountElasticity _),
+    "q203_lorenz_deciles" -> (q203LorenzDeciles _))
 }
