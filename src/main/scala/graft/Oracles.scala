@@ -2858,6 +2858,53 @@ object Oracles {
         |CAST(cum_x * 10000 // s AS BIGINT) AS cum_share_bp
         |FROM cm ORDER BY segment, decile""".stripMargin,
 
+    // q204: VMR exact in integers; zeros handled in closed form.
+    "q204_term_burstiness" ->
+      s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS nn
+         |  FROM documents),
+         |tc AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |pc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM tc GROUP BY 1, 2),
+         |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(c) AS BIGINT) AS sc,
+         |  CAST(sum(c*c) AS BIGINT) AS sc2
+         |  FROM pc GROUP BY 1 HAVING count(*) >= 20),
+         |v AS (SELECT term, df, sc AS total,
+         |  CAST((nn * sc2 - sc * sc) * 10000 // (nn * sc) AS BIGINT)
+         |    AS vmr_1e4
+         |  FROM st CROSS JOIN tot)
+         |SELECT "rank", term, df, total, vmr_1e4 FROM (
+         |  SELECT *, row_number() OVER (ORDER BY vmr_1e4 DESC, term)
+         |    AS "rank" FROM v)
+         |WHERE "rank" <= 20 ORDER BY "rank"""".stripMargin,
+
+    // q205: q31's sessionization; nearest-rank dwell bands per type.
+    "q205_dwell_bands" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |dw AS (SELECT event_type,
+        |  CAST(floor(epoch(lead(ts, 1) OVER sw)) AS BIGINT)
+        |    - CAST(floor(epoch(ts)) AS BIGINT) AS v,
+        |  lead(ts, 1) OVER sw AS nxt
+        |FROM s WINDOW sw AS (PARTITION BY user_id, sid
+        |  ORDER BY ts, event_id)),
+        |d2 AS (SELECT event_type, v FROM dw WHERE nxt IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM d2)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_dwells,
+        |CAST(max(CASE WHEN rk = (50 * n + 99) // 100 THEN v END)
+        |  AS BIGINT) AS p50_sec,
+        |CAST(max(CASE WHEN rk = (90 * n + 99) // 100 THEN v END)
+        |  AS BIGINT) AS p90_sec
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

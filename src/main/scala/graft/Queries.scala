@@ -5400,6 +5400,78 @@ object Queries {
       .orderBy(col("segment"), col("decile"))
   }
 
+  /** Term burstiness (Church–Gale): the variance-to-mean ratio of
+    * per-document term counts separates bursty content words
+    * (VMR ≫ 1: absent from most docs, repeated where present) from
+    * evenly-spread function words (VMR ≈ 1) — the statistic a
+    * keyword extractor or stopword inducer ranks by. Zeros are
+    * handled in closed form (absent docs add nothing to Σc or Σc²),
+    * so VMR·10⁴ = (N·Σc² − (Σc)²)·10⁴ div (N·Σc) is EXACT integer
+    * arithmetic end to end. One (term, doc) rollup; the term frame
+    * is vocabulary-sized. Top-20 bursty terms with df ≥ 20. */
+  def q204TermBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir).documents
+    val total = d.agg(count(lit(1)).as("nn"))
+    val tc = d.select(col("doc_id"), explode(tokens(col("text")))
+        .as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .where(col("df") >= 20)
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("df"), col("sc").as("total"),
+        expr("(nn * sc2 - sc * sc) * 10000 div (nn * sc)")
+          .as("vmr_1e4"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("vmr_1e4").desc, col("term"))))
+      .where(col("rank") <= 20)
+      .select(col("rank"), col("term"), col("df"), col("total"),
+        col("vmr_1e4"))
+      .orderBy(col("rank"))
+  }
+
+  /** In-session dwell-time bands: exact nearest-rank P50/P90 of the
+    * seconds between consecutive same-session events, grouped by
+    * the type of the event being dwelt ON — the engagement metric
+    * behind "which screens hold users". Reuses q31's sessionization
+    * windows (one user-ordered sort serves the gap, the session id,
+    * and the dwell lead); the rank windows partition by event type
+    * over the dwell frame. All integer seconds, q195's rank index —
+    * no interpolation. */
+  def q205DwellBands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sid = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(run))
+    val sw = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val dwell = sid
+      .withColumn("nxt_es",
+        lead(unix_timestamp(col("ts")), 1).over(sw))
+      .where(col("nxt_es").isNotNull)
+      .select(col("event_type"),
+        (col("nxt_es") - unix_timestamp(col("ts"))).as("v"))
+    val tw = Window.partitionBy(col("event_type"))
+    dwell
+      .withColumn("rk", row_number().over(tw.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(tw))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_dwells"),
+        max(when(col("rk") === expr("(50 * n + 99) div 100"),
+          col("v"))).as("p50_sec"),
+        max(when(col("rk") === expr("(90 * n + 99) div 100"),
+          col("v"))).as("p90_sec"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5605,5 +5677,7 @@ object Queries {
     "q200_corpus_scorecard" -> (q200CorpusScorecard _),
     "q201_changepoint" -> (q201Changepoint _),
     "q202_discount_elasticity" -> (q202DiscountElasticity _),
-    "q203_lorenz_deciles" -> (q203LorenzDeciles _))
+    "q203_lorenz_deciles" -> (q203LorenzDeciles _),
+    "q204_term_burstiness" -> (q204TermBurstiness _),
+    "q205_dwell_bands" -> (q205DwellBands _))
 }
