@@ -398,7 +398,11 @@ object Oracles {
          |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     // q185: the oracle is the UNCAPPED all-pairs definition — a green
-    // row proves prefix filtering loses nothing.
+    // row proves prefix filtering loses nothing. The threshold is the
+    // UNROUNDED jaccard in exact integers (shared·10⁴ ≥ t_bp·|A∪B|),
+    // matching the operator's emit predicate — a rounded comparison
+    // here would keep pairs in [t-5e-5, t) that the prefix/positional
+    // filters are allowed to prune (rounded j stays display-only).
     "q185_prefix_pairs" ->
       s"""${SHINGLE_CTES},
          |post AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
@@ -406,10 +410,10 @@ object Oracles {
          |  a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
          |FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |GROUP BY 1, 2, 3, 4)
-         |SELECT id_a, id_b, shared, jaccard FROM (
          |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
-         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard FROM pairs)
-         |WHERE jaccard >= 6e-1 ORDER BY id_a, id_b""".stripMargin,
+         |round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) AS jaccard FROM pairs
+         |WHERE shared * 10000 >= 6000 * (na + nb - shared)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q23_minhash_lsh" ->
       s"""${SHINGLE_CTES},
@@ -2000,6 +2004,9 @@ object Oracles {
 
     // q192: truth = uncapped all-pairs; capped (df <= 50) and LSH
     // (q23's signature replay) scored by exact semi-join recall.
+    // The TRUTH threshold is the unrounded integer comparison (the
+    // q185 emit predicate); the capped/LSH regimes keep their own
+    // operators' rounded comparisons because they mirror q22/q23.
     "q192_mining_recall" ->
       s"""${SHINGLE_CTES},
          |post AS MATERIALIZED (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM ss),
@@ -2009,7 +2016,7 @@ object Oracles {
          |    FROM post a JOIN post b ON a.shingle = b.shingle
          |      AND a.doc_id < b.doc_id
          |    GROUP BY 1, 2, 3, 4) t(id_a, id_b, na, nb, shared)
-         |  WHERE round(CAST(shared AS DOUBLE)/(na+nb-shared), 4) >= 0.2),
+         |  WHERE shared * 10000 >= 2000 * (na + nb - shared)),
          |keep AS (SELECT shingle FROM post GROUP BY shingle
          |  HAVING count(*) <= 50),
          |fp AS (SELECT p.doc_id, p.n_sh, p.shingle FROM post p
@@ -2859,6 +2866,9 @@ object Oracles {
         |FROM cm ORDER BY segment, decile""".stripMargin,
 
     // q204: VMR exact in integers; zeros handled in closed form.
+    // sc2 stays HUGEINT (no BIGINT cast) mirroring the Spark side's
+    // decimal(38,0) second moment — the VMR numerator overflows
+    // BIGINT for hot terms at corpus scale.
     "q204_term_burstiness" ->
       s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS nn
          |  FROM documents),
@@ -2867,11 +2877,11 @@ object Oracles {
          |  FROM tc GROUP BY 1, 2),
          |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
          |  CAST(sum(c) AS BIGINT) AS sc,
-         |  CAST(sum(c*c) AS BIGINT) AS sc2
+         |  sum(c*c) AS sc2
          |  FROM pc GROUP BY 1 HAVING count(*) >= 20),
          |v AS (SELECT term, df, sc AS total,
-         |  CAST((nn * sc2 - sc * sc) * 10000 // (nn * sc) AS BIGINT)
-         |    AS vmr_1e4
+         |  CAST((nn * sc2 - CAST(sc AS HUGEINT) * sc) * 10000
+         |    // (nn * sc) AS BIGINT) AS vmr_1e4
          |  FROM st CROSS JOIN tot)
          |SELECT "rank", term, df, total, vmr_1e4 FROM (
          |  SELECT *, row_number() OVER (ORDER BY vmr_1e4 DESC, term)

@@ -4636,24 +4636,32 @@ object Queries {
   /** Pareto skyline of the part catalog (minimize price, maximize
     * size): a part is dominated iff some part is no-worse on both
     * axes and strictly better on one. The classic 2-D sort-scan
-    * skyline as TWO shared-sort windows — running max size over
-    * strictly-cheaper rows (RANGE … 1 PRECEDING on integer cents)
-    * and max size within the equal-price frame — so dominance never
-    * needs a self-join, let alone all-pairs: O(n log n), and at
-    * open cardinality the range-partitioned sort distributes while
-    * both windows reuse one sort order. Equal (price, size) rows
-    * dominate neither way and all survive, keeping the output
+    * skyline, with the dominance frontier computed on the
+    * PER-PRICE aggregate, not the row stream: a distributed
+    * groupBy(price_c) rolls each distinct price up to its max size,
+    * the strictly-cheaper running max is a window over that
+    * price-distinct frame (bounded by the PRICE DOMAIN — ~2e5
+    * distinct cents values here, never corpus cardinality — so the
+    * one unpartitioned window is constant-sized at any scale; a
+    * window straight over the rows would funnel the whole table
+    * through one partition, Spark's WindowExec does not
+    * range-distribute an unpartitioned ORDER BY), and survivors
+    * come back via a broadcast join on price_c. Dominance never
+    * needs a self-join, let alone all-pairs. Equal (price, size)
+    * rows dominate neither way and all survive, keeping the output
     * deterministic without arbitrary picks. */
   def q184Skyline(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir).part
       .select(col("p_partkey"),
         round(col("p_retailprice") * 100).cast("long").as("price_c"),
         col("p_size"))
+    val perPrice = p.groupBy(col("price_c"))
+      .agg(max(col("p_size")).as("m2"))
     val w1 = Window.orderBy(col("price_c"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val w2 = Window.partitionBy(col("price_c"))
-    p.withColumn("m1", max(col("p_size")).over(w1))
-      .withColumn("m2", max(col("p_size")).over(w2))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("m1", max(col("m2")).over(w1))
+    p.join(broadcast(frontier), Seq("price_c"))
       .where((col("m1").isNull || col("m1") < col("p_size"))
         && col("m2") === col("p_size"))
       .select(col("p_partkey"), (col("price_c") / 100.0).as("price"),
@@ -5140,9 +5148,11 @@ object Queries {
   /** Revenue concentration per market segment as the exact Gini
     * coefficient: customers ranked ascending by integer-cents
     * revenue (custkey tie-break), G = (2·Σi·xᵢ − (n+1)·S)/(n·S)
-    * with every sum an exact long and ONE rounded double division
-    * (the q170 contract — the numerator stays within long range
-    * because it is G·n·S-sized, never Σi·xᵢ·10⁶-sized). The
+    * with every sum exact (longs; the ~n·S/2-sized rank-weighted sum
+    * rides decimal(38,0)) and ONE rounded double division (the q170
+    * contract — the division's numerator is G·n·S-sized and exact
+    * either way; both engines convert the same exact integer to the
+    * same nearest double). The
     * rank-weighted sum is a segment-partitioned window over the
     * per-customer rollup; pairs naturally with q177's ABC classes
     * (share thresholds) by measuring the whole curve instead. */
@@ -5159,7 +5169,13 @@ object Queries {
     ranked.groupBy(col("segment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("x")).as("s"),
-        sum(col("i") * col("x")).as("six"))
+        // the rank-weighted sum is ~n·S/2 and overflows a long at
+        // corpus scale (non-ANSI Spark would wrap silently while
+        // DuckDB sums into HUGEINT); each per-row product i·x still
+        // fits a long, so only the ACCUMULATOR rides decimal(38,0) —
+        // exact and order-independent like an integer sum (q199's
+        // second-moment rule)
+        sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
       .select(col("segment"), col("n_customers"),
         (col("s") / 100.0).as("revenue"),
         expr("cast(round(1e6 * (2 * six - (n_customers + 1) * s)" +
@@ -5407,7 +5423,9 @@ object Queries {
     * keyword extractor or stopword inducer ranks by. Zeros are
     * handled in closed form (absent docs add nothing to Σc or Σc²),
     * so VMR·10⁴ = (N·Σc² − (Σc)²)·10⁴ div (N·Σc) is EXACT integer
-    * arithmetic end to end. One (term, doc) rollup; the term frame
+    * arithmetic end to end (the numerator in decimal(38,0) — long
+    * range is not enough for hot terms at corpus scale, and wrapping
+    * would be silent). One (term, doc) rollup; the term frame
     * is vocabulary-sized. Top-20 bursty terms with df ≥ 20. */
   def q204TermBurstiness(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir).documents
@@ -5418,12 +5436,18 @@ object Queries {
       .agg(count(lit(1)).as("c"))
     tc.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("sc2"))
+        // Σc² rides decimal(38,0) (q199's second-moment rule): for
+        // high-frequency terms on large corpora the VMR numerator
+        // products exceed long range, where non-ANSI Spark wraps
+        // silently while the DuckDB oracle promotes to HUGEINT
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
       .where(col("df") >= 20)
       .crossJoin(broadcast(total))
       .select(col("term"), col("df"), col("sc").as("total"),
-        expr("(nn * sc2 - sc * sc) * 10000 div (nn * sc)")
-          .as("vmr_1e4"))
+        // sc·sc through decimal too; `div` (IntegralDivide) on the
+        // decimal numerator still yields an exact long
+        expr("(nn * sc2 - cast(sc as decimal(38,0)) * sc) * 10000" +
+          " div (nn * sc)").as("vmr_1e4"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("vmr_1e4").desc, col("term"))))
       .where(col("rank") <= 20)

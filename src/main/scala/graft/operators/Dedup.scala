@@ -218,10 +218,16 @@ object Dedup {
         col("n_sh").as("nb")), Seq("id_b"))
       .withColumn("shared",
         size(array_intersect(col("sig_a"), col("sig_b"))).cast("long"))
+      // emit on the UNROUNDED jaccard in exact integers: the prune
+      // filters above assume true jaccard >= t, so emitting on
+      // round(j,4) >= t would keep pairs in [t-5e-5, t) that the
+      // filters were allowed to drop — a filter-side/emit-side
+      // threshold mismatch (rounded j stays as a display column)
+      .where(col("shared") * 10000
+        >= lit(thresholdBp.toLong) * (col("na") + col("nb") - col("shared")))
       .withColumn("jaccard",
         round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")), 4))
-      .where(col("jaccard") >= lit(thresholdBp / 10000.0))
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
   }
 

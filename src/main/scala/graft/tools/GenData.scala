@@ -158,15 +158,20 @@ object GenData {
         pmod(h(col("id"), 24), lit(2500)).cast("int"))).as("l_shipdate")),
       "lineitem", 16 * mult)
 
-    // events: ts carried as int64 NANOS (the driver tables use parquet
-    // TIMESTAMP(NANOS); Queries.events reads either as long)
+    // events: ts emitted as a real TIMESTAMP (parquet INT64 micros).
+    // Earlier generator versions wrote raw int64 nanos, which Spark's
+    // Queries.events nanos branch reads fine but DuckDB sees as plain
+    // BIGINT — that single encoding detail excluded every event-time
+    // query from the gen-corpus oracle sweep. The micro values are the
+    // old nano values exactly (every nano term was a multiple of
+    // 1000), so pre-existing gen-corpus pins are unchanged.
     val evTypes = Seq("view", "click", "purchase", "signup", "error")
-    val baseNanos = 1704067200L * 1000000000L // 2024-01-01 UTC
+    val baseMicros = 1704067200L * 1000000L // 2024-01-01 UTC
     write(spark.range(nEvents).select(
       col("id").as("event_id"),
-      (lit(baseNanos)
-        + h(col("id"), 25) % (30L * 86400) * 1000000000L
-        + (h(col("id"), 26) % 1000000L) * 1000L).as("ts"),
+      timestamp_micros(lit(baseMicros)
+        + h(col("id"), 25) % (30L * 86400) * 1000000L
+        + h(col("id"), 26) % 1000000L).as("ts"),
       pmod(h(col("id"), 27), lit(nUsers)).as("user_id"),
       element_at(array(evTypes.map(lit): _*),
         pmod(h(col("id"), 28), lit(5)).cast("int") + 1).as("event_type"),
