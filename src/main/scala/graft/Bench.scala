@@ -184,6 +184,24 @@ object Bench {
       calib: Option[(Double, Double, Int)] = None): String =
     jsonLine(results, sfDir, n, calib, budget = Int.MaxValue)
 
+  /** Streaming-replay query class (the four catalog queries that run
+    * a real AvailableNow replay — checkpoint + parquet sink per
+    * sample: Queries.replayToParquet call sites). Their cost is
+    * micro-batch scheduling, not plan execution, and swings 2× with
+    * host load — they get their own subtotal so the batch-query
+    * signal in "value" can be read as value − replay_total. */
+  private[graft] val ReplayClass = Set("q52", "q73", "q105", "q132")
+
+  /** FNV-1a 32-bit over the comma-joined query names: lets a reader
+    * of the compact positional regime confirm the name list they
+    * decode against (sorted catalog order, BASELINE.md) is the one
+    * the run measured. */
+  private[graft] def namesFnv(names: Seq[String]): String = {
+    var h = 0x811c9dc5
+    names.mkString(",").foreach { c => h ^= c & 0xff; h *= 0x01000193 }
+    f"$h%08x"
+  }
+
   private[graft] def jsonLine(
       results: Seq[(String, Double, Boolean)],
       sfDir: String, n: Int,
@@ -199,6 +217,18 @@ object Bench {
     val qs = results.map { case (k, v, ok) =>
       "\"" + short(k) + "\":" + (if (ok) ms2(v) else "-1") }
       .mkString("{", ",", "}")
+    // Compact positional regime for catalogs whose name-keyed map no
+    // longer fits the driver's ~2000-char tail window (BENCH_r05's
+    // "queries":{} degradation): centisecond mins ("cs") in the
+    // results' order — Bench runs the catalog sorted by name, and
+    // "fnv" hashes the measured name list so a decoder can verify
+    // its name list — with -1 keeping the fail-closed convention.
+    val compactQs = results
+      .map { case (_, v, ok) =>
+        if (ok) math.round(v * 100).toString else "-1" }
+      .mkString(
+        s"""{"enc":"cs","fnv":"${namesFnv(results.map(_._1))}","cs":[""",
+        ",", "]}")
     val total = results.collect { case (_, v, true) => v }.sum
     def inSubset(name: String): Boolean =
       name.matches("q\\d\\d_.*") && name.substring(1, 3).toInt <= 43
@@ -210,6 +240,13 @@ object Bench {
       else if (results.exists { case (name, _, ok) => inSubset(name) && !ok })
         -1.0
       else results.collect { case (name, v, true) if inSubset(name) => v }.sum
+    // replay-class subtotal, same fail-closed/-not-measured contract
+    def inReplay(name: String): Boolean = ReplayClass.contains(short(name))
+    val replayTotal =
+      if (!results.exists { case (name, _, _) => inReplay(name) }) -1.0
+      else if (results.exists { case (name, _, ok) => inReplay(name) && !ok })
+        -1.0
+      else results.collect { case (name, v, true) if inReplay(name) => v }.sum
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     // the one interpolated free string: escape it, or a path with a
     // quote/backslash yields invalid JSON past every structural guard
@@ -222,18 +259,28 @@ object Bench {
         if (mn > 0) mx / mn else -1.0)},"reruns":$rr}"""
     }.getOrElse("")
     def line(queries: String, failedField: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"subset43":${ms(subset43)},"sf":"$sfJson","n":$n,"failed":$failedField$calibJson}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"subset43":${ms(subset43)},"replay_total":${ms(replayTotal)},"sf":"$sfJson","n":$n,"failed":$failedField$calibJson}"""
+    // degradation ladder: full name-keyed map → compact positional
+    // map → failed list to a count (map kept) → no map at all. Each
+    // step keeps the line parseable and the headline fields intact.
     val full = line(qs, failedJson)
     if (full.length <= budget) full
     else {
       System.err.println(s"[bench] json line ${full.length} chars >" +
-        s" $budget budget — emitting reduced line without per-query map")
-      val reduced = line("{}", failedJson)
-      if (reduced.length <= budget) reduced
+        s" $budget budget — emitting compact positional per-query map")
+      val compact = line(compactQs, failedJson)
+      if (compact.length <= budget) compact
       else {
-        System.err.println(s"[bench] reduced line still " +
-          s"${reduced.length} chars — degrading failed list to a count")
-        line("{}", s"""[],"n_failed":${failed.length}""")
+        System.err.println(s"[bench] compact line still " +
+          s"${compact.length} chars — degrading failed list to a count")
+        val countedFailed = s"""[],"n_failed":${failed.length}"""
+        val compactCounted = line(compactQs, countedFailed)
+        if (compactCounted.length <= budget) compactCounted
+        else {
+          System.err.println(s"[bench] still ${compactCounted.length} " +
+            "chars — dropping the per-query map entirely")
+          line("{}", countedFailed)
+        }
       }
     }
   }

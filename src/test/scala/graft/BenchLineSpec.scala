@@ -36,14 +36,37 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("failed").get(0).asText() === "q02")
   }
 
-  test("oversize regime: per-query map drops, headline metrics survive") {
+  test("oversize regime: compact positional map, headline metrics survive") {
     val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, true))
     val line = Bench.jsonLine(many, "/sf", 3)
     assert(line.length <= 1800)
     val j = om.readTree(line)
-    assert(j.get("queries").size() === 0) // map dropped
+    // the name-keyed map no longer fits; the compact regime still
+    // carries EVERY per-query number (centiseconds, results order)
+    // plus the name-list hash a decoder verifies against
+    val q = j.get("queries")
+    assert(q.get("enc").asText() === "cs")
+    assert(q.get("cs").size() === 300)
+    assert(q.get("cs").get(0).asInt() === 100) // 1.0 s = 100 cs
+    assert(q.get("fnv").asText() ===
+      Bench.namesFnv(many.map(_._1)))
     assert(j.get("value").asDouble() === 300.0)
     assert(j.get("failed").size() === 0)
+  }
+
+  test("compact map at the real catalog size: full per-query data in budget") {
+    // 205+ realistic names/durations — the BENCH_r05 failure shape:
+    // the name-keyed map overflowed and the driver artifact lost its
+    // per-query numbers. The compact regime must keep them AND fit.
+    val many = (1 to 240).map(i =>
+      (f"q$i%03d_operator_family_name", i % 13 * 0.37 + 0.05, i % 37 != 0))
+    val line = Bench.jsonLine(many, "/root/testdata/sf0.1", 3,
+      Some((0.04, 2.1, 98)))
+    assert(line.length <= 1800, s"line is ${line.length} chars")
+    val j = om.readTree(line)
+    assert(j.get("queries").get("cs").size() === 240)
+    // failed queries are -1 in the positional array too
+    assert(j.get("queries").get("cs").get(36).asInt() === -1)
   }
 
   test("fullJsonLine never degrades: the detail file keeps every per-query entry") {
@@ -60,9 +83,32 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.jsonLine(many, "/sf", 3)
     assert(line.length <= 1800)
     val j = om.readTree(line)
-    assert(j.get("queries").size() === 0)
+    // the compact map (all -1s, tiny) survives; the 300-name failed
+    // list is what overflowed, so IT degrades to a count
+    assert(j.get("queries").get("cs").size() === 300)
+    assert(j.get("queries").get("cs").get(0).asInt() === -1)
     assert(j.get("failed").size() === 0) // list degraded...
     assert(j.get("n_failed").asInt() === 300) // ...to a count
+  }
+
+  test("replay_total: the streaming-replay class gets its own subtotal") {
+    val line = Bench.jsonLine(Seq(
+      ("q52_chained_metrics", 4.0, true),
+      ("q73_session_replay", 3.0, true),
+      ("q105_dynamic_session_replay", 2.5, true),
+      ("q132_attribution_outer", 10.0, true),
+      ("q01_pricing_summary", 1.0, true)), "/sf", 3)
+    val j = om.readTree(line)
+    assert(j.get("replay_total").asDouble() === 19.5)
+    assert(j.get("value").asDouble() === 20.5) // replay stays in total
+    // fail-closed: a failed replay query must not shrink the subtotal
+    val failedLine = Bench.jsonLine(Seq(
+      ("q52_chained_metrics", 4.0, false),
+      ("q73_session_replay", 3.0, true)), "/sf", 3)
+    assert(om.readTree(failedLine).get("replay_total").asDouble() === -1.0)
+    // not-measured: a filtered run with no replay queries reads -1
+    val noneLine = Bench.jsonLine(Seq(("q01_x", 1.0, true)), "/sf", 3)
+    assert(om.readTree(noneLine).get("replay_total").asDouble() === -1.0)
   }
 
   test("no subset queries ran: subset43 is -1 (not measured), never 0.000") {
@@ -78,13 +124,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("calib").get("max").asDouble() === 0.124)
     assert(j.get("calib").get("drift").asDouble() === 4.0)
     assert(j.get("calib").get("reruns").asInt() === 2)
-    // oversize regime: per-query map drops, calib must NOT — it is the
-    // load record that explains a slow degraded run
+    // oversize regime: the map degrades to compact, calib must NOT
+    // degrade — it is the load record that explains a slow run
     val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, true))
     val big = Bench.jsonLine(many, "/sf", 3, calib)
     assert(big.length <= 1800)
     val jb = om.readTree(big)
-    assert(jb.get("queries").size() === 0)
+    assert(jb.get("queries").get("enc").asText() === "cs")
     assert(jb.get("calib").get("drift").asDouble() === 4.0)
     // absent calib (a unit-test caller) emits no field at all
     val none = Bench.jsonLine(Seq(("q01_x", 1.0, true)), "/sf", 3)
