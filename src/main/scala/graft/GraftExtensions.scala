@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inverted index is exact at any size)
     ext.injectOptimizerRule(_ => graft.plans.JaccardJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.JaccardJoinStrategy)
+    // whole-operator extension: edit-distance-threshold join — naive
+    // levenshtein(a,b) <= k join conditions (or the banded form the
+    // BoundLevenshteinRule above produces) rewrite to the exact
+    // segment-pigeonhole join; composes with that rule in any order
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.LevenshteinJoinStrategy)
     ext.injectFunction((FunctionIdentifier("tokenize"),
       info("tokenize", "tokenize(text) - lowercased whitespace tokens"),
       exprs => Tokenize(exprs.head)))

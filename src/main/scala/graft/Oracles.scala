@@ -2915,6 +2915,20 @@ object Oracles {
         |  AS BIGINT) AS p90_sec
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // q206: the oracle is the literal all-pairs edit-distance join
+    // over the (vocabulary-bounded) frequent-term frame — a green row
+    // proves the segment-pigeonhole candidates lose nothing.
+    "q206_lev_join" ->
+      s"""WITH tk AS (SELECT unnest($TOKS) AS term FROM documents),
+         |v AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tk GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT a.term AS term_a, b.term AS term_b,
+         |a.df AS df_a, b.df AS df_b,
+         |CAST(levenshtein(a.term, b.term) AS BIGINT) AS lev
+         |FROM v a JOIN v b
+         |ON a.term < b.term AND levenshtein(a.term, b.term) <= 2
+         |ORDER BY term_a, term_b""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

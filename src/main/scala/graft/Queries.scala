@@ -5496,6 +5496,40 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Naive edit-distance-threshold join — `a JOIN b ON
+    * levenshtein(a.term, b.term) <= 2 AND a.term < b.term` written as
+    * the plain predicate a SQL user would — through the injected
+    * [[graft.plans.LevenshteinJoinRewrite]]: the optimizer rewrites
+    * the condition onto [[graft.plans.LevenshteinSegmentJoinExec]]
+    * (segment-pigeonhole blocking + banded-DP verify, the PassJoin
+    * shape), completing the threshold-join rewrite family — cosine
+    * (q130/q131), jaccard/overlap (q135/q136), and now edit distance
+    * all refuse to plan as BNLJ/CartesianProduct.
+    *
+    * The joined relation is the FREQUENT-TERM VOCABULARY (df ≥ 5) —
+    * typo/variant mining, the thing an edit-distance self-join is for
+    * in a cleaning pipeline: rare misspellings of frequent terms map
+    * to their canonical forms. Scale shape: the corpus-sized explode
+    * rolls up to a vocabulary-bounded frame BEFORE any pairing (the
+    * q142 vocabulary rule), and the join itself is exact at any
+    * vocabulary size via the segment index — never all-pairs. */
+  def q206LevJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.addOptimization(spark, graft.plans.LevenshteinJoinRewrite)
+    PlanBridge.addStrategy(spark, graft.plans.LevenshteinJoinStrategy)
+    val vocab = t(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 5)
+    val a = vocab.select(col("term").as("term_a"), col("df").as("df_a"))
+    val b = vocab.select(col("term").as("term_b"), col("df").as("df_b"))
+    val lev = levenshtein(col("term_a"), col("term_b"))
+    a.join(b, lev <= lit(2) && col("term_a") < col("term_b"))
+      .select(col("term_a"), col("term_b"), col("df_a"), col("df_b"),
+        lev.cast("long").as("lev"))
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5703,5 +5737,6 @@ object Queries {
     "q202_discount_elasticity" -> (q202DiscountElasticity _),
     "q203_lorenz_deciles" -> (q203LorenzDeciles _),
     "q204_term_burstiness" -> (q204TermBurstiness _),
-    "q205_dwell_bands" -> (q205DwellBands _))
+    "q205_dwell_bands" -> (q205DwellBands _),
+    "q206_lev_join" -> (q206LevJoin _))
 }
