@@ -1430,6 +1430,69 @@ class StreamingSpec extends AnyFunSuite {
     // resurrect deleted keys; the versioned state must not
     val got = asSet(runCdcMaintain(base, Seq(b2, b1)))
     assert(got === expected)
+  }
+
+  test("S1 builder chain end-to-end: graft-kafka-test DSv2 source honors " +
+      "subscribe / startingOffsets / maxOffsetsPerTrigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{GraftKafkaTestSource, KafkaSource}
+    GraftKafkaTestSource.clear()
+    def pub(topic: String, id: Long, user: Long, v: Double): Unit =
+      GraftKafkaTestSource.publish(topic,
+        json(id, "2024-01-01 10:00:00", user, "purchase", v)
+          .getBytes("UTF-8"))
+    pub("bitcoin-tweets", 1, 7, 200.0)
+    pub("bitcoin-tweets", 2, 7, 10.0)
+    pub("bitcoin-tweets", 3, 8, 500.0)
+    pub("ethereum-tweets", 4, 9, 175.0)
+    pub("ethereum-tweets", 5, 9, 20.0)
+    // KafkaSource.stream's REAL builder path — format/subscribe/
+    // startingOffsets/maxOffsetsPerTrigger .load() — then the S2/S3
+    // decode chain and a stateless alert: the full S1 topology with
+    // only the format string differing from a real cluster
+    val raw = KafkaSource.stream(spark, "test:9092",
+      Seq("bitcoin-tweets", "ethereum-tweets"),
+      startingOffsets = "earliest", maxOffsetsPerTrigger = Some(2L),
+      format = "graft-kafka-test")
+    val alerts = StreamOps.highValueAlerts(
+      StreamOps.withEventTime(StreamOps.decodeJsonEnvelope(raw)), 150.0)
+    val q = alerts.writeStream.format("memory").queryName("s1_chain")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s1_chain").collect()
+      .map(r => r.getDouble(4)).toSet
+    assert(got === Set(200.0, 500.0, 175.0))
+    // admission control honored: 5 records at maxOffsetsPerTrigger=2
+    // means >= 3 micro-batches, none above 2 input rows
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.forall(_.numInputRows <= 2),
+      s"batch sizes: ${batches.map(_.numInputRows).toSeq}")
+    assert(batches.map(_.numInputRows).sum === 5)
+    assert(batches.length >= 3)
+  }
+
+  test("S1 startingOffsets=latest (the reference default) skips " +
+      "pre-published records and picks up post-start publishes") {
+    import graft.streaming.{GraftKafkaTestSource, KafkaSource}
+    GraftKafkaTestSource.clear()
+    GraftKafkaTestSource.publish("bitcoin-tweets",
+      json(1, "2024-01-01 10:00:00", 7, "purchase", 1.0).getBytes("UTF-8"))
+    // KafkaSource.events: the full source->records pipeline with the
+    // default latest offsets (job2.py:133's contract)
+    val events = KafkaSource.events(spark, "test:9092",
+      Seq("bitcoin-tweets"), format = "graft-kafka-test")
+    val q = events.writeStream.format("memory").queryName("s1_latest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s1_latest").isEmpty,
+        "latest must skip the pre-published record")
+      GraftKafkaTestSource.publish("bitcoin-tweets",
+        json(2, "2024-01-01 10:05:00", 7, "view", 2.0).getBytes("UTF-8"))
+      q.processAllAvailable()
+      val ids = spark.table("s1_latest").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(2L))
+    } finally q.stop()
   }}
 
 
