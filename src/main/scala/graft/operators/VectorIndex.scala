@@ -78,6 +78,81 @@ object VectorIndex {
       .parquet(s"$path/assignments")
   }
 
+  /** Online compaction of the appended index — the maintenance step
+    * the streaming-ingest path ([[graft.streaming.Sinks.vectorIngest]])
+    * makes necessary: every micro-batch append adds small files to the
+    * partition dirs it touches, and a week of 30-second triggers turns
+    * each bucket into thousands of footer-open costs per probe.
+    *
+    * SAFE UNDER CONCURRENT APPENDS AND PROBES, by construction:
+    *
+    *  1. write phase: per partition dir, SNAPSHOT the current file
+    *     list, read exactly those files, write their rows back as
+    *     ~`targetBytes` compacted files into the SAME dir under fresh
+    *     names (via a dot-prefixed temp dir Spark's listing ignores,
+    *     then rename — a parquet file is visible only once complete).
+    *     Appends landing meanwhile create NEW files not in the
+    *     snapshot — untouched.
+    *  2. commit phase: delete exactly the snapshot files.
+    *
+    * Between the phases a reader sees every snapshot row TWICE (old
+    * file + compacted copy). That is harmless to serving because
+    * [[probe]] deduplicates on (query_id, neighbor_id) before
+    * ranking — the layout contract that makes write-then-delete
+    * compaction correct without a table format's manifest commit; at
+    * 100 TB the same two phases run per-bucket (each bucket is an
+    * independent unit, so compaction parallelizes and interleaves
+    * with ingest at bucket granularity). StreamingSpec drives probe /
+    * append / probe through both phases and pins result equality. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val snap = compactWrite(spark, path, targetBytes)
+    compactCommit(spark, path, snap)
+    snap.size
+  }
+
+  /** Phase 1: returns the snapshot of replaced file paths (input to
+    * [[compactCommit]]). Exposed for the mid-compaction test; callers
+    * use [[compact]]. */
+  private[graft] def compactWrite(spark: SparkSession, path: String,
+      targetBytes: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val assignDir = new Path(s"$path/assignments")
+    val fs = assignDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replaced = Seq.newBuilder[String]
+    fs.listStatus(assignDir).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cent_id="))
+      .foreach { d =>
+        val files = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val nOut = math.max(1L,
+          (files.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+        if (files.length > nOut) {
+          val df = spark.read.parquet(files.map(_.getPath.toString): _*)
+          val tmp = new Path(assignDir, s".compact-${d.getPath.getName}")
+          df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
+          fs.listStatus(tmp)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              fs.rename(f.getPath,
+                new Path(d.getPath, s"compact-${System.nanoTime()}-$i.parquet"))
+            }
+          fs.delete(tmp, true)
+          files.foreach(f => replaced += f.getPath.toString)
+        }
+      }
+    replaced.result()
+  }
+
+  /** Phase 2: drop exactly the snapshot files phase 1 replaced. */
+  private[graft] def compactCommit(spark: SparkSession, path: String,
+      snapshot: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(s"$path/assignments")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshot.foreach(p => fs.delete(new Path(p), false))
+  }
+
   /** Load a saved index. Partition-column type inference may narrow
     * `cent_id` to int; restore long so probe joins stay cast-free. */
   def read(spark: SparkSession, path: String): Index = Index(

@@ -1271,6 +1271,73 @@ class StreamingSpec extends AnyFunSuite {
       "streamed appends must converge to the from-scratch index")
   }
 
+  test("online index compaction composes with streaming ingest: probes " +
+      "are unaffected mid-compaction and appends are never lost") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.VectorIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vec"))
+    val centroids = emb.where($"id" % 100 === 0)
+    val base = emb.where(pmod($"id", lit(10)) =!= 3)
+    val incoming = emb.where(pmod($"id", lit(10)) === 3)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val queries = emb.where($"id" < 8)
+    val idxDir = GraftTestSpark.tmpDir("graft-vec-compact")
+    val ckpt = GraftTestSpark.tmpDir("graft-vec-compact-chk")
+    VectorIndex.write(base, centroids, idxDir)
+
+    def probeSet(p: String): Set[(Long, Int, Long)] =
+      VectorIndex.probe(VectorIndex.read(spark, p), queries,
+          k = 5, nprobe = 2)
+        .select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    def expectedFor(rows: Seq[(Long, Seq[Double])]): Set[(Long, Int, Long)] = {
+      val d = GraftTestSpark.tmpDir("graft-vec-compact-exp")
+      VectorIndex.write(base.union(rows.toDF("id", "vec")), centroids, d)
+      probeSet(d)
+    }
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(s"$idxDir/assignments"))
+    }
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Sinks.vectorIngest(
+      input.toDF().toDF("id", "vec"), idxDir, ckpt).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      val exp1 = expectedFor(b1)
+      assert(probeSet(idxDir) === exp1)
+
+      // phase 1: compacted copies land, snapshot files still present —
+      // every snapshot row is now visible TWICE; the probe's
+      // (query_id, neighbor_id) dedup must absorb that
+      val snapshot = VectorIndex.compactWrite(spark, idxDir, 128L << 20)
+      assert(snapshot.size >= 2, "fixture must actually consolidate files")
+      assert(probeSet(idxDir) === exp1,
+        "mid-compaction duplicates must not change probe results")
+
+      // a micro-batch lands BETWEEN the phases: its files are not in
+      // the snapshot, so the commit must not touch them
+      input.addData(b2); q.processAllAvailable()
+      val peak = parquetFiles().length
+
+      VectorIndex.compactCommit(spark, idxDir, snapshot)
+      assert(probeSet(idxDir) === expectedFor(b1 ++ b2),
+        "post-commit index must serve base + both streamed batches")
+      val after = parquetFiles().map(_.getAbsolutePath)
+      assert(after.length === peak - snapshot.size,
+        "commit must delete exactly the snapshot files")
+      assert(!after.exists(snapshot.map(
+        _.stripPrefix("file:")).contains(_)),
+        "no snapshot file may survive the commit")
+    } finally q.stop()
+  }
+
   test("SearchIngest: maintained postings serve BM25 identically to the batch build") {
     implicit val ctx = spark.sqlContext
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
