@@ -2929,6 +2929,55 @@ object Oracles {
          |ON a.term < b.term AND levenshtein(a.term, b.term) <= 2
          |ORDER BY term_a, term_b""".stripMargin,
 
+    // q207: sweep-line peak concurrency; the oracle's single global
+    // running sum must equal the engine's two-phase prefix sum.
+    "q207_peak_concurrency" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |sess AS (SELECT user_id, sid,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS st,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS en
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT t, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |  SELECT st AS t, 1 AS delta FROM sess
+        |  UNION ALL SELECT en + 1, -1 FROM sess) GROUP BY t),
+        |r AS (SELECT t, t // 86400 AS dday,
+        |  sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM d),
+        |p AS (SELECT dday, t, conc,
+        |  row_number() OVER (PARTITION BY dday ORDER BY conc DESC, t)
+        |    AS rn FROM r)
+        |SELECT strftime(make_timestamp(dday * 86400 * 1000000),
+        |  '%Y-%m-%d') AS day,
+        |CAST(conc AS BIGINT) AS peak_concurrency,
+        |strftime(make_timestamp(t * 1000000), '%Y-%m-%d %H:%M:%S')
+        |  AS peak_at
+        |FROM p WHERE rn = 1 ORDER BY day""".stripMargin,
+
+    // q208: keyed full-outer snapshot diff on md5 content digests.
+    "q208_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 37 = 5
+        |    THEN text || ' [rev2]' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 41 <> 7
+        |  UNION ALL SELECT doc_id + 1000000000, md5(text)
+        |  FROM documents WHERE doc_id % 43 = 11),
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |  WHEN h2 IS NULL THEN 'removed'
+        |  WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS status,
+        |CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

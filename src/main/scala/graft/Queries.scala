@@ -5530,6 +5530,97 @@ object Queries {
       .orderBy(col("term_a"), col("term_b"))
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning number
+    * (how many sessions were simultaneously open, and when the peak
+    * hit) — as a distributed SWEEP-LINE: sessions (q31's 30-minute
+    * gap) become ±1 deltas at start and end+1s, deltas aggregate per
+    * second, and the global running concurrency is a TWO-PHASE
+    * prefix sum — intra-day running totals in day-partitioned
+    * windows, plus per-day offsets carried by one window over the
+    * ~30-row day frame (the classic parallel prefix-sum
+    * decomposition: the only unpartitioned window runs on the
+    * DAY-domain aggregate, never corpus rows — q184's rule), so
+    * sessions crossing midnight stay continuous. Per-second
+    * aggregation before the prefix also makes peak_at deterministic
+    * with no tie rules: concurrency is a function of the second, not
+    * of row order. */
+  def q207PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_timestamp(col("ts"))).as("s"),
+        max(unix_timestamp(col("ts"))).as("e"))
+    val perT = sess
+      .select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("delta")),
+        struct((col("e") + 1).as("t"), lit(-1L).as("delta")))).as("d"))
+      .select(col("d.t").as("t"), col("d.delta").as("delta"))
+      .groupBy(col("t")).agg(sum(col("delta")).as("net"))
+      .withColumn("day", expr("t div 86400"))
+    val intra = perT.withColumn("intra_run",
+      sum(col("net")).over(Window.partitionBy(col("day")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = perT.groupBy(col("day")).agg(sum(col("net")).as("dnet"))
+      .withColumn("off", coalesce(sum(col("dnet")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("off"))
+    intra.join(broadcast(offsets), Seq("day"))
+      .withColumn("conc", col("off") + col("intra_run"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("conc").desc, col("t"))))
+      .where(col("rn") === 1)
+      .select(fmtDate(timestamp_seconds(col("day") * 86400)).as("day"),
+        col("conc").as("peak_concurrency"),
+        fmtTs(timestamp_seconds(col("t"))).as("peak_at"))
+      .orderBy(col("day"))
+  }
+
+  /** Corpus snapshot diff — the training-data version audit: given
+    * two corpus versions, classify every document added / removed /
+    * changed / unchanged by KEYED full-outer join on doc_id with
+    * md5-content compare (never a text compare across the join — the
+    * hash is computed scan-side, so only 32-byte digests cross the
+    * shuffle; at 100 TB this is one keyed join of narrow rows, the
+    * snapshot-diff shape every dataset-versioning layer runs before
+    * retraining). The "next" version is derived deterministically in
+    * the query (drop doc_id%41=7, rewrite text for doc_id%37=5, add
+    * re-keyed copies of doc_id%43=11), so both engines diff the
+    * identical pair of versions. */
+  def q208SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = t(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val base = t(spark, dir).documents
+    val v2 = base.where(pmod(col("doc_id"), lit(41)) =!= 7)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(37)) === 5,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+          .as("text"))
+      .unionByName(base.where(pmod(col("doc_id"), lit(43)) === 11)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("status"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5738,5 +5829,7 @@ object Queries {
     "q203_lorenz_deciles" -> (q203LorenzDeciles _),
     "q204_term_burstiness" -> (q204TermBurstiness _),
     "q205_dwell_bands" -> (q205DwellBands _),
-    "q206_lev_join" -> (q206LevJoin _))
+    "q206_lev_join" -> (q206LevJoin _),
+    "q207_peak_concurrency" -> (q207PeakConcurrency _),
+    "q208_snapshot_diff" -> (q208SnapshotDiff _))
 }
