@@ -82,20 +82,23 @@ private[graft] object LevenshteinJoinKernels {
   def probeKeys(cps: Array[Int], k: Int): Array[Long] = {
     val m = k + 1
     val nb = cps.length
-    val out = new scala.collection.mutable.ArrayBuffer[Long](
-      (2 * k + 1) * m * (2 * k + 1))
+    // exact upper bound: (2k+1) lengths × m segments × (2k+1) window
+    // positions — primitive array, no boxing in the per-row hot path
+    val out = new Array[Long]((2 * k + 1) * m * (2 * k + 1))
+    var n = 0
     var l = math.max(0, nb - k)
     while (l <= nb + k) {
       var i = 0
       while (i < m) {
         val sl = segLen(l, i, m)
-        if (sl == 0) out += segKey(cps, 0, 0, i, l)
+        if (sl == 0) { out(n) = segKey(cps, 0, 0, i, l); n += 1 }
         else {
           val p = segStart(l, i, m)
           var q = math.max(0, p - k)
           val qMax = math.min(nb - sl, p + k)
           while (q <= qMax) {
-            out += segKey(cps, q, sl, i, l)
+            out(n) = segKey(cps, q, sl, i, l)
+            n += 1
             q += 1
           }
         }
@@ -103,7 +106,7 @@ private[graft] object LevenshteinJoinKernels {
       }
       l += 1
     }
-    out.toArray
+    java.util.Arrays.copyOf(out, n)
   }
 }
 
