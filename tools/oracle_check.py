@@ -113,7 +113,8 @@ def main():
             n_timeout += 1
             continue
         if kind == "err":
-            if "max_temp_directory_size" in str(exp):
+            if ("max_temp_directory_size" in str(exp)
+                    or "failed to offload data block" in str(exp)):
                 # the spill cap, not a wrong answer: the oracle's own
                 # definition exceeds single-node evaluation at this
                 # scale — same class as TIMEOUT
