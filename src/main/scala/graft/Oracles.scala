@@ -2978,6 +2978,41 @@ object Oracles {
         |CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
 
+    // q209: the oracle is the LITERAL interval-overlap theta join;
+    // a green row proves the engine's bin equi-join decomposition
+    // is exactly the overlap semantics.
+    "q209_incident_impact" ->
+      """WITH eb AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 600
+        |    AS bin, CAST(count(*) AS BIGINT) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |tt AS (SELECT max(CASE WHEN rk = (95 * n + 99) // 100
+        |    THEN greatest(n_errors, 2) END) AS t FROM (
+        |  SELECT n_errors, bin,
+        |    row_number() OVER (ORDER BY n_errors, bin) AS rk,
+        |    count(*) OVER () AS n FROM eb)),
+        |inc AS (SELECT bin, n_errors FROM eb CROSS JOIN tt
+        |  WHERE n_errors >= t),
+        |g AS (SELECT user_id, ts, event_id,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |sess AS (SELECT user_id, sid,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS st,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS en
+        |  FROM s GROUP BY 1, 2),
+        |j AS (SELECT i.bin, i.n_errors, se.user_id FROM inc i
+        |  JOIN sess se ON se.st < (i.bin + 1) * 600
+        |    AND se.en >= i.bin * 600)
+        |SELECT strftime(make_timestamp(bin * 600 * 1000000),
+        |  '%Y-%m-%d %H:%M:%S') AS incident_start, n_errors,
+        |CAST(count(*) AS BIGINT) AS n_sessions,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY incident_start""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -5621,6 +5621,60 @@ object Queries {
       .orderBy(col("status"))
   }
 
+  /** Incident impact — the batch INTERVAL-OVERLAP join, decomposed
+    * to an equi-join on time bins so it never plans as a theta-only
+    * BNLJ: incidents are 10-minute error bursts (bins whose error
+    * count reaches the exact nearest-rank P95 of nonzero bins, ≥ 2 —
+    * a scale-robust threshold both engines compute identically), and
+    * a session [s, e] overlaps bin [b, b+600) iff b ∈
+    * [s div 600, e div 600] — so exploding each session to its
+    * covered bins and equi-joining on the bin IS the overlap join,
+    * exactly (no residual needed, no dedup: a 10-minute incident
+    * meets a session at most once). Expansion is bounded by
+    * duration/bin, and both join sides are keyed — the standard
+    * decomposition that replaces an O(n·m) interval theta join at
+    * corpus scale. Output: per incident, the burst size and the
+    * impacted session/user counts. */
+  def q209IncidentImpact(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val errBins = ev.where(col("event_type") === "error")
+      .select(expr("unix_timestamp(ts) div 600").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_errors"))
+    val thr = errBins
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_errors"), col("bin"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .select(max(when(col("rk") === expr("(95 * n + 99) div 100"),
+        greatest(col("n_errors"), lit(2L)))).as("t"))
+    val incidents = errBins.crossJoin(broadcast(thr))
+      .where(col("n_errors") >= col("t"))
+      .select(col("bin"), col("n_errors"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_timestamp(col("ts"))).as("s"),
+        max(unix_timestamp(col("ts"))).as("e"))
+    val sessBins = sess.select(col("user_id"), col("sid"),
+      explode(sequence(expr("s div 600"), expr("e div 600"))).as("bin"))
+    sessBins.join(incidents, Seq("bin"))
+      .groupBy(col("bin"), col("n_errors"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(fmtTs(timestamp_seconds(col("bin") * 600))
+          .as("incident_start"),
+        col("n_errors"), col("n_sessions"), col("n_users"))
+      .orderBy(col("incident_start"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5831,5 +5885,6 @@ object Queries {
     "q205_dwell_bands" -> (q205DwellBands _),
     "q206_lev_join" -> (q206LevJoin _),
     "q207_peak_concurrency" -> (q207PeakConcurrency _),
-    "q208_snapshot_diff" -> (q208SnapshotDiff _))
+    "q208_snapshot_diff" -> (q208SnapshotDiff _),
+    "q209_incident_impact" -> (q209IncidentImpact _))
 }
