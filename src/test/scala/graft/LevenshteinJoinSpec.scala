@@ -205,6 +205,30 @@ class LevenshteinJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must actually produce pairs")
   }
 
+  test("randomized end-to-end equivalence vs brute force (dense " +
+      "small-alphabet strings, k = 0..2)") {
+    install()
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde" // small alphabet -> dense near-pair space
+    val rows = (0 until 80).map(i => (i.toLong,
+      Seq.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString))
+    val a = rows.toDF("id_a", "text_a")
+    val b = rows.toDF("id_b", "text_b")
+    for (k <- 0 to 2) {
+      val df = a.join(b,
+        levenshtein(col("text_a"), col("text_b")) <= lit(k)
+          && col("id_a") < col("id_b"))
+      assert(hasExec(df))
+      val want = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows
+        if ia < ib && refLev(ta, tb) <= k
+      } yield (ia, ib)).toSet
+      assert(pairs(df).toSet === want, s"k=$k")
+      assert(want.nonEmpty, s"fixture must produce pairs at k=$k")
+    }
+  }
+
   test("exec result is stable under input repartitioning") {
     install()
     val df = side("id_a", "text_a").repartition(5)
