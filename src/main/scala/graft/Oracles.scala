@@ -3013,6 +3013,60 @@ object Oracles {
         |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM j GROUP BY 1, 2 ORDER BY incident_start""".stripMargin,
 
+    // q210: exact weighted nearest-rank in integers over the q95
+    // quality formula; ONE source-partitioned sort serves both cuts.
+    "q210_weighted_quality" ->
+      s"""WITH d AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id, source, len(toks) AS n,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a'], x))) AS DOUBLE) AS stop_hits,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq_cnt FROM d),
+         |q AS (SELECT doc_id, source, CAST(n AS BIGINT) AS ws,
+         |  CAST(round(round((CASE WHEN n=0 THEN 0.0 ELSE uniq_cnt/n END)*0.5
+         |   + (1.0-(CASE WHEN n=0 THEN 0.0 ELSE stop_hits/n END))*0.3
+         |   + least(CAST(n AS DOUBLE)/100.0, 1.0)*0.2, 4) * 10000)
+         |    AS BIGINT) AS q_bp FROM m),
+         |r AS (SELECT source, q_bp, ws,
+         |  sum(ws) OVER (PARTITION BY source ORDER BY q_bp, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(ws) OVER (PARTITION BY source) AS total FROM q)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(max(total) AS BIGINT) AS total_tokens,
+         |CAST(min(CASE WHEN cum * 2 >= total THEN q_bp END) AS BIGINT)
+         |  AS p50_q_bp,
+         |CAST(min(CASE WHEN cum * 10 >= total * 9 THEN q_bp END)
+         |  AS BIGINT) AS p90_q_bp
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // q211: DLT priority sampling — w/u priorities over a 48-bit md5
+    // uniform (exact longs into IEEE division: the order is
+    // engine-exact); HT estimate summed in per-row-rounded micro-units.
+    "q211_priority_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($TOKS) AS BIGINT) AS ws FROM documents),
+         |u AS (SELECT doc_id, source, ws,
+         |  CAST('0x' || substring(md5('psample|' || CAST(doc_id AS VARCHAR)),
+         |    1, 12) AS BIGINT) + 1 AS uu FROM d),
+         |p AS (SELECT source, doc_id, ws,
+         |  CAST(ws AS DOUBLE) / CAST(uu AS DOUBLE) AS pri FROM u),
+         |r AS (SELECT source, doc_id, ws, pri,
+         |  row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id)
+         |    AS rk,
+         |  count(*) OVER (PARTITION BY source) AS n,
+         |  CAST(sum(ws) OVER (PARTITION BY source) AS BIGINT) AS total
+         |  FROM p),
+         |t2 AS (SELECT source, max(CASE WHEN rk = 21 THEN pri END) AS tau
+         |  FROM r GROUP BY 1),
+         |s AS (SELECT r.source, r.n, r.total,
+         |  CAST(sum(CAST(round(greatest(CAST(ws AS DOUBLE),
+         |    coalesce(tau, 0.0)) * 1e6) AS BIGINT)) AS BIGINT) AS est_micro
+         |  FROM r JOIN t2 USING (source) WHERE rk <= 20 GROUP BY 1, 2, 3)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |total AS total_tokens,
+         |est_micro // 1000000 AS est_total_tokens,
+         |CAST(round((est_micro // 1000000 - total) * 1e4 / total)
+         |  AS BIGINT) AS err_bp
+         |FROM s ORDER BY source""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -5675,6 +5675,80 @@ object Queries {
       .orderBy(col("incident_start"))
   }
 
+  /** Token-weighted quality bands per source: the quality level
+    * below which half (P50) and 90% (P90) of the source's TOKEN MASS
+    * sits — the statistic a token-budgeted curriculum actually cuts
+    * on (a doc-weighted median over-weights short docs). Exact
+    * weighted nearest-rank rule in integers: docs ordered by
+    * (quality bp, doc_id), cumulative token sums, first row with
+    * 2·cum ≥ total / 10·cum ≥ 9·total — no interpolation, no float
+    * rank. One source-partitioned sort serves both cuts. */
+  def q210WeightedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        round(qualityScore(tokens(col("text"))) * 10000).cast("long")
+          .as("q_bp"),
+        wordCount(col("text")).cast("long").as("ws"))
+    val run = Window.partitionBy(col("source"))
+      .orderBy(col("q_bp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.partitionBy(col("source"))
+    base
+      .withColumn("cum", sum(col("ws")).over(run))
+      .withColumn("total", sum(col("ws")).over(tw))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("total")).as("total_tokens"),
+        min(when(col("cum") * 2 >= col("total"), col("q_bp")))
+          .as("p50_q_bp"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("q_bp")))
+          .as("p90_q_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Priority sampling (Duffield–Lund–Thorup) per source, k = 20,
+    * weight = token count, with the Horvitz–Thompson total estimate
+    * the method exists for: priority = w/u over a 48-bit md5 uniform
+    * (both factors exact in a double, and IEEE division is correctly
+    * rounded — so the ORDER is engine-exact with no transcendental in
+    * sight, unlike ln-based Efraimidis–Sampling keys), τ = the
+    * (k+1)-th priority, estimate = Σ_sample max(w, τ) — per-row
+    * rounded to exact micro-units before the sum so no float
+    * accumulation order exists. The fleet-scale shape: one keyed
+    * top-(k+1) per group (WindowGroupLimit), constant output per
+    * source; the estimate column demonstrates the k-sample standing
+    * in for the full scan within err_bp. */
+  def q211PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val d = t(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        wordCount(col("text")).cast("long").as("ws"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws("|", lit("psample"), col("doc_id"))),
+          1, 12), 16, 10).cast("long") + 1)
+      .withColumn("pri", col("ws").cast("double") / col("u").cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri").desc, col("doc_id"))
+    val tw = Window.partitionBy(col("source"))
+    d.withColumn("rk", row_number().over(w))
+      .withColumn("tau",
+        max(when(col("rk") === k + 1, col("pri"))).over(tw))
+      .withColumn("total", sum(col("ws")).over(tw))
+      .withColumn("n", count(lit(1)).over(tw))
+      .where(col("rk") <= k)
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(col("total")).as("total_tokens"),
+        sum(round(greatest(col("ws").cast("double"),
+            coalesce(col("tau"), lit(0.0))) * 1e6).cast("long"))
+          .as("est_micro"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("est_micro div 1000000").as("est_total_tokens"),
+        expr("cast(round((est_micro div 1000000 - total_tokens) * 1e4" +
+          " / total_tokens) as bigint)").as("err_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5886,5 +5960,7 @@ object Queries {
     "q206_lev_join" -> (q206LevJoin _),
     "q207_peak_concurrency" -> (q207PeakConcurrency _),
     "q208_snapshot_diff" -> (q208SnapshotDiff _),
-    "q209_incident_impact" -> (q209IncidentImpact _))
+    "q209_incident_impact" -> (q209IncidentImpact _),
+    "q210_weighted_quality" -> (q210WeightedQuality _),
+    "q211_priority_sample" -> (q211PrioritySample _))
 }
