@@ -1538,6 +1538,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.length >= 3)
   }
 
+  test("S1 watermarked windowed agg through the DSv2 source: append " +
+      "finality holds across admission-controlled micro-batches and topics") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{GraftKafkaTestSource, KafkaSource}
+    GraftKafkaTestSource.clear()
+    def pub(topic: String, id: Long, ts: String): Unit =
+      GraftKafkaTestSource.publish(topic,
+        json(id, ts, 7, "purchase", 1.0).getBytes("UTF-8"))
+    // window W1 [10:00,10:01): 2 events on A + 1 on B; W2 [10:01,10:02):
+    // 2 on A; one 10:10 event on B pushes the watermark to 10:08 so W1
+    // and W2 finalize while the 10:10 window itself stays open
+    pub("bitcoin-tweets", 1, "2024-01-01 10:00:05")
+    pub("bitcoin-tweets", 2, "2024-01-01 10:00:40")
+    pub("ethereum-tweets", 3, "2024-01-01 10:00:59")
+    pub("bitcoin-tweets", 4, "2024-01-01 10:01:10")
+    pub("bitcoin-tweets", 5, "2024-01-01 10:01:50")
+    pub("ethereum-tweets", 6, "2024-01-01 10:10:00")
+    // maxOffsetsPerTrigger=2 forces >= 3 micro-batches, so the
+    // watermark must PROGRESS batch-to-batch through the real source
+    // path, not jump once as a single MemoryStream batch would
+    val raw = KafkaSource.stream(spark, "test:9092",
+      Seq("bitcoin-tweets", "ethereum-tweets"),
+      startingOffsets = "earliest", maxOffsetsPerTrigger = Some(2L),
+      format = "graft-kafka-test")
+    val agg = StreamOps.watermarked(
+        StreamOps.withEventTime(StreamOps.decodeJsonEnvelope(raw)))
+      .groupBy(window($"ts", "60 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "HH:mm").as("w"), $"n")
+    val q = agg.writeStream.format("memory").queryName("s1_windows")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("s1_windows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("10:00" -> 3L, "10:01" -> 2L),
+      s"watermark-finalized windows only (got $got)")
+  }
+
   test("S1 startingOffsets=latest (the reference default) skips " +
       "pre-published records and picks up post-start publishes") {
     import graft.streaming.{GraftKafkaTestSource, KafkaSource}
