@@ -5714,10 +5714,14 @@ object Queries {
     * sight, unlike ln-based Efraimidis–Sampling keys), τ = the
     * (k+1)-th priority, estimate = Σ_sample max(w, τ) — per-row
     * rounded to exact micro-units before the sum so no float
-    * accumulation order exists. The fleet-scale shape: one keyed
-    * top-(k+1) per group (WindowGroupLimit), constant output per
-    * source; the estimate column demonstrates the k-sample standing
-    * in for the full scan within err_bp. */
+    * accumulation order exists. Plan shape: ONE source-keyed sort
+    * serves both window specs (rank, and the full-partition
+    * tau/total/n frames — the exact total forces a full-group pass
+    * here BY DESIGN, since the query also reports the true total the
+    * estimate is judged against; a pure sampling job that skips the
+    * exact total gets the top-(k+1) WindowGroupLimit shape instead),
+    * constant output per source; the estimate column demonstrates
+    * the k-sample standing in for the full scan within err_bp. */
   def q211PrioritySample(spark: SparkSession, dir: String): DataFrame = {
     val k = 20
     val d = t(spark, dir).documents
