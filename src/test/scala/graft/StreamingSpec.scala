@@ -1576,6 +1576,50 @@ class StreamingSpec extends AnyFunSuite {
       s"watermark-finalized windows only (got $got)")
   }
 
+  test("S1 checkpoint restart through the DSv2 source: restored " +
+      "offsets resume exactly after the drained records, no re-reads") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{GraftKafkaTestSource, KafkaSource}
+    GraftKafkaTestSource.clear()
+    def pub(ids: Range): Unit = ids.foreach(i =>
+      GraftKafkaTestSource.publish("bitcoin-tweets",
+        json(i, "2024-01-01 10:00:00", 7, "purchase", i)
+          .getBytes("UTF-8")))
+    val out = GraftTestSpark.tmpDir("graft-ktest-out")
+    val ckpt = GraftTestSpark.tmpDir("graft-ktest-chk")
+    def drain(): Unit = {
+      val ev = KafkaSource.events(spark, "test:9092",
+        Seq("bitcoin-tweets"), format = "graft-kafka-test")
+      // events() defaults to startingOffsets=latest — on a RESTART the
+      // checkpointed offsets must win over that initial-offset policy
+      val q = ev.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pub(1 to 4)
+    // incarnation 1 reads from earliest and drains 1-4
+    val q1 = graft.streaming.StreamOps.withEventTime(
+        graft.streaming.StreamOps.decodeJsonEnvelope(
+          KafkaSource.stream(spark, "test:9092", Seq("bitcoin-tweets"),
+            startingOffsets = "earliest", format = "graft-kafka-test")))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() === 4)
+    // two more records land while no query is running
+    pub(5 to 6)
+    // incarnation 2 on the same checkpoint: deserialized offsets must
+    // resume at 4 — not 'earliest' (re-reads would duplicate 1-4) and
+    // not 'latest' (which would skip 5-6)
+    drain()
+    val ids = spark.read.parquet(out).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === (1L to 6L),
+      s"exactly-once across restart through the DSv2 source: $ids")
+  }
+
   test("S1 startingOffsets=latest (the reference default) skips " +
       "pre-published records and picks up post-start publishes") {
     import graft.streaming.{GraftKafkaTestSource, KafkaSource}
