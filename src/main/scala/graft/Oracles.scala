@@ -2670,10 +2670,11 @@ object Oracles {
         |    ORDER BY x, o_custkey) AS BIGINT) AS i FROM sg),
         |ag AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(x) AS BIGINT) AS s,
-        |  CAST(sum(i * x) AS BIGINT) AS six FROM rk GROUP BY 1)
+        |  sum(i * x) AS six FROM rk GROUP BY 1)
         |SELECT segment, n_customers,
         |CAST(s AS DOUBLE) / 100.0 AS revenue,
-        |CAST(round(1e6 * (2 * six - (n_customers + 1) * s)
+        |CAST(round(1e6 * (2 * six
+        |  - (n_customers + 1) * CAST(s AS HUGEINT))
         |  / (CAST(n_customers AS DOUBLE) * s)) AS BIGINT) AS gini_1e6
         |FROM ag ORDER BY segment""".stripMargin,
 
@@ -2881,7 +2882,7 @@ object Oracles {
          |  FROM pc GROUP BY 1 HAVING count(*) >= 20),
          |v AS (SELECT term, df, sc AS total,
          |  CAST((nn * sc2 - CAST(sc AS HUGEINT) * sc) * 10000
-         |    // (nn * sc) AS BIGINT) AS vmr_1e4
+         |    // (nn * CAST(sc AS HUGEINT)) AS BIGINT) AS vmr_1e4
          |  FROM st CROSS JOIN tot)
          |SELECT "rank", term, df, total, vmr_1e4 FROM (
          |  SELECT *, row_number() OVER (ORDER BY vmr_1e4 DESC, term)

@@ -5178,7 +5178,11 @@ object Queries {
         sum((col("i") * col("x")).cast("decimal(38,0)")).as("six"))
       .select(col("segment"), col("n_customers"),
         (col("s") / 100.0).as("revenue"),
-        expr("cast(round(1e6 * (2 * six - (n_customers + 1) * s)" +
+        // (n+1)·s is ~n·S — strictly LARGER than six, so whenever
+        // the decimal accumulator above is needed this term would
+        // wrap too; ride it through decimal(38,0) as well
+        expr("cast(round(1e6 * (2 * six" +
+          " - (n_customers + 1) * cast(s as decimal(38,0)))" +
           " / (cast(n_customers as double) * s)) as bigint)")
           .as("gini_1e6"))
       .orderBy(col("segment"))
@@ -5446,8 +5450,10 @@ object Queries {
       .select(col("term"), col("df"), col("sc").as("total"),
         // sc·sc through decimal too; `div` (IntegralDivide) on the
         // decimal numerator still yields an exact long
+        // the denominator nn·sc is only ~mean(c) below the promoted
+        // numerator, so it rides decimal in the same hot-term regime
         expr("(nn * sc2 - cast(sc as decimal(38,0)) * sc) * 10000" +
-          " div (nn * sc)").as("vmr_1e4"))
+          " div (nn * cast(sc as decimal(38,0)))").as("vmr_1e4"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("vmr_1e4").desc, col("term"))))
       .where(col("rank") <= 20)

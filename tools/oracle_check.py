@@ -47,9 +47,16 @@ def norm(df):
 
 def run_oracle(sf_dir, sql, temp_cap_gib, q):
     """Child-process entry: evaluate one oracle, ship the frame back."""
+    import duckdb
     try:
         con = connect(sf_dir, temp_cap_gib)
         q.put(("ok", norm(con.sql(sql).df())))
+    except duckdb.OutOfMemoryException as e:
+        # the TYPE the spill cap raises (max_temp_directory_size /
+        # failed-to-offload land here), not a substring of arbitrary
+        # errors: an unrelated DuckDB failure whose message happens to
+        # mention those strings stays a FAIL
+        q.put(("capped", f"{type(e).__name__}: {e}"))
     except Exception as e:
         q.put(("err", f"{type(e).__name__}: {e}"))
 
@@ -112,17 +119,16 @@ def main():
                   flush=True)
             n_timeout += 1
             continue
+        if kind == "capped":
+            # the spill cap (duckdb.OutOfMemoryException), not a wrong
+            # answer: the oracle's own definition exceeds single-node
+            # evaluation at this scale — same class as TIMEOUT
+            print(f"TIMEOUT {name}: oracle hit the spill cap "
+                  "(oracle-side bound, engine result was produced)",
+                  flush=True)
+            n_timeout += 1
+            continue
         if kind == "err":
-            if ("max_temp_directory_size" in str(exp)
-                    or "failed to offload data block" in str(exp)):
-                # the spill cap, not a wrong answer: the oracle's own
-                # definition exceeds single-node evaluation at this
-                # scale — same class as TIMEOUT
-                print(f"TIMEOUT {name}: oracle hit the spill cap "
-                      "(oracle-side bound, engine result was produced)",
-                      flush=True)
-                n_timeout += 1
-                continue
             print(f"FAIL {name}: {exp}", flush=True)
             n_fail += 1
             continue
@@ -157,7 +163,12 @@ def main():
             print(f"PASS {name} ({len(got)} rows)", flush=True)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_timeout} timeout")
-    return 1 if n_fail else 0
+    # distinct exit codes so sweeps can't read a bounded run as fully
+    # green: 0 = every oracle evaluated and passed; 1 = at least one
+    # FAIL; 2 = no FAILs but TIMEOUT/spill-cap rows were present
+    if n_fail:
+        return 1
+    return 2 if n_timeout else 0
 
 
 if __name__ == "__main__":
