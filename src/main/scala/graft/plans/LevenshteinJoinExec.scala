@@ -54,9 +54,18 @@ private[graft] object LevenshteinJoinKernels {
     h
   }
 
-  /** Index-side keys: the m = k+1 segments of this string. */
-  def postingKeys(cps: Array[Int], k: Int): Array[Long] = {
-    val m = k + 1
+  /** Index-side keys: the m = k+1 segments of this string (the
+    * baseline PassJoin regime). */
+  def postingKeys(cps: Array[Int], k: Int): Array[Long] =
+    postingKeysM(cps, k + 1)
+
+  /** Index-side keys for an arbitrary segment count m ≥ k+1 (the
+    * multi-segment regime): all m segment keys. k edits destroy at
+    * most k of the m segments, so ≥ m−k survive verbatim (within the
+    * ±k probe window) — which is what lets the exec INDEX only the
+    * k+1 lowest-df segments per row and stay lossless: any k+1 of
+    * them still contain ≥ 1 survivor by the same pigeonhole. */
+  def postingKeysM(cps: Array[Int], m: Int): Array[Long] = {
     val l = cps.length
     val out = new Array[Long](m)
     var i = 0
@@ -79,8 +88,12 @@ private[graft] object LevenshteinJoinKernels {
     * segment is trivially preserved, keeping short strings inside
     * the same lossless key space rather than a special-cased
     * short-bucket cross. */
-  def probeKeys(cps: Array[Int], k: Int): Array[Long] = {
-    val m = k + 1
+  def probeKeys(cps: Array[Int], k: Int): Array[Long] =
+    probeKeysM(cps, k, k + 1)
+
+  /** Probe keys for an arbitrary segment count m — the same window
+    * enumeration over all m ordinals. O(k²·m) keys per row. */
+  def probeKeysM(cps: Array[Int], k: Int, m: Int): Array[Long] = {
     val nb = cps.length
     // exact upper bound: (2k+1) lengths × m segments × (2k+1) window
     // positions — primitive array, no boxing in the per-row hot path
@@ -137,11 +150,20 @@ private[graft] object LevenshteinJoinKernels {
   *     die here; stage 2's pigeonhole guarantees no false negatives.
   *
   * A hot segment key (e.g. a shared prefix across a generated id
-  * column at one length) costs |L|·|R| candidate rows for that key —
-  * the honest price of exact semantics, same contract as the jaccard
-  * exec's uncapped postings; the approximate mining paths
-  * (Dedup.editDistancePairs' winnow blocking) remain the operator API
-  * for corpora where that price is unacceptable.
+  * column at one length) would cost |L|·|R| candidate rows for that
+  * key under the baseline m = k+1 split, so the exec measures the
+  * segment-key df distribution first (one bounded aggregation) and
+  * escalates hot inputs to the MULTI-SEGMENT regime (the standard
+  * PassJoin extension): split into m = 2(k+1), 4(k+1), ... segments,
+  * index each row under only its k+1 lowest-df segment keys (any k+1
+  * segments still contain ≥ 1 edit-survivor by pigeonhole — exact,
+  * never approximate), probe all m ordinals' windows. Doubling stops
+  * when the selected postings' max df clears the hot bound or at
+  * 16(k+1) segments; content whose diversity k+1 short segments
+  * cannot reach keeps the residual hot cost as the documented honest
+  * price, and the approximate mining paths (Dedup.editDistancePairs'
+  * winnow blocking) remain the operator API for corpora where even
+  * that is unacceptable.
   *
   * 100 TB shape: every stage shuffles on a key (segment hash, pair,
   * rowId); rows ship through exactly two shuffles; candidate volume
@@ -170,7 +192,7 @@ case class LevenshteinSegmentJoinExec(
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
   private def keyed(idx: RDD[(Long, UnsafeRow)], textE: Expression,
-      attrs: Seq[Attribute], kk: Int, probe: Boolean)
+      attrs: Seq[Attribute], kk: Int, m: Int, probe: Boolean)
       : RDD[(Long, Long)] =
     idx.mapPartitions { iter =>
       val proj = UnsafeProjection.create(Seq(textE), attrs)
@@ -181,8 +203,8 @@ case class LevenshteinSegmentJoinExec(
           val cps = LevenshteinJoinKernels.codePoints(
             projected.getUTF8String(0).toString)
           val keys =
-            if (probe) LevenshteinJoinKernels.probeKeys(cps, kk)
-            else LevenshteinJoinKernels.postingKeys(cps, kk)
+            if (probe) LevenshteinJoinKernels.probeKeysM(cps, kk, m)
+            else LevenshteinJoinKernels.postingKeysM(cps, m)
           keys.iterator.map(key => (key, id))
         }
       }
@@ -208,9 +230,62 @@ case class LevenshteinSegmentJoinExec(
     val cogroupWidth = math.max(nPart, math.min(nPart * 8, inParts * 4))
     val pairWidth = math.min(200, cogroupWidth)
 
+    // ---- segment-df regime choice (multi-segment PassJoin) ----
+    // The baseline m = k+1 segmentation degrades to n² candidates on
+    // low-diversity content: a shared prefix at one length makes
+    // segment 0's posting ONE hot key. The stats that reveal it are
+    // the segment-key dfs themselves, so measure them (one bounded
+    // reduceByKey over the k+1 posting keys per row) and, when a key
+    // is hot, escalate to m = 2(k+1), 4(k+1), ... segments, indexing
+    // each row under only its k+1 LOWEST-df segment keys. Lossless by
+    // the same pigeonhole: ≤ k of any k+1 chosen segments are
+    // destroyed by k edits, so ≥ 1 survives verbatim inside the probe
+    // window — and the probe side enumerates windows for ALL m
+    // ordinals, so the survivor's key is always probed. Each doubling
+    // shortens segments, pushing more of them into the content's
+    // diverse region until the SELECTED postings' max df clears the
+    // bound (or the doubling cap is hit — the residual hot cost is
+    // then the documented honest price).
+    val m0 = kk + 1
+    val keys0 = keyed(lIdx, lTextE, lOut, kk, m0, probe = false)
+    val df0 = keys0.mapValues(_ => 1L).reduceByKey(_ + _)
+    val (sum0, max0) = df0.aggregate((0L, 0L))(
+      (a, kv) => (a._1 + kv._2, math.max(a._2, kv._2)),
+      (a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+    val nEst = math.max(1L, sum0 / m0)
+    val hotBound = math.max(256L, 8L * math.round(math.sqrt(nEst.toDouble)))
+
+    var lPost: RDD[(Long, Long)] = keys0
+    var probeM = m0
+    if (max0 > hotBound) {
+      var m = m0
+      var selMax = max0
+      while (selMax > hotBound && m < 16 * m0) {
+        m *= 2
+        val keysM = keyed(lIdx, lTextE, lOut, kk, m, probe = false)
+        val dfM = keysM.mapValues(_ => 1L).reduceByKey(_ + _)
+        // per-row k+1 lowest-df segment keys, ties by key — a bounded
+        // m-entry list per row, deterministic under any merge order
+        val selected = keysM.join(dfM, cogroupWidth)
+          .map { case (key, (lid, df)) => (lid, (df, key)) }
+          .aggregateByKey(List.empty[(Long, Long)], cogroupWidth)(
+            (acc, v) => v :: acc, _ ::: _)
+          .flatMap { case (lid, entries) =>
+            entries.sorted.take(kk + 1)
+              .map { case (_, key) => (key, lid) }
+          }
+        // the cost that matters is the df of the keys actually KEPT
+        selMax = selected.mapValues(_ => 1L).reduceByKey(_ + _)
+          .aggregate(0L)((a, kv) => math.max(a, kv._2), math.max)
+        lPost = selected
+        probeM = m
+      }
+    }
+
     val occurrences: RDD[((Long, Long), Long)] =
-      keyed(lIdx, lTextE, lOut, kk, probe = false)
-        .cogroup(keyed(rIdx, rTextE, rOut, kk, probe = true), cogroupWidth)
+      lPost
+        .cogroup(keyed(rIdx, rTextE, rOut, kk, probeM, probe = true),
+          cogroupWidth)
         .flatMap { case (_, (ls, rs)) =>
           if (ls.isEmpty || rs.isEmpty) Iterator.empty
           else {

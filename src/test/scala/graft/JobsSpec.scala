@@ -219,6 +219,121 @@ class JobsSpec extends AnyFunSuite {
       f"rows/s=${batches.map(_.processedRowsPerSecond).max}%.0f")
   }
 
+  test("K7 live topology through the DSv2 kafka-contract source: every " +
+      "job topology concurrently (7 queries / 7 sinks, per-query " +
+      "checkpoints), graceful stop mid-stream, restart over data that " +
+      "landed while down, exactly-once across every sink") {
+    import graft.streaming.{GraftKafkaTestSource, KafkaSource}
+    GraftKafkaTestSource.clear()
+    val dir = GraftTestSpark.tmpDir("graftk7")
+    def pub(topic: String, s: String): Unit =
+      GraftKafkaTestSource.publish(topic, s.getBytes("UTF-8"))
+    // the production builder chain verbatim (only the format string
+    // differs from a real cluster), with small maxOffsetsPerTrigger so
+    // the topology genuinely runs under admission control
+    def evSrc(): org.apache.spark.sql.DataFrame =
+      StreamOps.withEventTime(StreamOps.decodeJsonEnvelope(
+        KafkaSource.stream(spark, "test:9092", Seq("k7ev"),
+          startingOffsets = "earliest", maxOffsetsPerTrigger = Some(3L),
+          format = "graft-kafka-test")))
+    def twSrc(): org.apache.spark.sql.DataFrame =
+      KafkaSource.stream(spark, "test:9092", Seq("k7tw"),
+        startingOffsets = "earliest", maxOffsetsPerTrigger = Some(2L),
+        format = "graft-kafka-test")
+    def startAll(): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+      StreamingJobs.startDetection(spark, evSrc _, s"$dir/det", "1 seconds") ++
+        StreamingJobs.startTweetPipelines(spark, twSrc _, s"$dir/tw", "1 seconds") ++
+        StreamingJobs.startSessions(spark, evSrc(), s"$dir/s", "1 seconds") ++
+        StreamingJobs.startDedup(spark, evSrc(), s"$dir/d", "1 seconds")
+
+    // phase A lands BEFORE any query exists: earliest must backfill it
+    pub("k7ev", json(1, "2024-01-01 10:00:05", 7, "view", 1.0))
+    pub("k7ev", json(2, "2024-01-01 10:00:15", 7, "view", 1.0))
+    pub("k7ev", json(3, "2024-01-01 10:00:25", 7, "view", 1.0)) // HF u7
+    pub("k7ev", json(4, "2024-01-01 10:00:10", 1, "error", 1.0))
+    pub("k7ev", json(5, "2024-01-01 10:00:40", 3, "purchase", 400.0))
+    pub("k7tw", tweet("burst", "2024-01-01 10:00:05", 100, 5000, retweet = false, "fast"))
+    pub("k7tw", tweet("burst", "2024-01-01 10:00:15", 100, 5000, retweet = false, "fast"))
+    pub("k7tw", tweet("burst", "2024-01-01 10:00:25", 100, 5000, retweet = false, "fast"))
+    pub("k7tw", tweet("viraluser", "2024-01-01 10:00:30", 100, 200, retweet = true, "boom"))
+    pub("k7tw", tweet("vipuser", "2024-01-01 10:00:35", 100, 60000, retweet = false, "slow"))
+
+    val qs1 = startAll()
+    assert(qs1.size === 7)
+    try {
+      qs1.foreach(_.processAllAvailable())
+      // phase B mid-stream: one more error, plus a duplicated
+      // event_id (published twice) the dedup topology must drop
+      pub("k7ev", json(6, "2024-01-01 10:30:00", 2, "error", 2.0))
+      pub("k7ev", json(10, "2024-01-01 10:31:00", 2, "view", 1.0))
+      pub("k7ev", json(10, "2024-01-01 10:31:00", 2, "view", 1.0))
+      pub("k7tw", tweet("norm", "2024-01-01 10:30:00", 100, 5000,
+        retweet = false, "meh"))
+      qs1.foreach(_.processAllAvailable())
+    } finally qs1.foreach(_.stop()) // graceful stop (T13)
+
+    // phase C lands while EVERY query is down; the restart must resume
+    // from committed offsets (not the earliest policy) and process
+    // exactly this delta
+    pub("k7ev", json(7, "2024-01-01 11:00:00", 4, "purchase", 500.0))
+    pub("k7ev", json(8, "2024-01-01 11:05:00", 5, "error", 1.0))
+    pub("k7ev", json(9, "2024-01-01 12:30:00", 9, "view", 1.0))
+    pub("k7tw", tweet("norm2", "2024-01-01 11:00:00", 100, 5000,
+      retweet = false, "meh"))
+    pub("k7tw", tweet("late", "2024-01-01 12:30:00", 100, 5000,
+      retweet = false, "meh"))
+
+    val qs2 = startAll()
+    try {
+      qs2.foreach(_.processAllAvailable())
+      // watermark closer so every stateful emission flushes
+      pub("k7ev", json(11, "2024-01-01 13:00:00", 9, "view", 1.0))
+      qs2.foreach(_.processAllAvailable())
+      // append-mode emissions can ride asynchronous no-data batches
+      def ready(): Boolean = scala.util.Try {
+        spark.read.parquet(s"$dir/det/alerts").count() == 6L &&
+          spark.read.parquet(s"$dir/s/sessions").count() == 6L &&
+          spark.read.parquet(s"$dir/tw/bot_metrics")
+            .where($"alert_type" === "HIGH_FREQUENCY_POSTING")
+            .agg(sum($"total_alerts")).head().getLong(0) == 5L
+      }.getOrElse(false)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && !ready()) Thread.sleep(200)
+    } finally qs2.foreach(_.stop())
+
+    // exactly-once, sink by sink: exact expected rows, zero replays
+    val alerts = spark.read.parquet(s"$dir/det/alerts")
+    // HF(u7) + error(u1) + high-value(u3) + error(u2) + high-value(u4)
+    // + error(u5); nothing doubled across the restart
+    assert(alerts.count() === 6)
+    assert(alerts.dropDuplicates().count() === 6)
+    val metrics = spark.read.parquet(s"$dir/det/metrics")
+    assert(metrics.count() ===
+      metrics.dropDuplicates("window_start", "alert_type").count())
+    val deduped = spark.read.parquet(s"$dir/d/deduped")
+    assert(deduped.count() === 11) // 12 published, 1 duplicate id dropped
+    assert(deduped.select("event_id").distinct().count() === 11)
+    val sessions = spark.read.parquet(s"$dir/s/sessions")
+    assert(sessions.count() === 6) // u9's session stays open
+    assert(sessions.where($"user_id" === 7).head().getAs[Long]("n_events") === 3L)
+    val vv = spark.read.parquet(s"$dir/tw/viral_vip")
+    val byType = vv.groupBy($"alert_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("VIRAL_TWEET" -> 1L, "HIGH_REACH_USER" -> 1L))
+    val bot = spark.read.parquet(s"$dir/tw/bot_metrics")
+    assert(bot.where($"alert_type" === "HIGH_FREQUENCY_POSTING")
+      .agg(sum($"total_alerts")).head().getLong(0) === 5L)
+    val sent = spark.read.parquet(s"$dir/tw/sentiment")
+    val types = sent.select($"sentiment_type").as[String].collect().toSet
+    assert(types.contains("positive") && types.contains("negative"))
+    // per-query checkpoints (T11): one offsets log per sink
+    for (p <- Seq("det/chk/alerts", "det/chk/metrics", "tw/chk/bot_metrics",
+        "tw/chk/viral_vip", "tw/chk/sentiment", "s/chk/sessions",
+        "d/chk/deduped")) {
+      assert(new java.io.File(s"$dir/$p/offsets").exists, p)
+    }
+  }
+
   test("batch job bundle writes csv + parquet report tree") {
     val dir = GraftTestSpark.tmpDir("graftbatch")
     BatchJobs.run(spark, "/root/testdata/sf0.001", dir, "terms")

@@ -168,6 +168,61 @@ class LevenshteinJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-segment pigeonhole: for m > k+1 segments a pair within " +
+      "k shares >= m-k keys, so ANY k+1 selected segments intersect " +
+      "the probe set (the lossless basis of the escalated regime)") {
+    val rnd = new scala.util.Random(43)
+    val alphabet = "abc😀日"
+    def randStr(): String =
+      Seq.fill(rnd.nextInt(14))(alphabet.charAt(rnd.nextInt(3))).mkString +
+        (if (rnd.nextBoolean()) "😀" else "")
+    for (_ <- 1 to 300) {
+      val a = randStr(); val b = randStr()
+      val cpsA = LevenshteinJoinKernels.codePoints(a)
+      val cpsB = LevenshteinJoinKernels.codePoints(b)
+      for (k <- 0 to 3; mult <- Seq(2, 4, 8, 16)) {
+        val m = mult * (k + 1)
+        if (refLev(a, b) <= k) {
+          val post = LevenshteinJoinKernels.postingKeysM(cpsA, m).toSet
+          val probe = LevenshteinJoinKernels.probeKeysM(cpsB, k, m).toSet
+          val survivors = post.intersect(probe).size
+          assert(survivors >= m - k,
+            s"m=$m k=$k expected >= ${m - k} surviving segment keys, " +
+              s"got $survivors: '$a' vs '$b' (lev=${refLev(a, b)})")
+        }
+      }
+    }
+  }
+
+  test("escalated multi-segment regime end-to-end: a shared-prefix " +
+      "corpus large enough to trip the hot-segment bound still matches " +
+      "brute force exactly") {
+    install()
+    val rnd = new scala.util.Random(19)
+    // 600 rows, one 12-char constant prefix, one length: segment-0 df
+    // = 600 > hotBound (max(256, 8*sqrt(600)) = 256), so the exec must
+    // take the df-selected multi-segment path; suffixes are DENSE
+    // (2-char alphabet) so true pairs exist at every k
+    val rows = (0 until 600).map { i =>
+      (i.toLong, "SharedPrefix" +
+        Seq.fill(6)("ab" (rnd.nextInt(2))).mkString)
+    }
+    val a = rows.toDF("id_a", "text_a")
+    val b = rows.toDF("id_b", "text_b")
+    for (k <- 1 to 2) {
+      val df = a.join(b,
+        levenshtein(col("text_a"), col("text_b")) <= lit(k)
+          && col("id_a") < col("id_b"))
+      assert(hasExec(df))
+      val want = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows
+        if ia < ib && refLev(ta, tb) <= k
+      } yield (ia, ib)).toSet
+      assert(pairs(df).toSet === want, s"k=$k")
+      assert(want.nonEmpty, s"fixture must produce pairs at k=$k")
+    }
+  }
+
   test("segment arithmetic invariants: lengths partition the string, " +
       "starts are cumulative") {
     import LevenshteinJoinKernels.{segLen, segStart}

@@ -19,12 +19,97 @@ bounds DuckDB's spill directory so a runaway oracle errors loudly
 instead of filling the disk (a gen10 run was observed at 66 GB of
 spill before the cap existed).
 """
-import argparse, json, glob, os, sys
+import argparse, json, glob, os, re, sys
 import multiprocessing as mp
 
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# ---------------------------------------------------------------------
+# Staged (semi-naive) evaluation for the recursion-bound oracles.
+#
+# Seven oracle DEFINITIONS (q81/q93/q110/q113/q117/q118/q128) share a
+# pair-mining chain followed by either a recursive transitive-closure
+# (reach/lab min-reachable-id labeling) or an unrolled PageRank whose
+# CTE re-evaluation re-mines the pair set per reference. Single-shot
+# DuckDB blows the 600 s / 30 GiB bounds on those at gen10 — an
+# oracle-side bound, not an engine error. The staged path makes the
+# same definitions evaluable: materialize the mined pair set ONCE as a
+# temp table, compute the closure labels by SEMI-NAIVE iteration in
+# the harness (one bounded DuckDB pass per round over the shrinking
+# frontier — exactly the fixpoint the recursive CTE declares, without
+# enumerating every (node, reachable-id) pair), then run the original
+# tail SQL against the materialized tables. No oracle semantics
+# change: the mining SQL is executed verbatim, and min-label
+# propagation over symmetric edges converges to min(reachable id) =
+# the recursive CTE's min(r) per node.
+# ---------------------------------------------------------------------
+
+# `edges AS (SELECT id_a AS src, id_b AS dst FROM X UNION ALL ...)` —
+# the symmetric-edge CTE both oracle families build from their mined
+# pair CTE (jp for the shingle pipeline, pairs for the embedding one)
+EDGES_DEF = re.compile(
+    r"edges AS \(SELECT id_a AS src, id_b AS dst FROM (\w+)"
+    r"\s+UNION ALL SELECT id_b, id_a FROM \1\)")
+# the recursive reach/lab block (byte-identical across the closure
+# oracles — both are emitted from one shared CTE template)
+REACH_BLOCK = re.compile(
+    r"reach\(id, r\) AS \(\s*SELECT DISTINCT src, src FROM edges\s*"
+    r"UNION\s*SELECT e\.src, reach\.r FROM reach JOIN edges e"
+    r" ON e\.dst = reach\.id\),\s*"
+    r"lab AS \(SELECT id AS doc_id, min\(r\) AS cluster_id"
+    r" FROM reach GROUP BY id\)")
+
+
+def staged_closure(sql):
+    """Decompose a closure-pattern oracle into (pair-mining SQL,
+    pair CTE name, needs_closure, final SQL over the materialized
+    tables). Returns None when the SQL doesn't match the pattern."""
+    m = EDGES_DEF.search(sql)
+    if not m:
+        return None
+    base = m.group(1)
+    prefix = sql[:m.start()].rstrip().rstrip(",")
+    prefix = prefix.replace("WITH RECURSIVE", "WITH", 1)
+    mine = f"{prefix}\nSELECT id_a, id_b FROM {base}"
+    tail = sql[m.end():]  # starts with ",\n<next cte>" or the SELECT
+    final = (f"WITH {base} AS (SELECT id_a, id_b FROM pairs_t),\n"
+             f"edges AS (SELECT src, dst FROM edges_t){tail}")
+    needs_closure = REACH_BLOCK.search(final) is not None
+    if needs_closure:
+        final = REACH_BLOCK.sub(
+            "lab AS (SELECT id AS doc_id, r AS cluster_id FROM lab_t)",
+            final, count=1)
+    return mine, needs_closure, final
+
+
+def run_closure_labels(con, max_rounds=1000):
+    """Semi-naive min-label propagation over edges_t -> lab_t(id, r):
+    each round is one bounded join of the FRONTIER (labels that
+    improved last round) against the edge table; converged when the
+    frontier is empty. Equivalent to the recursive CTE's
+    min(reachable id) per node on the symmetric edge set."""
+    con.sql("CREATE OR REPLACE TEMP TABLE lab_t AS "
+            "SELECT src AS id, src AS r FROM edges_t GROUP BY src")
+    con.sql("CREATE OR REPLACE TEMP TABLE frontier AS "
+            "SELECT id, r FROM lab_t")
+    for _ in range(max_rounds):
+        con.sql("""CREATE OR REPLACE TEMP TABLE improved AS
+            SELECT c.id, c.mn AS r FROM (
+              SELECT e.src AS id, min(f.r) AS mn
+              FROM edges_t e JOIN frontier f ON f.id = e.dst
+              GROUP BY e.src) c
+            JOIN lab_t l ON l.id = c.id WHERE c.mn < l.r""")
+        n = con.sql("SELECT count(*) FROM improved").fetchone()[0]
+        if n == 0:
+            return
+        con.sql("""CREATE OR REPLACE TEMP TABLE lab_t AS
+            SELECT l.id, least(l.r, coalesce(i.r, l.r)) AS r
+            FROM lab_t l LEFT JOIN improved i ON i.id = l.id""")
+        con.sql("CREATE OR REPLACE TEMP TABLE frontier AS "
+                "SELECT id, r FROM improved")
+    raise RuntimeError(f"closure did not converge in {max_rounds} rounds")
 
 
 def connect(sf_dir, temp_cap_gib):
@@ -45,12 +130,24 @@ def norm(df):
     return df[sorted(df.columns)].reset_index(drop=True)
 
 
-def run_oracle(sf_dir, sql, temp_cap_gib, q):
-    """Child-process entry: evaluate one oracle, ship the frame back."""
+def run_oracle(sf_dir, sql, temp_cap_gib, q, staged=False):
+    """Child-process entry: evaluate one oracle, ship the frame back.
+    staged=True takes the semi-naive decomposition path instead of
+    handing the whole statement to DuckDB in one shot."""
     import duckdb
     try:
         con = connect(sf_dir, temp_cap_gib)
-        q.put(("ok", norm(con.sql(sql).df())))
+        if staged:
+            mine, needs_closure, final = staged_closure(sql)
+            con.sql(f"CREATE OR REPLACE TEMP TABLE pairs_t AS {mine}")
+            con.sql("CREATE OR REPLACE TEMP TABLE edges_t AS "
+                    "SELECT id_a AS src, id_b AS dst FROM pairs_t "
+                    "UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs_t")
+            if needs_closure:
+                run_closure_labels(con)
+            q.put(("ok", norm(con.sql(final).df())))
+        else:
+            q.put(("ok", norm(con.sql(sql).df())))
     except duckdb.OutOfMemoryException as e:
         # the TYPE the spill cap raises (max_temp_directory_size /
         # failed-to-offload land here), not a substring of arbitrary
@@ -61,12 +158,10 @@ def run_oracle(sf_dir, sql, temp_cap_gib, q):
         q.put(("err", f"{type(e).__name__}: {e}"))
 
 
-def oracle_df(sf_dir, sql, timeout, temp_cap_gib, shared_con):
-    """Evaluate an oracle, optionally in a killable child process."""
-    if not timeout:
-        return "ok", norm(shared_con.sql(sql).df())
+def child_eval(sf_dir, sql, timeout, temp_cap_gib, staged):
     q = mp.Queue()
-    proc = mp.Process(target=run_oracle, args=(sf_dir, sql, temp_cap_gib, q))
+    proc = mp.Process(target=run_oracle,
+                      args=(sf_dir, sql, temp_cap_gib, q, staged))
     proc.start()
     try:
         kind, payload = q.get(timeout=timeout)
@@ -76,6 +171,26 @@ def oracle_df(sf_dir, sql, timeout, temp_cap_gib, shared_con):
         proc.terminate()
         proc.join(5)
         return "timeout", None
+
+
+def oracle_df(sf_dir, sql, timeout, temp_cap_gib, shared_con,
+              iter_timeout=None):
+    """Evaluate an oracle, optionally in a killable child process.
+    When the single-shot evaluation exceeds the time/spill bound and
+    the SQL matches the closure pattern, retry on the staged
+    semi-naive path (its own, more generous timeout): the bound is a
+    property of single-shot recursive evaluation, not of the oracle's
+    semantics."""
+    if not timeout:
+        return "ok", norm(shared_con.sql(sql).df())
+    kind, payload = child_eval(sf_dir, sql, timeout, temp_cap_gib, False)
+    if kind in ("timeout", "capped") and staged_closure(sql) is not None:
+        kind2, payload2 = child_eval(sf_dir, sql, iter_timeout or timeout,
+                                     temp_cap_gib, True)
+        if kind2 == "ok":
+            return "ok_iter", payload2
+        return kind, payload  # report the original bound
+    return kind, payload
 
 
 def main():
@@ -88,6 +203,9 @@ def main():
                     help="comma-separated query-name prefixes")
     ap.add_argument("--temp-cap", type=float, default=30.0,
                     help="DuckDB spill cap in GiB (default 30)")
+    ap.add_argument("--iter-timeout", type=float, default=1800.0,
+                    help="per-oracle seconds for the staged semi-naive "
+                         "retry of closure-pattern oracles (default 1800)")
     args = ap.parse_args()
 
     import pandas as pd
@@ -112,7 +230,10 @@ def main():
             n_fail += 1
             continue
         kind, exp = oracle_df(args.sf_dir, oracle[name], args.timeout,
-                              args.temp_cap, shared_con)
+                              args.temp_cap, shared_con, args.iter_timeout)
+        iter_note = ""
+        if kind == "ok_iter":
+            kind, iter_note = "ok", " [staged semi-naive oracle]"
         if kind == "timeout":
             print(f"TIMEOUT {name}: oracle exceeded {args.timeout}s "
                   "(oracle-side bound, engine result was produced)",
@@ -160,7 +281,7 @@ def main():
             print(f"FAIL {name}: " + "; ".join(bad[:3]), flush=True)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)", flush=True)
+            print(f"PASS {name} ({len(got)} rows){iter_note}", flush=True)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_timeout} timeout")
     # distinct exit codes so sweeps can't read a bounded run as fully
