@@ -105,53 +105,24 @@ object VectorIndex {
     * with ingest at bucket granularity). StreamingSpec drives probe /
     * append / probe through both phases and pins result equality. */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20): Int = {
-    val snap = compactWrite(spark, path, targetBytes)
-    compactCommit(spark, path, snap)
-    snap.size
-  }
+      targetBytes: Long = 128L << 20): Int =
+    Compaction.compact(spark, s"$path/assignments",
+      partitionPrefix = Some("cent_id="), targetBytes = targetBytes)
 
   /** Phase 1: returns the snapshot of replaced file paths (input to
     * [[compactCommit]]). Exposed for the mid-compaction test; callers
-    * use [[compact]]. */
+    * use [[compact]]. Delegates to the factored two-phase compactor
+    * ([[Compaction]] — same mechanics now shared with the CDC and
+    * pair-table maintenance). */
   private[graft] def compactWrite(spark: SparkSession, path: String,
-      targetBytes: Long): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val assignDir = new Path(s"$path/assignments")
-    val fs = assignDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val replaced = Seq.newBuilder[String]
-    fs.listStatus(assignDir).iterator
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cent_id="))
-      .foreach { d =>
-        val files = fs.listStatus(d.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        val nOut = math.max(1L,
-          (files.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
-        if (files.length > nOut) {
-          val df = spark.read.parquet(files.map(_.getPath.toString): _*)
-          val tmp = new Path(assignDir, s".compact-${d.getPath.getName}")
-          df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
-          fs.listStatus(tmp)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (f, i) =>
-              fs.rename(f.getPath,
-                new Path(d.getPath, s"compact-${System.nanoTime()}-$i.parquet"))
-            }
-          fs.delete(tmp, true)
-          files.foreach(f => replaced += f.getPath.toString)
-        }
-      }
-    replaced.result()
-  }
+      targetBytes: Long): Seq[String] =
+    Compaction.compactWrite(spark, s"$path/assignments",
+      Some("cent_id="), targetBytes)
 
   /** Phase 2: drop exactly the snapshot files phase 1 replaced. */
   private[graft] def compactCommit(spark: SparkSession, path: String,
-      snapshot: Seq[String]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(s"$path/assignments")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snapshot.foreach(p => fs.delete(new Path(p), false))
-  }
+      snapshot: Seq[String]): Unit =
+    Compaction.compactCommit(spark, s"$path/assignments", snapshot)
 
   /** Load a saved index. Partition-column type inference may narrow
     * `cent_id` to int; restore long so probe joins stay cast-free. */

@@ -46,7 +46,7 @@ object CdcStream {
     else None
   }
 
-  private def writePointer(tablePath: String, id: Long): Unit = {
+  private[streaming] def writePointer(tablePath: String, id: Long): Unit = {
     val tmp = Paths.get(tablePath, s"_latest.tmp$id")
     Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(tablePath),
@@ -78,7 +78,13 @@ object CdcStream {
           throw new IllegalStateException(
             s"CdcStream table $tablePath not initialized — call init()"))
         if (applied < id) {
+          // dropDuplicates is a NO-OP on a version's rows (one row per
+          // key by construction) except inside [[compactCurrent]]'s
+          // write→commit window, where each snapshot row is visible
+          // twice — the tolerance that makes two-phase compaction of
+          // the current version safe under live maintenance
           val prev = spark.read.parquet(s"$tablePath/v$applied")
+            .dropDuplicates()
           Cdc.applyChangesetVersioned(prev, batch.toDF(), key, seqCol,
               opCol)
             .write.mode("overwrite").parquet(s"$tablePath/v$id")
@@ -88,11 +94,34 @@ object CdcStream {
     }
   }
 
-  /** The live merged snapshot as of the latest committed version. */
+  /** The live merged snapshot as of the latest committed version.
+    * Reads through `dropDuplicates` — see the note in [[maintain]]:
+    * a no-op except mid-compaction, where it absorbs the
+    * double-visibility window. */
   def readSnapshot(spark: SparkSession, tablePath: String,
       seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     val v = latestVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"$tablePath not initialized"))
-    Cdc.snapshotOf(spark.read.parquet(s"$tablePath/v$v"), seqCol, opCol)
+    Cdc.snapshotOf(spark.read.parquet(s"$tablePath/v$v").dropDuplicates(),
+      seqCol, opCol)
+  }
+
+  /** Two-phase online compaction of the CURRENT version directory
+    * (the [[graft.operators.Compaction]] pattern, proven on the
+    * vector index): every versioned merge write leaves one file per
+    * shuffle partition, so a long-running maintenance stream hands
+    * its readers dozens of small files per snapshot scan. Safe under
+    * concurrent maintenance and reads — a concurrent batch writes a
+    * NEW version dir (never this one), and both [[maintain]] and
+    * [[readSnapshot]] dedup the double-visibility window away. A
+    * version superseded mid-compaction wastes the work but breaks
+    * nothing (the old dir is simply no longer read). Returns the
+    * number of files replaced. */
+  def compactCurrent(spark: SparkSession, tablePath: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val v = latestVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"$tablePath not initialized"))
+    graft.operators.Compaction.compact(spark, s"$tablePath/v$v",
+      partitionPrefix = None, targetBytes = targetBytes)
   }
 }

@@ -1499,6 +1499,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("CdcStream two-phase compaction of the current version: snapshot " +
+      "unchanged mid-window, a maintenance batch applies OVER the " +
+      "doubled version between the phases, commit deletes exactly the " +
+      "snapshot") {
+    implicit val ctx = spark.sqlContext
+    val (base0, b1, b2) = cdcFixture()
+    // wide init so the current version genuinely has files to merge
+    val base = base0.repartition(4)
+    val baseSet = asSet(base)
+    val tableDir = GraftTestSpark.tmpDir("graft-cdc-compact")
+    val chk = GraftTestSpark.tmpDir("graft-cdc-compact-chk")
+    graft.streaming.CdcStream.init(base, tableDir)
+    val input =
+      MemoryStream[(Long, Long, String, String, String, String, Long)]
+    val q = graft.streaming.CdcStream.maintain(
+        input.toDF().toDF("doc_id", "seq", "op", "text", "lang",
+          "source", "n_chars"),
+        tableDir, "doc_id")
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      def snapNow() = asSet(
+        graft.streaming.CdcStream.readSnapshot(spark, tableDir))
+      assert(snapNow() === baseSet)
+      val v = graft.streaming.CdcStream.latestVersion(tableDir).get
+      // phase 1: compacted copy lands next to the snapshot files —
+      // every row of the current version is now visible TWICE
+      val snapshot = graft.operators.Compaction.compactWrite(
+        spark, s"$tableDir/v$v", None, 128L << 20)
+      assert(snapshot.size >= 2, "fixture must actually consolidate files")
+      assert(snapNow() === baseSet,
+        "readSnapshot must absorb the double-visibility window")
+      // a maintenance batch applies BETWEEN the phases: maintain reads
+      // the doubled version as its previous state and must converge
+      input.addData(b1); q.processAllAvailable()
+      val expected1 = asSet(graft.operators.Cdc.applyChangeset(
+        base, b1.toDF("doc_id", "seq", "op", "text", "lang", "source",
+          "n_chars"), "doc_id"))
+      assert(snapNow() === expected1,
+        "a merge over the mid-compaction doubled version must be exact")
+      // phase 2: the old version's snapshot files drop; current
+      // version (v after b1) is untouched
+      graft.operators.Compaction.compactCommit(
+        spark, s"$tableDir/v$v", snapshot)
+      input.addData(b2); q.processAllAvailable()
+      val expectedAll = asSet(graft.operators.Cdc.applyChangeset(
+        base, (b1 ++ b2).toDF("doc_id", "seq", "op", "text", "lang",
+          "source", "n_chars"), "doc_id"))
+      assert(snapNow() === expectedAll)
+      // the committed version dir now holds ONLY compacted files
+      val left = new java.io.File(s"$tableDir/v$v").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+      assert(left.nonEmpty && left.forall(_.startsWith("compact-")),
+        s"v$v after commit: $left")
+    } finally q.stop()
+  }
+
+  test("PairTableStream: durable bucketed maintenance equals the full " +
+      "mine; per-bucket two-phase compaction is safe with a micro-batch " +
+      "landing between the phases") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.PairTableStream
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val (part1, rest) = rows.partition(_._1 % 3 == 0)
+    val (part2, part3) = rest.partition(_._1 % 3 == 1)
+    val tableDir = GraftTestSpark.tmpDir("graft-ptbl")
+    val chk = GraftTestSpark.tmpDir("graft-ptbl-chk")
+    def fullMine(sub: Seq[(Long, String)]): Set[(Long, Long, Long, Double)] =
+      GraftTestSpark.withCaches {
+        graft.operators.Dedup.jaccardPairs(sub.toDF("doc_id", "text"),
+            "doc_id", "text", graft.operators.PairTable.ShingleN,
+            graft.operators.PairTable.Threshold)
+          .select($"id_a", $"id_b", $"shared", $"jaccard")
+          .as[(Long, Long, Long, Double)].collect().toSet
+      }
+    def got(): Set[(Long, Long, Long, Double)] =
+      PairTableStream.read(spark, tableDir)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = PairTableStream.maintain(
+        input.toDF().toDF("doc_id", "text"), tableDir)
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      input.addData(part1); q.processAllAvailable()
+      input.addData(part2); q.processAllAvailable()
+      val exp12 = fullMine(part1 ++ part2)
+      assert(exp12.nonEmpty, "fixture must mine pairs")
+      assert(got() === exp12,
+        "maintained table must equal the from-scratch mine")
+      val v = graft.streaming.CdcStream.latestVersion(tableDir).get
+      // phase 1, per-bucket units: doubled pairs inside the window
+      val snapshot = graft.operators.Compaction.compactWrite(
+        spark, s"$tableDir/v$v", Some("bucket="), 128L << 20)
+      assert(snapshot.size >= 2, "fixture must actually consolidate files")
+      assert(got() === exp12,
+        "the (id_a, id_b) dedup must absorb the double-visibility window")
+      // a micro-batch lands between the phases -> NEW version; the
+      // commit of the old version's snapshot must not disturb it
+      input.addData(part3); q.processAllAvailable()
+      val expAll = fullMine(rows)
+      assert(got() === expAll,
+        "post-batch table must equal the full mine over all docs")
+      graft.operators.Compaction.compactCommit(
+        spark, s"$tableDir/v$v", snapshot)
+      assert(got() === expAll, "commit must be invisible to readers")
+    } finally q.stop()
+  }
+
   test("S1 builder chain end-to-end: graft-kafka-test DSv2 source honors " +
       "subscribe / startingOffsets / maxOffsetsPerTrigger") {
     import org.apache.spark.sql.streaming.Trigger
