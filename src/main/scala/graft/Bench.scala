@@ -192,6 +192,17 @@ object Bench {
     * signal in "value" can be read as value − replay_total. */
   private[graft] val ReplayClass = Set("q52", "q73", "q105", "q132")
 
+  /** Iterative-algorithm query class: keyed fixpoints (CC/PageRank/
+    * label-prop/k-core), greedy sequential selection, and the
+    * triple-mining recall audit. Their cost is ALGORITHM-priced
+    * (rounds × keyed shuffles — q93-class re-mines then iterates;
+    * q190 is inherently sequential greedy; q192 runs three minings by
+    * design), not single-plan execution, so like the replay class
+    * they get their own subtotal: the relational signal of a run is
+    * value − replay_total − iter_total. */
+  private[graft] val IterClass = Set("q81", "q91", "q92", "q93",
+    "q118", "q171", "q190", "q191", "q192")
+
   /** FNV-1a 32-bit over the comma-joined query names: lets a reader
     * of the compact positional regime confirm the name list they
     * decode against (sorted catalog order, BASELINE.md) is the one
@@ -240,13 +251,16 @@ object Bench {
       else if (results.exists { case (name, _, ok) => inSubset(name) && !ok })
         -1.0
       else results.collect { case (name, v, true) if inSubset(name) => v }.sum
-    // replay-class subtotal, same fail-closed/-not-measured contract
-    def inReplay(name: String): Boolean = ReplayClass.contains(short(name))
-    val replayTotal =
-      if (!results.exists { case (name, _, _) => inReplay(name) }) -1.0
-      else if (results.exists { case (name, _, ok) => inReplay(name) && !ok })
+    // class subtotals, same fail-closed/-not-measured contract
+    def classTotal(cls: Set[String]): Double = {
+      def in(name: String): Boolean = cls.contains(short(name))
+      if (!results.exists { case (name, _, _) => in(name) }) -1.0
+      else if (results.exists { case (name, _, ok) => in(name) && !ok })
         -1.0
-      else results.collect { case (name, v, true) if inReplay(name) => v }.sum
+      else results.collect { case (name, v, true) if in(name) => v }.sum
+    }
+    val replayTotal = classTotal(ReplayClass)
+    val iterTotal = classTotal(IterClass)
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     // the one interpolated free string: escape it, or a path with a
     // quote/backslash yields invalid JSON past every structural guard
@@ -259,7 +273,7 @@ object Bench {
         if (mn > 0) mx / mn else -1.0)},"reruns":$rr}"""
     }.getOrElse("")
     def line(queries: String, failedField: String): String =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"subset43":${ms(subset43)},"replay_total":${ms(replayTotal)},"sf":"$sfJson","n":$n,"failed":$failedField$calibJson}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$queries,"subset43":${ms(subset43)},"replay_total":${ms(replayTotal)},"iter_total":${ms(iterTotal)},"sf":"$sfJson","n":$n,"failed":$failedField$calibJson}"""
     // degradation ladder: full name-keyed map → compact positional
     // map → failed list to a count (map kept) → no map at all. Each
     // step keeps the line parseable and the headline fields intact.

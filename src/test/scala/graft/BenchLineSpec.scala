@@ -111,6 +111,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(om.readTree(noneLine).get("replay_total").asDouble() === -1.0)
   }
 
+  test("iter_total: the iterative-algorithm class gets its own subtotal " +
+      "(same fail-closed/not-measured contract as replay_total)") {
+    val line = Bench.jsonLine(Seq(
+      ("q93_pagerank", 5.0, true),
+      ("q190_greedy_coverage", 4.5, true),
+      ("q192_mining_recall", 5.5, true),
+      ("q01_pricing_summary", 1.0, true)), "/sf", 3)
+    val j = om.readTree(line)
+    assert(j.get("iter_total").asDouble() === 15.0)
+    assert(j.get("value").asDouble() === 16.0) // iter stays in total
+    assert(j.get("replay_total").asDouble() === -1.0)
+    // fail-closed
+    val failedLine = Bench.jsonLine(Seq(
+      ("q93_pagerank", 5.0, false),
+      ("q171_kcore", 3.0, true)), "/sf", 3)
+    assert(om.readTree(failedLine).get("iter_total").asDouble() === -1.0)
+    // not-measured
+    val noneLine = Bench.jsonLine(Seq(("q01_x", 1.0, true)), "/sf", 3)
+    assert(om.readTree(noneLine).get("iter_total").asDouble() === -1.0)
+    // the full nine-query class membership is the documented one
+    assert(Bench.IterClass === Set("q81", "q91", "q92", "q93", "q118",
+      "q171", "q190", "q191", "q192"))
+  }
+
   test("no subset queries ran: subset43 is -1 (not measured), never 0.000") {
     val line = Bench.jsonLine(Seq(("q99_only_new", 2.0, true)), "/sf", 1)
     assert(om.readTree(line).get("subset43").asDouble() === -1.0)
