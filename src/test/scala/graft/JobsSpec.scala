@@ -220,9 +220,10 @@ class JobsSpec extends AnyFunSuite {
   }
 
   test("K7 live topology through the DSv2 kafka-contract source: every " +
-      "job topology concurrently (7 queries / 7 sinks, per-query " +
-      "checkpoints), graceful stop mid-stream, restart over data that " +
-      "landed while down, exactly-once across every sink") {
+      "job topology concurrently (8 queries / 8 sinks incl. the index " +
+      "fan-out, per-query checkpoints), graceful stop mid-stream, " +
+      "restart over data that landed while down, exactly-once across " +
+      "every sink") {
     import graft.streaming.{GraftKafkaTestSource, KafkaSource}
     GraftKafkaTestSource.clear()
     val dir = GraftTestSpark.tmpDir("graftk7")
@@ -240,11 +241,30 @@ class JobsSpec extends AnyFunSuite {
       KafkaSource.stream(spark, "test:9092", Seq("k7tw"),
         startingOffsets = "earliest", maxOffsetsPerTrigger = Some(2L),
         format = "graft-kafka-test")
+    // the reference topology's remaining sink class: alerts ALSO index
+    // into the document store (K3/K4, executor-side FileIndexSink) —
+    // at-least-once under retries, so its assertion dedups by content
+    import graft.streaming.Sinks
+    new Sinks.FileIndexSink(s"$dir/idx").ensureIndex("alerts",
+      Map("ts" -> "date", "user_id" -> "long", "alert_type" -> "keyword"))
+    def startIndexFanout(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val src = StreamOps.watermarked(evSrc())
+      StreamOps.alertUnion(Seq(
+          StreamOps.highFrequencyAlerts(src),
+          StreamOps.highValueAlerts(src),
+          StreamOps.errorAlerts(src)))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/chk/idx")
+        .foreachBatch(Sinks.indexSinkPartitions(
+          () => new Sinks.FileIndexSink(s"$dir/idx"), "alerts"))
+        .start()
+    }
     def startAll(): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
       StreamingJobs.startDetection(spark, evSrc _, s"$dir/det", "1 seconds") ++
         StreamingJobs.startTweetPipelines(spark, twSrc _, s"$dir/tw", "1 seconds") ++
         StreamingJobs.startSessions(spark, evSrc(), s"$dir/s", "1 seconds") ++
-        StreamingJobs.startDedup(spark, evSrc(), s"$dir/d", "1 seconds")
+        StreamingJobs.startDedup(spark, evSrc(), s"$dir/d", "1 seconds") :+
+        startIndexFanout()
 
     // phase A lands BEFORE any query exists: earliest must backfill it
     pub("k7ev", json(1, "2024-01-01 10:00:05", 7, "view", 1.0))
@@ -259,7 +279,7 @@ class JobsSpec extends AnyFunSuite {
     pub("k7tw", tweet("vipuser", "2024-01-01 10:00:35", 100, 60000, retweet = false, "slow"))
 
     val qs1 = startAll()
-    assert(qs1.size === 7)
+    assert(qs1.size === 8)
     try {
       qs1.foreach(_.processAllAvailable())
       // phase B mid-stream: one more error, plus a duplicated
@@ -290,9 +310,18 @@ class JobsSpec extends AnyFunSuite {
       pub("k7ev", json(11, "2024-01-01 13:00:00", 9, "view", 1.0))
       qs2.foreach(_.processAllAvailable())
       // append-mode emissions can ride asynchronous no-data batches
+      def idxDistinct(): Int = {
+        val d = new java.io.File(s"$dir/idx/alerts")
+        if (!d.exists) 0
+        else d.listFiles().filter(_.getName.endsWith(".jsonl"))
+          .flatMap(f =>
+            scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+          .distinct.length
+      }
       def ready(): Boolean = scala.util.Try {
         spark.read.parquet(s"$dir/det/alerts").count() == 6L &&
           spark.read.parquet(s"$dir/s/sessions").count() == 6L &&
+          idxDistinct() == 6 &&
           spark.read.parquet(s"$dir/tw/bot_metrics")
             .where($"alert_type" === "HIGH_FREQUENCY_POSTING")
             .agg(sum($"total_alerts")).head().getLong(0) == 5L
@@ -326,10 +355,21 @@ class JobsSpec extends AnyFunSuite {
     val sent = spark.read.parquet(s"$dir/tw/sentiment")
     val types = sent.select($"sentiment_type").as[String].collect().toSet
     assert(types.contains("positive") && types.contains("negative"))
+    // index fan-out: at-least-once JSONL docs — distinct content must
+    // be exactly the 6 alerts; the K4 mapping bootstrap file exists
+    val idxDir = new java.io.File(s"$dir/idx/alerts")
+    assert(new java.io.File(idxDir, "_mapping.json").exists)
+    val idxLines = idxDir.listFiles()
+      .filter(_.getName.endsWith(".jsonl"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+      .toSeq
+    assert(idxLines.nonEmpty)
+    assert(idxLines.distinct.size === 6,
+      s"indexed alert docs: ${idxLines.distinct.size}")
     // per-query checkpoints (T11): one offsets log per sink
     for (p <- Seq("det/chk/alerts", "det/chk/metrics", "tw/chk/bot_metrics",
         "tw/chk/viral_vip", "tw/chk/sentiment", "s/chk/sessions",
-        "d/chk/deduped")) {
+        "d/chk/deduped", "chk/idx")) {
       assert(new java.io.File(s"$dir/$p/offsets").exists, p)
     }
   }
