@@ -109,6 +109,23 @@ object PairTableStream {
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
   }
 
+  /** Bucket-pruned lookup of one document's pairs — the serving-path
+    * read that makes the bucketed layout pay: the `bucket` partition
+    * predicate prunes the scan to ONE `bucket=N` directory
+    * (PartitionFilters, asserted in StreamingSpec), so a keyed lookup
+    * opens 1/NBuckets of the table's files regardless of table size.
+    * Same (id_a, id_b) dedup tolerance as [[read]]. */
+  def readForKey(spark: SparkSession, tablePath: String, idA: Long)
+      : DataFrame = {
+    val v = CdcStream.latestVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"$tablePath not initialized"))
+    spark.read.parquet(s"$tablePath/v$v")
+      .where(col("bucket") === ((idA % NBuckets) + NBuckets) % NBuckets)
+      .where(col("id_a") === idA)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+  }
+
   /** Two-phase per-bucket compaction of the current version — each
     * `bucket=N` dir is an independent [[Compaction]] unit. Safe under
     * concurrent maintenance ([[maintain]] writes NEW version dirs)

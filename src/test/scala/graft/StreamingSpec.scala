@@ -1607,6 +1607,17 @@ class StreamingSpec extends AnyFunSuite {
       graft.operators.Compaction.compactCommit(
         spark, s"$tableDir/v$v", snapshot)
       assert(got() === expAll, "commit must be invisible to readers")
+      // serving-path lookup: the bucket predicate must PRUNE the scan
+      // (PartitionFilters) and return exactly the key's pairs
+      val someKey = expAll.head._1
+      val keyed = PairTableStream.readForKey(spark, tableDir, someKey)
+      val plan = keyed.queryExecution.executedPlan.toString
+      val partFilters = "PartitionFilters: \\[[^\\]]*\\]".r
+        .findAllIn(plan).toSeq
+      assert(partFilters.exists(_.contains("bucket")),
+        s"bucket predicate must reach PartitionFilters: $partFilters")
+      assert(keyed.as[(Long, Long, Long, Double)].collect().toSet ===
+        expAll.filter(_._1 == someKey))
     } finally q.stop()
   }
 
