@@ -24,9 +24,10 @@ import graft.operators.Cdc
   *  - out-of-order tolerant: state carries per-key seq + tombstones
   *    ([[Cdc.applyChangesetVersioned]]), so batches may arrive in any
   *    order and still converge to the same snapshot;
-  *  - versions accumulate like any copy-on-write format; a retention
-  *    sweep (delete version dirs below the pointer) is the caller's
-  *    vacuum policy, not done here.
+  *  - versions accumulate like any copy-on-write format; [[vacuum]]
+  *    is the retention sweep (keep the newest N dirs, delete the
+  *    rest), and [[compactCurrent]] consolidates the current
+  *    version's files in place.
   *
   * Scale shape: each version write rewrites only what a 100 TB table
   * format would — here the whole (partition-less) table, in a real
@@ -104,6 +105,33 @@ object CdcStream {
       throw new IllegalStateException(s"$tablePath not initialized"))
     Cdc.snapshotOf(spark.read.parquet(s"$tablePath/v$v").dropDuplicates(),
       seqCol, opCol)
+  }
+
+  /** Retention sweep: delete version directories strictly below the
+    * committed pointer, keeping the newest `keepVersions` dirs in
+    * total (the current one included) for readers that resolved the
+    * pointer just before a swing — the standard copy-on-write
+    * retention contract (a reader may lag at most `keepVersions - 1`
+    * version swings; size retention to the deployment's maximum read
+    * duration, exactly like a table format's vacuum horizon).
+    * Returns the number of version dirs removed. */
+  def vacuum(spark: SparkSession, tablePath: String,
+      keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val current = latestVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"$tablePath not initialized"))
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
+      .flatMap(d => scala.util.Try(
+        d.getPath.getName.stripPrefix("v").toLong).toOption.map(
+        _ -> d.getPath))
+      .filter(_._1 <= current)
+      .sortBy(_._1)
+    val drop = versions.dropRight(keepVersions)
+    drop.foreach { case (_, p) => fs.delete(p, true) }
+    drop.size
   }
 
   /** Two-phase online compaction of the CURRENT version directory

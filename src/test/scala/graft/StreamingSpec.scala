@@ -1556,6 +1556,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CdcStream vacuum: retention keeps the newest N version dirs, " +
+      "the live snapshot is untouched, and maintenance continues") {
+    implicit val ctx = spark.sqlContext
+    val (base, b1, b2) = cdcFixture()
+    val tableDir = GraftTestSpark.tmpDir("graft-cdc-vacuum")
+    val chk = GraftTestSpark.tmpDir("graft-cdc-vacuum-chk")
+    graft.streaming.CdcStream.init(base, tableDir)
+    val input =
+      MemoryStream[(Long, Long, String, String, String, String, Long)]
+    val q = graft.streaming.CdcStream.maintain(
+        input.toDF().toDF("doc_id", "seq", "op", "text", "lang",
+          "source", "n_chars"),
+        tableDir, "doc_id")
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      def versionDirs(): Seq[String] = new java.io.File(tableDir)
+        .listFiles().filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName).toSeq.sorted
+      assert(versionDirs().size === 2) // v-1 (init) + the b1 version
+      val removed = graft.streaming.CdcStream.vacuum(spark, tableDir, 1)
+      assert(removed === 1)
+      assert(versionDirs().size === 1, "only the current version remains")
+      val expected1 = asSet(graft.operators.Cdc.applyChangeset(
+        base, b1.toDF("doc_id", "seq", "op", "text", "lang", "source",
+          "n_chars"), "doc_id"))
+      assert(asSet(graft.streaming.CdcStream.readSnapshot(spark, tableDir))
+        === expected1, "vacuum must not touch the live snapshot")
+      // maintenance continues over the vacuumed table
+      input.addData(b2); q.processAllAvailable()
+      val expectedAll = asSet(graft.operators.Cdc.applyChangeset(
+        base, (b1 ++ b2).toDF("doc_id", "seq", "op", "text", "lang",
+          "source", "n_chars"), "doc_id"))
+      assert(asSet(graft.streaming.CdcStream.readSnapshot(spark, tableDir))
+        === expectedAll)
+    } finally q.stop()
+  }
+
   test("PairTableStream: durable bucketed maintenance equals the full " +
       "mine; per-bucket two-phase compaction is safe with a micro-batch " +
       "landing between the phases") {
