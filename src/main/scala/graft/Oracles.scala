@@ -3068,6 +3068,87 @@ object Oracles {
          |  AS BIGINT) AS err_bp
          |FROM s ORDER BY source""".stripMargin,
 
+    // q212: q160's BM25 CTEs (k = 10) + q25's cosine shape (queries =
+    // vec_id 1..5), fused on the 1e12 integer reciprocal grid — the
+    // rrf sum is BIGINT arithmetic in both engines.
+    "q212_hybrid_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |post AS (SELECT term, doc_id, count(*) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS total_len FROM lens),
+         |qs AS (SELECT * FROM (VALUES (1, 'hash join'),
+         |  (2, 'window agg sort'), (3, 'spark stream batch'),
+         |  (4, 'vector query'), (5, 'slow scan filter'))
+         |  AS t(query_id, qtext)),
+         |qt AS (SELECT query_id, unnest(list_filter(
+         |  string_split_regex(lower(trim(qtext)), '\\s+'),
+         |  x -> length(x) > 0)) AS term FROM qs),
+         |sc AS (SELECT q.query_id, p.doc_id,
+         |  ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0)) AS idf,
+         |  p.tf * 2.2e0 / (p.tf + 1.2e0 * (0.25e0
+         |    + 0.75e0 * l.len * s.n_docs / s.total_len)) AS sat
+         |  FROM post p JOIN qt q ON q.term = p.term
+         |  JOIN dft d ON d.term = p.term
+         |  JOIN lens l ON l.doc_id = p.doc_id
+         |  CROSS JOIN stats s),
+         |agg AS (SELECT query_id, doc_id,
+         |  CAST(sum(CAST(round(idf * sat * 1000000.0e0) AS BIGINT))
+         |    AS BIGINT) AS score_fp
+         |  FROM sc GROUP BY 1, 2),
+         |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  lex_rank FROM (SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id)
+         |    AS lex_rank FROM agg) WHERE lex_rank <= 10),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |qv AS (SELECT * FROM v WHERE vec_id BETWEEN 1 AND 5),
+         |sm AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |  round(list_dot_product(q.e, c.e)
+         |    /(sqrt(list_dot_product(q.e, q.e))
+         |      *sqrt(list_dot_product(c.e, c.e))), 4) AS sim
+         |  FROM qv q CROSS JOIN v c WHERE q.vec_id <> c.vec_id),
+         |sem AS (SELECT query_id, doc_id, sem_rank FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, doc_id)
+         |    AS sem_rank FROM sm) WHERE sem_rank <= 10),
+         |fused AS (SELECT coalesce(l.query_id, m.query_id) AS query_id,
+         |  coalesce(l.doc_id, m.doc_id) AS doc_id,
+         |  l.lex_rank, m.sem_rank,
+         |  coalesce(1000000000000 // (60 + l.lex_rank), 0)
+         |    + coalesce(1000000000000 // (60 + m.sem_rank), 0) AS rrf_fp
+         |  FROM lex l FULL OUTER JOIN sem m
+         |    ON l.query_id = m.query_id AND l.doc_id = m.doc_id)
+         |SELECT query_id, "rank", doc_id, lex_rank, sem_rank, rrf_fp
+         |FROM (SELECT query_id, doc_id, lex_rank, sem_rank, rrf_fp,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_fp DESC, doc_id) AS "rank" FROM fused)
+         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // q213: the pair-closure CTEs label near-dup groups; q59's
+    // md5-bucket split keyed on the group representative; leaked_pairs
+    // recomputed from the closure's own jp set (structurally 0).
+    "q213_leakproof_split" ->
+      s"""${PAIR_CLOSURE_CTES},
+         |rp AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS ws,
+         |  coalesce(l.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |asg AS (SELECT doc_id, ws, rep,
+         |  CASE WHEN substr(md5('split-seed|' || CAST(rep AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
+         |       WHEN substr(md5('split-seed|' || CAST(rep AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
+         |       ELSE 'test' END AS split FROM rp),
+         |lk AS (SELECT count(*) AS leaked_pairs FROM jp j
+         |  JOIN asg a ON j.id_a = a.doc_id
+         |  JOIN asg b ON j.id_b = b.doc_id
+         |  WHERE a.split <> b.split)
+         |SELECT split, count(*) AS n_docs,
+         |count(DISTINCT rep) AS n_groups,
+         |CAST(sum(ws) AS BIGINT) AS n_tokens,
+         |(SELECT leaked_pairs FROM lk) AS leaked_pairs
+         |FROM asg GROUP BY split ORDER BY split""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

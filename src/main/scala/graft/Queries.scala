@@ -5759,6 +5759,96 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Hybrid retrieval fusion: the q160 BM25 lexical list and a
+    * brute-force cosine semantic list (query vector = the embedding
+    * whose vec_id equals the query_id — the tables share the doc_id
+    * domain) fused by reciprocal-rank fusion, the standard
+    * score-free combiner (Cormack et al., SIGIR 2009):
+    * rrf = Σ_lists 1/(60 + rank). Exactness: each reciprocal rides
+    * the 1e12 integer grid via `div` (1e12 div 61 is the same BIGINT
+    * in any engine), so fusion never sums floats. Plan shape: the
+    * lexical side is q160's keyed postings aggs with the query
+    * workload broadcast; the semantic side broadcasts FIVE query
+    * vectors against one corpus pass (the IVF twin q41 is the
+    * serving path when the query set grows); fusion is a full-outer
+    * join of two k-row lists per query — constant work per query.
+    * At 100 TB each side's top-k is per-query-partitioned, so fusion
+    * never sees corpus-sized input. */
+  def q212HybridFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Relevance, Similarity}
+    val (post, lens) = Relevance.bm25Postings(
+      t(spark, dir).documents, "doc_id", "text")
+    val qs = Seq(
+      (1L, "hash join"), (2L, "window agg sort"),
+      (3L, "spark stream batch"), (4L, "vector query"),
+      (5L, "slow scan filter")).toDF("query_id", "qtext")
+    val lex = Relevance.bm25TopK(post, lens, qs, k = 10)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("lex_rank"))
+    val emb = t(spark, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sem = Similarity.bruteForceTopK(
+        emb.where(col("id").between(1, 5)), emb, k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        coalesce(expr("1000000000000 div (60 + lex_rank)"), lit(0L))
+          + coalesce(expr("1000000000000 div (60 + sem_rank)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("sem_rank"), col("rrf_fp"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Leakage-proof train/val/test split: q59's md5-bucket assignment
+    * keyed on the doc's NEAR-DUP GROUP representative instead of the
+    * doc itself — every member of a connected near-dup cluster (the
+    * materialized pair table's components; singletons represent
+    * themselves) lands in the same split BY CONSTRUCTION, so no
+    * near-duplicate pair can straddle train and eval (the classic
+    * contamination-by-split bug a doc-keyed hash cannot prevent).
+    * The output carries the proof: `leaked_pairs` counts mined pairs
+    * whose endpoints disagree on split — structurally zero, and the
+    * oracle recomputes it from its own closure. Plan shape: one
+    * pair-table read + CC labels (keyed fixpoint), one broadcast-size
+    * label join-back, one grouped rollup; the 1-row leak count
+    * attaches by broadcast. */
+  def q213LeakproofSplit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.PairTable.pairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val asg = t(spark, dir).documents
+      .select(col("doc_id"), wordCount(col("text")).cast("long").as("ws"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", substring(
+        md5(concat_ws("|", lit("split-seed"), col("rep"))), 1, 2))
+      .withColumn("split", when(col("bucket") < "f0", "train")
+        .when(col("bucket") < "f8", "val")
+        .otherwise("test"))
+    val leaked = pairs
+      .join(asg.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(asg.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    asg.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum(col("ws")).as("n_tokens"))
+      .crossJoin(broadcast(leaked))
+      .select(col("split"), col("n_docs"), col("n_groups"),
+        col("n_tokens"), col("leaked_pairs"))
+      .orderBy(col("split"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5972,5 +6062,7 @@ object Queries {
     "q208_snapshot_diff" -> (q208SnapshotDiff _),
     "q209_incident_impact" -> (q209IncidentImpact _),
     "q210_weighted_quality" -> (q210WeightedQuality _),
-    "q211_priority_sample" -> (q211PrioritySample _))
+    "q211_priority_sample" -> (q211PrioritySample _),
+    "q212_hybrid_fusion" -> (q212HybridFusion _),
+    "q213_leakproof_split" -> (q213LeakproofSplit _))
 }

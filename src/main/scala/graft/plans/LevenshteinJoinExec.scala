@@ -227,8 +227,7 @@ case class LevenshteinSegmentJoinExec(
     // partition), while the pair stage stays <= 200 partitions for
     // the buffer-free bypass shuffle write
     val inParts = math.max(lIdx.getNumPartitions, rIdx.getNumPartitions)
-    val cogroupWidth = math.max(nPart, math.min(nPart * 8, inParts * 4))
-    val pairWidth = math.min(200, cogroupWidth)
+    val capWidth = math.max(nPart, math.min(nPart * 8, inParts * 4))
 
     // ---- segment-df regime choice (multi-segment PassJoin) ----
     // The baseline m = k+1 segmentation degrades to n² candidates on
@@ -255,6 +254,24 @@ case class LevenshteinSegmentJoinExec(
     val nEst = math.max(1L, sum0 / m0)
     val hotBound = math.max(256L, 8L * math.round(math.sqrt(nEst.toDouble)))
 
+    // Volume-aware widths: the df pass measured the TRUE posting
+    // volume before any wide shuffle runs, so widths derive from it
+    // instead of the input partition count alone (which over-widths
+    // small inputs into empty-task scheduling — 128 near-empty tasks
+    // per stage for a 20k-key soak input). The cogroup targets ~125k
+    // left-posting keys per partition (its read-side map holds every
+    // distinct key of a partition; the probe side adds the same-order
+    // (2k+1)-window expansion), floored at the session width and
+    // capped by the jaccard exec's input-derived policy so a 100 TB
+    // input still widens with its data.
+    val volWidth = (sum0 / 125000L + 1L).toInt
+    val cogroupWidth = math.min(capWidth, math.max(nPart, volWidth))
+    val pairWidth = math.min(200, cogroupWidth)
+    // the stats/selection shuffles carry one (key, id) pair per
+    // posting key — narrower still (~2M pairs per partition)
+    val statsWidth = math.max(8L,
+      math.min(cogroupWidth.toLong, sum0 / 2000000L + 1L)).toInt
+
     var lPost: RDD[(Long, Long)] = keys0
     var probeM = m0
     if (max0 > hotBound) {
@@ -263,19 +280,24 @@ case class LevenshteinSegmentJoinExec(
       while (selMax > hotBound && m < 16 * m0) {
         m *= 2
         val keysM = keyed(lIdx, lTextE, lOut, kk, m, probe = false)
-        val dfM = keysM.mapValues(_ => 1L).reduceByKey(_ + _)
+        val dfM = keysM.mapValues(_ => 1L).reduceByKey(_ + _, statsWidth)
         // per-row k+1 lowest-df segment keys, ties by key — a bounded
         // m-entry list per row, deterministic under any merge order
-        val selected = keysM.join(dfM, cogroupWidth)
+        val selected = keysM.join(dfM, statsWidth)
           .map { case (key, (lid, df)) => (lid, (df, key)) }
-          .aggregateByKey(List.empty[(Long, Long)], cogroupWidth)(
+          .aggregateByKey(List.empty[(Long, Long)], statsWidth)(
             (acc, v) => v :: acc, _ ::: _)
           .flatMap { case (lid, entries) =>
             entries.sorted.take(kk + 1)
               .map { case (_, key) => (key, lid) }
           }
+          // persisted: the selMax action below materializes it, and
+          // the main cogroup reuses it instead of recomputing the
+          // join+aggregate chain (ContextCleaner unpersists once the
+          // reference drops — the jaccard exec's pattern)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         // the cost that matters is the df of the keys actually KEPT
-        selMax = selected.mapValues(_ => 1L).reduceByKey(_ + _)
+        selMax = selected.mapValues(_ => 1L).reduceByKey(_ + _, statsWidth)
           .aggregate(0L)((a, kv) => math.max(a, kv._2), math.max)
         lPost = selected
         probeM = m
