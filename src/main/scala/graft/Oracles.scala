@@ -3149,6 +3149,28 @@ object Oracles {
          |(SELECT leaked_pairs FROM lk) AS leaked_pairs
          |FROM asg GROUP BY split ORDER BY split""".stripMargin,
 
+    // q214: the packed-pretraining layout replayed from the same
+    // per-source running offset — integer div/mod only.
+    "q214_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($TOKS) AS BIGINT) AS n FROM documents),
+         |p AS (SELECT source, n, CAST(coalesce(sum(n) OVER (
+         |  PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS BIGINT) AS off FROM d WHERE n > 0),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN off // 512 < (off + n - 1) // 512
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         |  FROM p GROUP BY source)
+         |SELECT source, n_docs, total_tokens,
+         |(total_tokens + 511) // 512 AS n_seqs, n_split_docs,
+         |round(CAST(n_docs AS DOUBLE) / ((total_tokens + 511) // 512), 2)
+         |  AS avg_docs_per_seq,
+         |(CASE WHEN total_tokens % 512 = 0 THEN 512
+         |  ELSE total_tokens % 512 END) * 10000 // 512 AS last_fill_bp
+         |FROM g ORDER BY source""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -5849,6 +5849,46 @@ object Queries {
       .orderBy(col("split"))
   }
 
+  /** Sequence packing for pretraining batches: per source, documents
+    * concatenate in doc_id order and slice into fixed 512-token
+    * training sequences (the standard packed-pretraining layout —
+    * docs crossing a boundary split across sequences with an
+    * attention reset, so nothing is padded or dropped). The whole
+    * layout derives from ONE per-source running token offset: a doc
+    * splits iff its [offset, offset+n) span crosses a multiple of
+    * the capacity, the sequence count is ceil(total/C), and the last
+    * sequence's fill is total mod C — so the stats job here shares
+    * its only shuffle (the source-keyed sort) with the writer that
+    * would emit the packed blocks via the same offsets. Exact
+    * integer arithmetic throughout; the one division (avg docs per
+    * sequence) happens once per source row. */
+  def q214SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 512L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        wordCount(col("text")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(expr(s"off div $cap") < expr(s"(off + n - 1) div $cap"),
+          lit(1L)).otherwise(lit(0L))).as("n_split_docs"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${cap - 1}) div $cap"))
+      .withColumn("avg_docs_per_seq",
+        round(col("n_docs") / col("n_seqs"), 2))
+      .withColumn("last_fill_bp", expr(
+        s"(case when total_tokens % $cap = 0 then $cap" +
+          s" else total_tokens % $cap end) * 10000 div $cap"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("n_split_docs"),
+        col("avg_docs_per_seq"), col("last_fill_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6064,5 +6104,6 @@ object Queries {
     "q210_weighted_quality" -> (q210WeightedQuality _),
     "q211_priority_sample" -> (q211PrioritySample _),
     "q212_hybrid_fusion" -> (q212HybridFusion _),
-    "q213_leakproof_split" -> (q213LeakproofSplit _))
+    "q213_leakproof_split" -> (q213LeakproofSplit _),
+    "q214_sequence_pack" -> (q214SequencePack _))
 }
