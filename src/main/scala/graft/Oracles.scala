@@ -3127,28 +3127,6 @@ object Oracles {
          |    ORDER BY rrf_fp DESC, doc_id) AS "rank" FROM fused)
          |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
-    // q213: the pair-closure CTEs label near-dup groups; q59's
-    // md5-bucket split keyed on the group representative; leaked_pairs
-    // recomputed from the closure's own jp set (structurally 0).
-    "q213_leakproof_split" ->
-      s"""${PAIR_CLOSURE_CTES},
-         |rp AS (SELECT d.doc_id, CAST(len($TOKS) AS BIGINT) AS ws,
-         |  coalesce(l.cluster_id, d.doc_id) AS rep
-         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
-         |asg AS (SELECT doc_id, ws, rep,
-         |  CASE WHEN substr(md5('split-seed|' || CAST(rep AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
-         |       WHEN substr(md5('split-seed|' || CAST(rep AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
-         |       ELSE 'test' END AS split FROM rp),
-         |lk AS (SELECT count(*) AS leaked_pairs FROM jp j
-         |  JOIN asg a ON j.id_a = a.doc_id
-         |  JOIN asg b ON j.id_b = b.doc_id
-         |  WHERE a.split <> b.split)
-         |SELECT split, count(*) AS n_docs,
-         |count(DISTINCT rep) AS n_groups,
-         |CAST(sum(ws) AS BIGINT) AS n_tokens,
-         |(SELECT leaked_pairs FROM lk) AS leaked_pairs
-         |FROM asg GROUP BY split ORDER BY split""".stripMargin,
-
     // q214: the packed-pretraining layout replayed from the same
     // per-source running offset — integer div/mod only.
     "q214_sequence_pack" ->

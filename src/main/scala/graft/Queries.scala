@@ -5806,49 +5806,6 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Leakage-proof train/val/test split: q59's md5-bucket assignment
-    * keyed on the doc's NEAR-DUP GROUP representative instead of the
-    * doc itself — every member of a connected near-dup cluster (the
-    * materialized pair table's components; singletons represent
-    * themselves) lands in the same split BY CONSTRUCTION, so no
-    * near-duplicate pair can straddle train and eval (the classic
-    * contamination-by-split bug a doc-keyed hash cannot prevent).
-    * The output carries the proof: `leaked_pairs` counts mined pairs
-    * whose endpoints disagree on split — structurally zero, and the
-    * oracle recomputes it from its own closure. Plan shape: one
-    * pair-table read + CC labels (keyed fixpoint), one broadcast-size
-    * label join-back, one grouped rollup; the 1-row leak count
-    * attaches by broadcast. */
-  def q213LeakproofSplit(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.PairTable.pairs(spark, dir)
-      .select(col("id_a"), col("id_b"))
-    val labels = Dedup.connectedComponents(pairs)
-    val asg = t(spark, dir).documents
-      .select(col("doc_id"), wordCount(col("text")).cast("long").as("ws"))
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("bucket", substring(
-        md5(concat_ws("|", lit("split-seed"), col("rep"))), 1, 2))
-      .withColumn("split", when(col("bucket") < "f0", "train")
-        .when(col("bucket") < "f8", "val")
-        .otherwise("test"))
-    val leaked = pairs
-      .join(asg.select(col("doc_id").as("id_a"),
-        col("split").as("split_a")), Seq("id_a"))
-      .join(asg.select(col("doc_id").as("id_b"),
-        col("split").as("split_b")), Seq("id_b"))
-      .where(col("split_a") =!= col("split_b"))
-      .agg(count(lit(1)).as("leaked_pairs"))
-    asg.groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("rep")).as("n_groups"),
-        sum(col("ws")).as("n_tokens"))
-      .crossJoin(broadcast(leaked))
-      .select(col("split"), col("n_docs"), col("n_groups"),
-        col("n_tokens"), col("leaked_pairs"))
-      .orderBy(col("split"))
-  }
-
   /** Sequence packing for pretraining batches: per source, documents
     * concatenate in doc_id order and slice into fixed 512-token
     * training sequences (the standard packed-pretraining layout —
@@ -5861,7 +5818,10 @@ object Queries {
     * its only shuffle (the source-keyed sort) with the writer that
     * would emit the packed blocks via the same offsets. Exact
     * integer arithmetic throughout; the one division (avg docs per
-    * sequence) happens once per source row. */
+    * sequence) happens once per source row. Distinct from q69, which
+    * assigns WHOLE docs to ~4000-token shards in hash order and has
+    * no notion of boundary splits or per-sequence fill — this is the
+    * layout the training loader actually consumes. */
   def q214SequencePack(spark: SparkSession, dir: String): DataFrame = {
     val cap = 512L
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -6104,6 +6064,5 @@ object Queries {
     "q210_weighted_quality" -> (q210WeightedQuality _),
     "q211_priority_sample" -> (q211PrioritySample _),
     "q212_hybrid_fusion" -> (q212HybridFusion _),
-    "q213_leakproof_split" -> (q213LeakproofSplit _),
     "q214_sequence_pack" -> (q214SequencePack _))
 }
