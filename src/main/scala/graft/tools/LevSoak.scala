@@ -69,6 +69,18 @@ object LevSoak {
           1, 6 + pmod(hash(id, 13), 12))""").as("s"))
       run("words", words)
     }
+    if (mode == "bits") {
+      // the escalation-proof adversary: random 18-char strings over a
+      // TWO-symbol alphabet at one length — every aligned substring is
+      // low-diversity at every segment granularity, so the multi-
+      // segment doubling hits its 16(k+1) cap with postings still hot
+      // and the residual cost is candidate-bound (the exec's honest
+      // worst case, which only the approximate paths escape)
+      val bits = spark.range(n).select(col("id"),
+        expr("""translate(lpad(conv(abs(hash(id, 17)) % 262144, 10, 2), 18, '0'),
+            '01', 'ab')""").as("s"))
+      run("bits", bits)
+    }
     spark.stop()
   }
 }
