@@ -103,7 +103,27 @@ object CdcStream {
       seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     val v = latestVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"$tablePath not initialized"))
-    Cdc.snapshotOf(spark.read.parquet(s"$tablePath/v$v").dropDuplicates(),
+    readSnapshotAt(spark, tablePath, v, seqCol, opCol)
+  }
+
+  /** Time-travel read: the merged snapshot AS OF a past committed
+    * version — what the copy-on-write layout buys beyond the live
+    * view (debugging a pipeline against the exact table a past run
+    * saw, reproducing a training corpus cut). Valid for any version
+    * dir [[vacuum]] has not yet removed; reading above the pointer or
+    * below the retention horizon throws. */
+  def readSnapshotAt(spark: SparkSession, tablePath: String,
+      version: Long, seqCol: String = "seq", opCol: String = "op")
+      : DataFrame = {
+    val current = latestVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"$tablePath not initialized"))
+    require(version <= current,
+      s"version $version not committed (pointer at $current)")
+    val dir = new org.apache.hadoop.fs.Path(s"$tablePath/v$version")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"version $version vacuumed (retention horizon passed)")
+    Cdc.snapshotOf(spark.read.parquet(dir.toString).dropDuplicates(),
       seqCol, opCol)
   }
 

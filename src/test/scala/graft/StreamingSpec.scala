@@ -1499,6 +1499,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("CdcStream time travel: readSnapshotAt reproduces each past " +
+      "version; above-pointer and vacuumed versions throw") {
+    implicit val ctx = spark.sqlContext
+    val (base, b1, b2) = cdcFixture()
+    val tableDir = GraftTestSpark.tmpDir("graft-cdc-tt")
+    val chk = GraftTestSpark.tmpDir("graft-cdc-ttchk")
+    graft.streaming.CdcStream.init(base, tableDir)
+    val input =
+      MemoryStream[(Long, Long, String, String, String, String, Long)]
+    val q = graft.streaming.CdcStream.maintain(
+        input.toDF().toDF("doc_id", "seq", "op", "text", "lang",
+          "source", "n_chars"),
+        tableDir, "doc_id")
+      .option("checkpointLocation", chk)
+      .start()
+    Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    // v-1 = the initialized base, v0 = base+b1, v1 = base+b1+b2 (live)
+    assert(asSet(graft.streaming.CdcStream.readSnapshotAt(
+      spark, tableDir, -1L)) === asSet(base))
+    val afterB1 = asSet(graft.operators.Cdc.applyChangeset(base,
+      b1.toDF("doc_id", "seq", "op", "text", "lang", "source",
+        "n_chars"), "doc_id"))
+    assert(asSet(graft.streaming.CdcStream.readSnapshotAt(
+      spark, tableDir, 0L)) === afterB1)
+    assert(asSet(graft.streaming.CdcStream.readSnapshotAt(
+      spark, tableDir, 1L)) ===
+      asSet(graft.streaming.CdcStream.readSnapshot(spark, tableDir)))
+    intercept[IllegalArgumentException] {
+      graft.streaming.CdcStream.readSnapshotAt(spark, tableDir, 2L)
+    }
+    // retention passes the horizon: old versions throw, the live
+    // snapshot is untouched
+    assert(graft.streaming.CdcStream.vacuum(spark, tableDir,
+      keepVersions = 1) == 2)
+    intercept[IllegalArgumentException] {
+      graft.streaming.CdcStream.readSnapshotAt(spark, tableDir, 0L)
+    }
+    assert(asSet(graft.streaming.CdcStream.readSnapshotAt(
+      spark, tableDir, 1L)).nonEmpty)
+  }
+
   test("CdcStream two-phase compaction of the current version: snapshot " +
       "unchanged mid-window, a maintenance batch applies OVER the " +
       "doubled version between the phases, commit deletes exactly the " +
