@@ -109,20 +109,20 @@ object VectorIndex {
     Compaction.compact(spark, s"$path/assignments",
       partitionPrefix = Some("cent_id="), targetBytes = targetBytes)
 
-  /** Phase 1: returns the snapshot of replaced file paths (input to
+  /** Phase 1: returns the pending compaction (input to
     * [[compactCommit]]). Exposed for the mid-compaction test; callers
     * use [[compact]]. Delegates to the factored two-phase compactor
     * ([[Compaction]] — same mechanics now shared with the CDC and
     * pair-table maintenance). */
   private[graft] def compactWrite(spark: SparkSession, path: String,
-      targetBytes: Long): Seq[String] =
+      targetBytes: Long): PendingCompaction =
     Compaction.compactWrite(spark, s"$path/assignments",
       Some("cent_id="), targetBytes)
 
   /** Phase 2: drop exactly the snapshot files phase 1 replaced. */
   private[graft] def compactCommit(spark: SparkSession, path: String,
-      snapshot: Seq[String]): Unit =
-    Compaction.compactCommit(spark, s"$path/assignments", snapshot)
+      pending: PendingCompaction): Unit =
+    Compaction.compactCommit(spark, pending)
 
   /** Load a saved index. Partition-column type inference may narrow
     * `cent_id` to int; restore long so probe joins stay cast-free. */

@@ -299,6 +299,12 @@ case class LevenshteinSegmentJoinExec(
         // the cost that matters is the df of the keys actually KEPT
         selMax = selected.mapValues(_ => 1L).reduceByKey(_ + _, statsWidth)
           .aggregate(0L)((a, kv) => math.max(a, kv._2), math.max)
+        // the superseded iteration's posting set is dead the moment
+        // the new selection materializes (the action above) — drop it
+        // eagerly instead of waiting on the ContextCleaner, so peak
+        // storage during escalation holds ONE posting set, not one per
+        // doubling (keys0 itself is never persisted)
+        if (lPost ne keys0) lPost.unpersist(blocking = false)
         lPost = selected
         probeM = m
       }

@@ -79,13 +79,7 @@ object CdcStream {
           throw new IllegalStateException(
             s"CdcStream table $tablePath not initialized — call init()"))
         if (applied < id) {
-          // dropDuplicates is a NO-OP on a version's rows (one row per
-          // key by construction) except inside [[compactCurrent]]'s
-          // write→commit window, where each snapshot row is visible
-          // twice — the tolerance that makes two-phase compaction of
-          // the current version safe under live maintenance
-          val prev = spark.read.parquet(s"$tablePath/v$applied")
-            .dropDuplicates()
+          val prev = readVersionDir(spark, s"$tablePath/v$applied")
           Cdc.applyChangesetVersioned(prev, batch.toDF(), key, seqCol,
               opCol)
             .write.mode("overwrite").parquet(s"$tablePath/v$id")
@@ -95,10 +89,26 @@ object CdcStream {
     }
   }
 
+  /** Read one immutable version directory through a PINNED file
+    * listing: the same listing decides whether [[compactCurrent]]'s
+    * write→commit double-visibility window is open (compacted copies
+    * next to their originals) and feeds the scan, so the dedup that
+    * absorbs the window runs ONLY while it is open — a version's rows
+    * are unique by construction, and outside the window readers pay
+    * no shuffle for the compaction tolerance. */
+  private def readVersionDir(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (files, windowOpen) =
+      graft.operators.Compaction.pinnedListing(spark, dir)
+    val raw =
+      if (files.isEmpty) spark.read.parquet(dir)
+      else spark.read.parquet(files: _*)
+    if (windowOpen) raw.dropDuplicates() else raw
+  }
+
   /** The live merged snapshot as of the latest committed version.
-    * Reads through `dropDuplicates` — see the note in [[maintain]]:
-    * a no-op except mid-compaction, where it absorbs the
-    * double-visibility window. */
+    * Scans a pinned listing and dedups only inside the compaction
+    * window — see [[readVersionDir]]. */
   def readSnapshot(spark: SparkSession, tablePath: String,
       seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     val v = latestVersion(tablePath).getOrElse(
@@ -123,8 +133,7 @@ object CdcStream {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(dir),
       s"version $version vacuumed (retention horizon passed)")
-    Cdc.snapshotOf(spark.read.parquet(dir.toString).dropDuplicates(),
-      seqCol, opCol)
+    Cdc.snapshotOf(readVersionDir(spark, dir.toString), seqCol, opCol)
   }
 
   /** Retention sweep: delete version directories strictly below the
@@ -158,18 +167,45 @@ object CdcStream {
     * (the [[graft.operators.Compaction]] pattern, proven on the
     * vector index): every versioned merge write leaves one file per
     * shuffle partition, so a long-running maintenance stream hands
-    * its readers dozens of small files per snapshot scan. Safe under
-    * concurrent maintenance and reads — a concurrent batch writes a
-    * NEW version dir (never this one), and both [[maintain]] and
-    * [[readSnapshot]] dedup the double-visibility window away. A
-    * version superseded mid-compaction wastes the work but breaks
-    * nothing (the old dir is simply no longer read). Returns the
-    * number of files replaced. */
+    * its readers dozens of small files per snapshot scan.
+    *
+    * Safety scope — read it before wiring this into a live table:
+    *  - concurrent MAINTENANCE is always safe: a concurrent batch
+    *    writes a NEW version dir, never this one; a version superseded
+    *    mid-compaction wastes the work but breaks nothing (the old dir
+    *    is simply no longer read);
+    *  - the WRITE phase is safe under concurrent reads: [[maintain]]
+    *    and [[readSnapshot]] detect the double-visibility window from
+    *    their pinned listing and dedup it away;
+    *  - the COMMIT phase deletes the original files, so a reader that
+    *    listed the version dir before the commit and executes after it
+    *    fails with FileNotFoundException (or silently drops those rows
+    *    under `spark.sql.files.ignoreMissingFiles=true`). This method
+    *    commits IMMEDIATELY — use it when no read can span the call.
+    *    With long-running concurrent readers, use
+    *    [[compactCurrentDeferred]] and commit after the deployment's
+    *    maximum read duration — the same horizon contract [[vacuum]]
+    *    documents.
+    *
+    * Returns the number of files replaced. */
   def compactCurrent(spark: SparkSession, tablePath: String,
       targetBytes: Long = 128L << 20): Int = {
+    val pending = compactCurrentDeferred(spark, tablePath, targetBytes)
+    pending.commit(spark)
+    pending.size
+  }
+
+  /** Write phase only: compact the current version's files next to
+    * the originals and return the handle whose
+    * [[graft.operators.PendingCompaction.commit]] deletes the
+    * originals. Hold the handle past the deployment's maximum read
+    * duration before committing — see [[compactCurrent]]. */
+  def compactCurrentDeferred(spark: SparkSession, tablePath: String,
+      targetBytes: Long = 128L << 20)
+      : graft.operators.PendingCompaction = {
     val v = latestVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"$tablePath not initialized"))
-    graft.operators.Compaction.compact(spark, s"$tablePath/v$v",
+    graft.operators.Compaction.compactWrite(spark, s"$tablePath/v$v",
       partitionPrefix = None, targetBytes = targetBytes)
   }
 }

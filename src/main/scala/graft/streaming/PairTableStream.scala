@@ -34,9 +34,10 @@ import graft.operators.{Caches, Compaction, Dedup}
   * Version dirs inherit one file per shuffle partition per bucket —
   * the fragmentation [[compactCurrent]] removes with the two-phase
   * [[Compaction]] pattern, per-bucket (each `bucket=N` dir is an
-  * independent unit). [[read]] dedups on (id_a, id_b) — a no-op
-  * outside compaction's write→commit window (the mine emits each pair
-  * once), inside it the tolerance that makes the window harmless.
+  * independent unit). [[read]] scans a pinned listing and dedups on
+  * (id_a, id_b) only while that listing shows compaction's
+  * write→commit window open — the window tolerance priced as a
+  * transient cost, not a per-read shuffle.
   *
   * 100 TB shape: the pair table is pairs, not documents (tiny
   * relative to the corpus); mining cost per batch is the incremental
@@ -97,15 +98,32 @@ object PairTableStream {
     }
   }
 
+  /** Read version files through a PINNED listing rooted at `dir` (so
+    * the partition-column discovery keeps `bucket`), deduping on
+    * (id_a, id_b) ONLY while the listing shows [[compactCurrent]]'s
+    * write→commit window open in some bucket unit — the mine emits
+    * each pair once, so outside the window readers pay no dedup
+    * shuffle for the compaction tolerance. */
+  private def readPinned(spark: SparkSession, baseDir: String,
+      listDir: String): Option[DataFrame] = {
+    val (files, windowOpen) =
+      graft.operators.Compaction.pinnedListing(spark, listDir)
+    if (files.isEmpty) None
+    else {
+      val raw = spark.read.option("basePath", baseDir).parquet(files: _*)
+      Some(if (windowOpen) raw.dropDuplicates("id_a", "id_b") else raw)
+    }
+  }
+
   /** The maintained pair table as of the latest committed version
-    * (id_a, id_b, shared, jaccard). The (id_a, id_b) dedup absorbs
-    * [[compactCurrent]]'s double-visibility window; outside it every
-    * pair is emitted once by the mine, so it is a no-op. */
+    * (id_a, id_b, shared, jaccard). Scans a pinned listing and dedups
+    * only inside the compaction window — see [[readPinned]]. */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val v = CdcStream.latestVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"$tablePath not initialized"))
-    spark.read.parquet(s"$tablePath/v$v")
-      .dropDuplicates("id_a", "id_b")
+    val dir = s"$tablePath/v$v"
+    readPinned(spark, dir, dir)
+      .getOrElse(spark.read.parquet(dir))
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
   }
 
@@ -119,22 +137,43 @@ object PairTableStream {
       : DataFrame = {
     val v = CdcStream.latestVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"$tablePath not initialized"))
-    spark.read.parquet(s"$tablePath/v$v")
-      .where(col("bucket") === ((idA % NBuckets) + NBuckets) % NBuckets)
+    val dir = s"$tablePath/v$v"
+    val b = ((idA % NBuckets) + NBuckets) % NBuckets
+    // the pinned listing itself prunes to the ONE bucket=N dir, so the
+    // driver-side metadata cost of a keyed lookup is 1/NBuckets of the
+    // table's files, matching the scan's PartitionFilters prune
+    readPinned(spark, dir, s"$dir/bucket=$b")
+      .getOrElse(spark.read.parquet(dir))
+      .where(col("bucket") === b)
       .where(col("id_a") === idA)
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
   }
 
   /** Two-phase per-bucket compaction of the current version — each
-    * `bucket=N` dir is an independent [[Compaction]] unit. Safe under
-    * concurrent maintenance ([[maintain]] writes NEW version dirs)
-    * and concurrent [[read]]s (the (id_a, id_b) dedup). */
+    * `bucket=N` dir is an independent [[Compaction]] unit. Safety
+    * scope (the [[CdcStream.compactCurrent]] contract, shared):
+    * concurrent MAINTENANCE is always safe ([[maintain]] writes NEW
+    * version dirs); the WRITE phase is safe under concurrent reads
+    * ([[read]]/[[readForKey]] detect the window from their pinned
+    * listing and dedup it away); the immediate COMMIT here deletes
+    * originals, which breaks a reader that listed before the commit
+    * and executes after it — with long-running concurrent readers use
+    * [[compactCurrentDeferred]] and commit past the deployment's
+    * maximum read duration (the vacuum horizon contract). */
   def compactCurrent(spark: SparkSession, tablePath: String,
       targetBytes: Long = 128L << 20): Int = {
+    val pending = compactCurrentDeferred(spark, tablePath, targetBytes)
+    pending.commit(spark)
+    pending.size
+  }
+
+  /** Write phase only — see [[compactCurrent]] for when to commit. */
+  def compactCurrentDeferred(spark: SparkSession, tablePath: String,
+      targetBytes: Long = 128L << 20)
+      : graft.operators.PendingCompaction = {
     val v = CdcStream.latestVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"$tablePath not initialized"))
-    Compaction.compact(spark, s"$tablePath/v$v",
+    Compaction.compactWrite(spark, s"$tablePath/v$v",
       partitionPrefix = Some("bucket="), targetBytes = targetBytes)
   }
 }

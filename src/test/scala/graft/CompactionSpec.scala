@@ -99,8 +99,110 @@ class CompactionSpec extends AnyFunSuite {
     // an append lands between the phases (not in the snapshot)
     appendFile(root, Seq(100L, 101L))
 
-    Compaction.compactCommit(spark, root, snapshot)
+    Compaction.compactCommit(spark, snapshot)
     assert(readIds(root) == (before ++ Seq(100L, 101L)).sorted,
       "commit deleted exactly the snapshot; the mid-window append survived")
+  }
+
+  test("unit lock: a concurrent compaction of a locked unit skips it " +
+      "(fail-safe, no interleaving); the lock releases on commit") {
+    val root = GraftTestSpark.tmpDir("compactlock")
+    (0 until 3).foreach(i => appendFile(root, Seq(i * 2L, i * 2L + 1)))
+    val before = readIds(root)
+
+    val first = Compaction.compactWrite(spark, root, None, 128L << 20)
+    assert(first.size == 3 && first.locks.size == 1)
+    // a second compactor racing into the same unit mid-window: the
+    // exclusive lock makes it a no-op instead of a double-delete
+    val second = Compaction.compactWrite(spark, root, None, 128L << 20)
+    assert(second.isEmpty && second.locks.isEmpty,
+      "locked unit must be skipped, not compacted twice")
+    Compaction.compactCommit(spark, second)
+
+    Compaction.compactCommit(spark, first)
+    assert(readIds(root) == before, "rows intact after the race")
+    assert(parquetFiles(root).size == 1, "still consolidated to one file")
+    // lock released: a later compaction cycle can take the unit again
+    appendFile(root, Seq(50L, 51L))
+    val third = Compaction.compact(spark, root)
+    assert(third == 2 && readIds(root) == (before ++ Seq(50L, 51L)).sorted)
+  }
+
+  test("crash contract: recover rolls an interrupted commit FORWARD " +
+      "from the lock WAL (copies hold every row; stale originals drop)") {
+    val root = GraftTestSpark.tmpDir("compactfwd")
+    (0 until 3).foreach(i => appendFile(root, Seq(i * 2L, i * 2L + 1)))
+    val before = readIds(root)
+    // write phase completed, commit never ran (the crash): lock holds
+    // nonce + manifest, rows visible twice
+    val crashed = Compaction.compactWrite(spark, root, None, 128L << 20)
+    assert(crashed.nonEmpty)
+    assert(Compaction.compact(spark, root) == 0,
+      "unit stays locked after the crash (skip, don't interleave)")
+    assert(Compaction.recover(spark, root) == ((1, 0)))
+    assert(readIds(root) == before,
+      "roll-forward finishes the commit: exactly the original rows")
+    assert(parquetFiles(root).size == 1 &&
+      parquetFiles(root).forall(_.startsWith("compact-")))
+    // the unit is unlocked and fully maintainable again
+    appendFile(root, Seq(50L, 51L))
+    assert(Compaction.compact(spark, root) == 2)
+    assert(readIds(root) == (before ++ Seq(50L, 51L)).sorted)
+  }
+
+  test("crash contract: recover rolls a mid-write crash BACK (partial " +
+      "copies drop; every original survives)") {
+    val root = GraftTestSpark.tmpDir("compactbck")
+    (0 until 3).foreach(i => appendFile(root, Seq(i * 2L, i * 2L + 1)))
+    val before = readIds(root)
+    val originals = parquetFiles(root).toSet
+    // simulate the mid-write crash state: lock holds only the nonce,
+    // one partial copy landed, no manifest
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nonce = 12345L
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, ".compact-lock"), true)
+    out.write(s"$nonce\n".getBytes("UTF-8")); out.close()
+    appendFile(root, Seq(0L, 1L)) // stand-in rows for the partial copy
+    val partial = (parquetFiles(root).toSet -- originals).head
+    fs.rename(new org.apache.hadoop.fs.Path(root, partial),
+      new org.apache.hadoop.fs.Path(root, s"compact-$nonce-0.parquet"))
+
+    assert(Compaction.recover(spark, root) == ((0, 1)))
+    assert(readIds(root) == before,
+      "roll-back drops the partial copy; originals intact")
+    assert(parquetFiles(root).toSet == originals)
+    assert(Compaction.compact(spark, root) == 3,
+      "the unit compacts normally after recovery")
+    assert(readIds(root) == before)
+  }
+
+  test("scoped window dedup: CdcStream readers pay the dedup only " +
+      "while the double-visibility window is open") {
+    import org.apache.spark.sql.functions._
+    val tableDir = GraftTestSpark.tmpDir("compactscope")
+    val base = spark.range(0, 64).select(col("id").as("doc_id"),
+      concat(lit("d"), col("id")).as("text")).repartition(4)
+    graft.streaming.CdcStream.init(base, tableDir)
+    def snap() = graft.streaming.CdcStream.readSnapshot(spark, tableDir)
+    def hasDedup(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("Deduplicate")
+
+    assert(!hasDedup(snap()),
+      "no compaction yet: the read must not plan a dedup shuffle")
+    assert(snap().count() == 64)
+
+    val pending = graft.streaming.CdcStream.compactCurrentDeferred(
+      spark, tableDir)
+    assert(pending.nonEmpty)
+    assert(hasDedup(snap()),
+      "window open: the pinned listing must trigger the dedup")
+    assert(snap().count() == 64, "window dedup restores the exact view")
+
+    pending.commit(spark)
+    assert(!hasDedup(snap()),
+      "window closed: the dedup cost must drop back to zero")
+    assert(snap().count() == 64)
   }
 }

@@ -1332,7 +1332,7 @@ class StreamingSpec extends AnyFunSuite {
       val after = parquetFiles().map(_.getAbsolutePath)
       assert(after.length === peak - snapshot.size,
         "commit must delete exactly the snapshot files")
-      assert(!after.exists(snapshot.map(
+      assert(!after.exists(snapshot.replaced.map(
         _.stripPrefix("file:")).contains(_)),
         "no snapshot file may survive the commit")
     } finally q.stop()
@@ -1584,8 +1584,7 @@ class StreamingSpec extends AnyFunSuite {
         "a merge over the mid-compaction doubled version must be exact")
       // phase 2: the old version's snapshot files drop; current
       // version (v after b1) is untouched
-      graft.operators.Compaction.compactCommit(
-        spark, s"$tableDir/v$v", snapshot)
+      graft.operators.Compaction.compactCommit(spark, snapshot)
       input.addData(b2); q.processAllAvailable()
       val expectedAll = asSet(graft.operators.Cdc.applyChangeset(
         base, (b1 ++ b2).toDF("doc_id", "seq", "op", "text", "lang",
@@ -1686,8 +1685,7 @@ class StreamingSpec extends AnyFunSuite {
       val expAll = fullMine(rows)
       assert(got() === expAll,
         "post-batch table must equal the full mine over all docs")
-      graft.operators.Compaction.compactCommit(
-        spark, s"$tableDir/v$v", snapshot)
+      graft.operators.Compaction.compactCommit(spark, snapshot)
       assert(got() === expAll, "commit must be invisible to readers")
       // serving-path lookup: the bucket predicate must PRUNE the scan
       // (PartitionFilters) and return exactly the key's pairs
