@@ -3149,6 +3149,106 @@ object Oracles {
          |  ELSE total_tokens % 512 END) * 10000 // 512 AS last_fill_bp
          |FROM g ORDER BY source""".stripMargin,
 
+    // q215: the Deequ-style suite replayed as one grouped aggregate +
+    // a UNION ALL finalization per constraint — every metric one
+    // division of exact longs (or a min/max passthrough), so the
+    // doubles hash-match
+    "q215_constraint_suite" ->
+      """WITH s AS (SELECT source,
+        |  CAST(count(text) AS BIGINT) AS c0n, CAST(count(*) AS BIGINT) AS c0d,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS c1n,
+        |  CAST(count(doc_id) AS BIGINT) AS c1d,
+        |  CAST(min(n_chars) AS DOUBLE) AS c2m,
+        |  CAST(max(n_chars) AS DOUBLE) AS c3m,
+        |  CAST(sum(CASE WHEN regexp_matches(lang, '^(en|de|fr|es)$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c4n,
+        |  CAST(count(*) AS BIGINT) AS c4d,
+        |  CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c5n,
+        |  CAST(count(*) AS BIGINT) AS c5d
+        |  FROM documents GROUP BY source)
+        |SELECT source, constraint_type, column_name, metric, threshold,
+        |  CASE WHEN op = '>=' THEN metric >= threshold
+        |    ELSE metric <= threshold END AS passed
+        |FROM (
+        |  SELECT source, 'completeness' AS constraint_type,
+        |    'text' AS column_name,
+        |    CAST(c0n AS DOUBLE)/CAST(c0d AS DOUBLE) AS metric,
+        |    CAST(0.99 AS DOUBLE) AS threshold, '>=' AS op FROM s
+        |  UNION ALL SELECT source, 'unique_ratio', 'doc_id',
+        |    CAST(c1n AS DOUBLE)/CAST(c1d AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), '>=' FROM s
+        |  UNION ALL SELECT source, 'min_bound', 'n_chars', c2m,
+        |    CAST(40.0 AS DOUBLE), '>=' FROM s
+        |  UNION ALL SELECT source, 'max_bound', 'n_chars', c3m,
+        |    CAST(500.0 AS DOUBLE), '<=' FROM s
+        |  UNION ALL SELECT source, 'match_ratio', 'lang',
+        |    CAST(c4n AS DOUBLE)/CAST(c4d AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE), '>=' FROM s
+        |  UNION ALL SELECT source, 'in_set_ratio', 'lang',
+        |    CAST(c5n AS DOUBLE)/CAST(c5d AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE), '>=' FROM s)
+        |ORDER BY source, constraint_type, column_name""".stripMargin,
+
+    // q216: equivalence classes on the quasi-identifier pair, then
+    // the class-size histogram with k/l exposure
+    "q216_k_anonymity" ->
+      """WITH cl AS (SELECT c_nationkey,
+        |  CAST(floor(c_acctbal/1000.0) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  class_size < 5 AS at_risk,
+        |  CAST(sum(CASE WHEN l_diversity < 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low_diversity
+        |FROM cl GROUP BY class_size ORDER BY class_size""".stripMargin,
+
+    // q218: the routing matrix replayed as one UNION ALL branch per
+    // row-level constraint (violated-rows branch) plus the all-pass
+    // clean branch; null predicate results count as violated via
+    // NOT coalesce(cond, false) on both engines
+    "q218_expectations" ->
+      """WITH d AS (SELECT source, n_chars,
+        |  NOT coalesce(n_chars >= 40.0, false) AS v_min,
+        |  NOT coalesce(n_chars <= 500.0, false) AS v_max,
+        |  NOT coalesce(regexp_matches(lang, '^(en|de|fr|es)$'), false)
+        |    AS v_lang,
+        |  NOT coalesce(text IS NOT NULL, false) AS v_text
+        |  FROM documents),
+        |x AS (
+        |  SELECT source, 'min_bound(n_chars)' AS disposition, n_chars
+        |    FROM d WHERE v_min
+        |  UNION ALL SELECT source, 'max_bound(n_chars)', n_chars
+        |    FROM d WHERE v_max
+        |  UNION ALL SELECT source, 'match_ratio(lang)', n_chars
+        |    FROM d WHERE v_lang
+        |  UNION ALL SELECT source, 'completeness(text)', n_chars
+        |    FROM d WHERE v_text
+        |  UNION ALL SELECT source, '(clean)', n_chars
+        |    FROM d WHERE NOT v_min AND NOT v_max AND NOT v_lang
+        |      AND NOT v_text)
+        |SELECT source, disposition, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q217: suppress classes below k, then the survivor segment
+    // rollup with integer-cents balances
+    "q217_k_suppression" ->
+      """WITH cust AS (SELECT *,
+        |  CAST(floor(c_acctbal/1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |keep AS (SELECT c_nationkey, bal_band FROM cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations,
+        |  CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM cust c JOIN keep k ON c.c_nationkey = k.c_nationkey
+        |  AND c.bal_band = k.bal_band
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

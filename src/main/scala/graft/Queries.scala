@@ -5849,6 +5849,95 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Declarative data-quality constraint suite over the corpus,
+    * GROUPED by source — six constraints (null completeness, key
+    * uniqueness, length bounds, a latin-language match ratio, a
+    * closed lang vocabulary) compiled by
+    * [[graft.operators.Constraints]] into ONE grouped aggregation
+    * pass. The pass/fail mix is real: the max-length bound and the
+    * latin-ratio threshold each fail for some sources. Every metric
+    * is a single division of exact longs or a min/max passthrough —
+    * deterministic under any partitioning, so even the doubles
+    * hash-match the oracle.
+    *
+    * Scale shape: one corpus scan, one shuffle on the group key, the
+    * stack/finalize on the |sources|×6 aggregated frame. N
+    * constraints never cost N passes — that is the operator's point
+    * at 100 TB. */
+  def q215ConstraintSuite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators._
+    val suite = Seq(
+      Completeness("text", 0.99),
+      UniqueRatio("doc_id", 1.0),
+      MinBound("n_chars", 40.0),
+      MaxBound("n_chars", 500.0),
+      MatchRatio("lang", "^(en|de|fr|es)$", 0.9),
+      InSetRatio("lang", Seq("en", "de", "fr", "es", "zh"), 1.0))
+    Constraints.run(t(spark, dir).documents, suite, Seq("source"))
+      .orderBy(col("source"), col("constraint_type"), col("column_name"))
+  }
+
+  /** k-anonymity / l-diversity audit of the customer table under the
+    * quasi-identifier pair (nation, account-balance band): one keyed
+    * aggregation builds the equivalence-class table, a second on the
+    * tiny class-size domain yields the full risk histogram — classes,
+    * rows, k<5 exposure, and how many classes also fail l<3 on the
+    * market-segment sensitive attribute. */
+  def q216KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir).customer
+      .withColumn("bal_band", floor(col("c_acctbal") / lit(1000.0)))
+    graft.operators.Privacy.audit(cust,
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", k = 5, l = 3)
+      .orderBy(col("class_size"))
+  }
+
+  /** k-anonymization by suppression, then the post-suppression
+    * segment profile: rows whose (nation, balance-band) class has
+    * fewer than 5 members are dropped ([[graft.operators.Privacy
+    * .suppressBelowK]] — class aggregation + null-safe semi-join on
+    * the same keys, exchange-reusable), and the survivors roll up per
+    * market segment with integer-cents balance sums. */
+  def q217KSuppression(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir).customer
+      .withColumn("bal_band", floor(col("c_acctbal") / lit(1000.0)))
+    graft.operators.Privacy
+      .suppressBelowK(cust, Seq("c_nationkey", "bal_band"), 5)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        centsSum(col("c_acctbal")).as("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Row-level expectations + quarantine routing over the corpus —
+    * the ENFORCEMENT half of q215's declarative suite (the q78
+    * JSON-quarantine pattern for structured quality): every row is
+    * tagged with the constraints it violates in one codegen'd
+    * projection ([[graft.operators.Constraints.enforce]]), clean rows
+    * ship, violating rows quarantine with reasons attached. The
+    * report is the routing matrix: per (source, disposition) row
+    * counts and token mass, where disposition is '(clean)' or the
+    * violated constraint's tag (a row violating two constraints
+    * counts under both — explode of a ≤|suite| array). */
+  def q218Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators._
+    val suite = Seq(
+      MinBound("n_chars", 40.0),
+      MaxBound("n_chars", 500.0),
+      MatchRatio("lang", "^(en|de|fr|es)$", 0.9),
+      Completeness("text", 0.99))
+    val tagged = Constraints.enforce(t(spark, dir).documents, suite)
+      .withColumn("disposition",
+        when(size(col("violations")) === 0, array(lit("(clean)")))
+          .otherwise(col("violations")))
+    tagged.select(col("source"), col("n_chars"),
+        explode(col("disposition")).as("disposition"))
+      .groupBy(col("source"), col("disposition"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("source"), col("disposition"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6064,5 +6153,9 @@ object Queries {
     "q210_weighted_quality" -> (q210WeightedQuality _),
     "q211_priority_sample" -> (q211PrioritySample _),
     "q212_hybrid_fusion" -> (q212HybridFusion _),
-    "q214_sequence_pack" -> (q214SequencePack _))
+    "q214_sequence_pack" -> (q214SequencePack _),
+    "q215_constraint_suite" -> (q215ConstraintSuite _),
+    "q216_k_anonymity" -> (q216KAnonymity _),
+    "q217_k_suppression" -> (q217KSuppression _),
+    "q218_expectations" -> (q218Expectations _))
 }

@@ -1231,4 +1231,144 @@ class OperatorsSpec extends AnyFunSuite {
         threshold = 0.5, maxDf = 3L))
     assert(capped === Set((10L, 11L, 2L)))
   }
+
+  // ---- Constraints (Deequ-style single-pass suite) ----
+
+  private def constraintFixture = Seq(
+    (1L, "alpha", "en", 10L), (2L, "beta", "en", 20L),
+    (3L, null.asInstanceOf[String], "de", 5L), (4L, "delta", "zz", 45L),
+    (5L, "epsi", "fr", 30L), (6L, "zeta", "en", 60L),
+    (7L, "eta", "es", 15L), (8L, "theta", "de", 25L))
+    .toDF("id", "txt", "lang", "n")
+
+  test("constraint suite: one pass computes every metric exactly") {
+    import graft.operators._
+    val suite = Seq(
+      Completeness("txt", 0.9),
+      UniqueRatio("id", 1.0),
+      MinBound("n", 5.0),
+      MaxBound("n", 50.0),
+      MatchRatio("lang", "^(en|de)$", 0.5),
+      InSetRatio("lang", Seq("en", "de", "fr", "es"), 1.0),
+      SizeMin(5.0))
+    val rep = Constraints.run(constraintFixture, suite)
+      .select("constraint_type", "column_name", "metric", "passed")
+      .as[(String, String, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(rep(("completeness", "txt")) === ((7.0 / 8.0, false)))
+    assert(rep(("unique_ratio", "id")) === ((1.0, true)))
+    assert(rep(("min_bound", "n")) === ((5.0, true)))
+    assert(rep(("max_bound", "n")) === ((60.0, false)))
+    assert(rep(("match_ratio", "lang")) === ((5.0 / 8.0, true)))
+    assert(rep(("in_set_ratio", "lang")) === ((7.0 / 8.0, false)))
+    assert(rep(("size_min", "*")) === ((8.0, true)))
+    // the suite's scale claim: N constraints = ONE scan of the input
+    val scans = Constraints.run(constraintFixture, suite)
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans === 1, "N constraints must not cost N passes")
+  }
+
+  test("constraint state is a mergeable monoid: random splits merge " +
+      "to the exact full-corpus report (property)") {
+    import graft.operators._
+    val suite = Seq(
+      Completeness("txt", 0.9), MinBound("n", 5.0), MaxBound("n", 50.0),
+      MatchRatio("lang", "^(en|de)$", 0.5), SizeMin(5.0))
+    val df = constraintFixture
+    val full = Constraints.run(df, suite).collect().toSet
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val mark = df.withColumn("part",
+        (abs(hash(col("id"), lit(rnd.nextInt()))) % 3))
+      val states = (0 until 3).map(p =>
+        Constraints.state(mark.where(col("part") === p).drop("part"),
+          suite))
+      val nonEmpty = states.filter(_.head(1).nonEmpty)
+      val merged = Constraints.report(
+        Constraints.mergeStates(
+          nonEmpty.reduce(_ unionByName _), suite), suite)
+      assert(merged.collect().toSet === full,
+        "merged per-split states must equal the single-pass suite")
+    }
+    val err = intercept[IllegalArgumentException] {
+      Constraints.mergeStates(Constraints.state(df,
+        Seq(UniqueRatio("id", 1.0))), Seq(UniqueRatio("id", 1.0)))
+    }
+    assert(err.getMessage.contains("unique_ratio"),
+      "distinct counting must be rejected from incremental suites")
+  }
+
+  test("grouped constraint suite: per-group rows equal per-group runs") {
+    import graft.operators._
+    val suite = Seq(Completeness("txt", 0.9), MaxBound("n", 50.0))
+    val grouped = Constraints.run(constraintFixture, suite, Seq("lang"))
+    val langs = constraintFixture.select("lang").distinct()
+      .as[String].collect()
+    langs.foreach { lg =>
+      val single = Constraints
+        .run(constraintFixture.where(col("lang") === lg), suite)
+        .collect().toSet
+      val slice = grouped.where(col("lang") === lg).drop("lang")
+        .collect().toSet
+      assert(slice === single, s"group $lg")
+    }
+  }
+
+  test("enforce tags each row with exactly its violations; nulls " +
+      "violate; aggregate-only suites are rejected") {
+    import graft.operators._
+    val suite = Seq(
+      Completeness("txt", 0.9),
+      MatchRatio("lang", "^(en|de)$", 0.5),
+      MinBound("n", 10.0),
+      SizeMin(1.0)) // aggregate-only: contributes no row predicate
+    val out = Constraints.enforce(constraintFixture, suite)
+      .select(col("id"), col("violations"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq.empty)                       // all pass
+    assert(out(3L) === Seq("completeness(txt)",         // null txt +
+      "min_bound(n)"))                                  // n=5 < 10
+    assert(out(4L) === Seq("match_ratio(lang)"))        // lang=zz
+    assert(out(7L) === Seq("match_ratio(lang)"))        // lang=es
+    // a null predicate result is a violation, not a pass-through
+    val withNullLang = Seq((9L, "x", null.asInstanceOf[String], 50L))
+      .toDF("id", "txt", "lang", "n")
+    assert(Constraints.enforce(withNullLang, suite)
+      .select(col("violations")).as[Seq[String]].head()
+      === Seq("match_ratio(lang)"))
+    intercept[IllegalArgumentException] {
+      Constraints.enforce(constraintFixture, Seq(SizeMin(1.0)))
+    }
+  }
+
+  // ---- Privacy (k-anonymity / suppression) ----
+
+  test("k-anonymity audit partitions rows exactly; suppression keeps " +
+      "precisely the classes >= k (null quasi-ids form a class)") {
+    import graft.operators.Privacy
+    val df = Seq(
+      ("a", 1, "s1"), ("a", 1, "s2"), ("a", 1, "s1"),
+      ("b", 2, "s1"), ("b", 2, "s1"),
+      ("c", 3, "s3"),
+      (null.asInstanceOf[String], 4, "s1"),
+      (null.asInstanceOf[String], 4, "s2"))
+      .toDF("qi1", "qi2", "sens")
+    val audit = Privacy.audit(df, Seq("qi1", "qi2"), "sens", k = 3, l = 2)
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // sizes: {a}=3, {b}=2, {c}=1, {null}=2
+    assert(audit(3L) === ((1L, 3L, false, 0L))) // a: l=2, diverse
+    assert(audit(2L) === ((2L, 4L, true, 1L)))  // b (l=1) + null (l=2)
+    assert(audit(1L) === ((1L, 1L, true, 1L)))  // c
+    assert(audit.values.map(_._2).sum === df.count())
+
+    val kept = Privacy.suppressBelowK(df, Seq("qi1", "qi2"), 2)
+    assert(kept.count() === 7, "only the singleton class c drops at k=2")
+    assert(kept.where(col("qi1").isNull).count() === 2,
+      "the null-pattern class is kept as a unit (null-safe join)")
+    val kept3 = Privacy.suppressBelowK(df, Seq("qi1", "qi2"), 3)
+    assert(kept3.select("qi1").distinct().as[String].collect().toSeq
+      === Seq("a"), "at k=3 only class a survives")
+  }
 }

@@ -1844,6 +1844,60 @@ class StreamingSpec extends AnyFunSuite {
       val ids = spark.table("s1_latest").collect().map(_.getLong(0)).toSet
       assert(ids === Set(2L))
     } finally q.stop()
+  }
+
+  test("streaming data-quality monitor: per-batch constraint STATES " +
+      "appended to a metrics table merge to the exact batch suite " +
+      "(the mergeable-monoid contract, grouped by source)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators._
+    val suite = Seq(
+      Completeness("text", 0.99),
+      MinBound("n_chars", 40.0),
+      MaxBound("n_chars", 500.0),
+      MatchRatio("lang", "^(en|de|fr|es)$", 0.9),
+      SizeMin(1.0))
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val rows = docs.as[(Long, String, String, String, Long)]
+      .collect().toSeq
+    val chunks = rows.grouped(math.max(1, rows.size / 3)).toSeq
+    val stateDir = GraftTestSpark.tmpDir("graft-dq-state")
+    val chk = GraftTestSpark.tmpDir("graft-dq-chk")
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    // the metrics repository: one SMALL state row per (batch, source)
+    // — the corpus never re-scans
+    val q = graft.streaming.QualityMonitor.maintain(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        stateDir, suite, Seq("source"))
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val merged = graft.streaming.QualityMonitor.report(
+        spark, stateDir, suite, Seq("source"))
+      val batchRun = Constraints.run(docs, suite, Seq("source"))
+      assert(merged.collect().toSet === batchRun.collect().toSet,
+        "incremental metrics must equal the single-pass batch suite")
+      // the monitor actually observed per-batch granularity, and one
+      // batch's own slice equals the suite run over just that chunk
+      assert(new java.io.File(stateDir).listFiles()
+        .count(_.getName.startsWith("batch=")) === chunks.size)
+      val slice0 = graft.streaming.QualityMonitor.batchReport(
+        spark, stateDir, 0L, suite, Seq("source"))
+      val chunk0 = Constraints.run(
+        chunks.head.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        suite, Seq("source"))
+      assert(slice0.collect().toSet === chunk0.collect().toSet,
+        "per-batch slice must equal the suite over that batch alone")
+      // non-mergeable constraints are rejected up front
+      intercept[IllegalArgumentException] {
+        graft.streaming.QualityMonitor.maintain(
+          input.toDF().toDF("doc_id", "text", "lang", "source",
+            "n_chars"),
+          stateDir, Seq(UniqueRatio("doc_id", 1.0)))
+      }
+    } finally q.stop()
   }}
 
 
