@@ -3233,6 +3233,56 @@ object Oracles {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q219: the suggestion loop replayed — baseline (even doc_ids)
+    // profile becomes the thresholds, evaluated per source on the odd
+    // half; thresholds are single divisions of exact longs on both
+    // engines, so even the derived doubles hash-match
+    "q219_suite_drift" ->
+      """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(text) AS BIGINT) AS c_text,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS ud,
+        |  CAST(count(doc_id) AS BIGINT) AS un,
+        |  CAST(min(n_chars) AS DOUBLE) AS lo,
+        |  CAST(max(n_chars) AS DOUBLE) AS hi FROM v1),
+        |top3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM v1
+        |  WHERE lang IS NOT NULL GROUP BY lang
+        |  ORDER BY cnt DESC, lang ASC LIMIT 3),
+        |bs AS (SELECT CAST(sum(cnt) AS BIGINT) AS in_mass FROM top3),
+        |s AS (SELECT source,
+        |  CAST(count(text) AS BIGINT) AS c0n,
+        |  CAST(count(*) AS BIGINT) AS c0d,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS c1n,
+        |  CAST(count(doc_id) AS BIGINT) AS c1d,
+        |  CAST(min(n_chars) AS DOUBLE) AS mn,
+        |  CAST(max(n_chars) AS DOUBLE) AS mx,
+        |  CAST(sum(CASE WHEN lang IN (SELECT lang FROM top3)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS c4n,
+        |  CAST(count(*) AS BIGINT) AS c4d
+        |  FROM v2 GROUP BY source)
+        |SELECT source, constraint_type, column_name, metric, threshold,
+        |  CASE WHEN op = '>=' THEN metric >= threshold
+        |    ELSE metric <= threshold END AS passed
+        |FROM (
+        |  SELECT s.source, 'completeness' AS constraint_type,
+        |    'text' AS column_name,
+        |    CAST(c0n AS DOUBLE)/CAST(c0d AS DOUBLE) AS metric,
+        |    CAST(b.c_text AS DOUBLE)/CAST(b.n AS DOUBLE) AS threshold,
+        |    '>=' AS op FROM s, b
+        |  UNION ALL SELECT s.source, 'unique_ratio', 'doc_id',
+        |    CAST(c1n AS DOUBLE)/CAST(c1d AS DOUBLE),
+        |    CAST(b.ud AS DOUBLE)/CAST(b.un AS DOUBLE), '>=' FROM s, b
+        |  UNION ALL SELECT s.source, 'min_bound', 'n_chars', mn,
+        |    b.lo, '>=' FROM s, b
+        |  UNION ALL SELECT s.source, 'max_bound', 'n_chars', mx,
+        |    b.hi, '<=' FROM s, b
+        |  UNION ALL SELECT s.source, 'in_set_ratio', 'lang',
+        |    CAST(c4n AS DOUBLE)/CAST(c4d AS DOUBLE),
+        |    CAST(bs.in_mass AS DOUBLE)/CAST(b.n AS DOUBLE), '>='
+        |    FROM s, b, bs)
+        |ORDER BY source, constraint_type, column_name""".stripMargin,
+
     // q217: suppress classes below k, then the survivor segment
     // rollup with integer-cents balances
     "q217_k_suppression" ->

@@ -5938,6 +5938,34 @@ object Queries {
       .orderBy(col("source"), col("disposition"))
   }
 
+  /** Suite drift — the suggestion half of the Deequ story closing the
+    * loop: the suite is DERIVED from a baseline corpus version's own
+    * profile ([[graft.operators.Constraints.suggest]] — observed
+    * completeness/uniqueness/bounds as thresholds, the top-3 langs by
+    * mass with the baseline's own in-set ratio), then evaluated on
+    * the NEXT corpus version per source, so "did quality drift, and
+    * where?" is a pass/fail report with zero hand-written thresholds.
+    * Baseline = even doc_ids, next = odd — a deterministic split
+    * standing in for two snapshot versions.
+    *
+    * Scale shape: suggestion = one aggregate pass + one
+    * |distinct langs| top-k on the baseline (O(cols+k) rows to the
+    * driver — a threshold decision, the q134 probe-literal class);
+    * evaluation = q215's one-scan grouped suite on the next version. */
+  def q219SuiteDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators._
+    val docs = t(spark, dir).documents
+    val v1 = docs.where(col("doc_id") % 2 === 0)
+    val v2 = docs.where(col("doc_id") % 2 === 1)
+    val suite = Constraints.suggest(v1,
+      completenessCols = Seq("text"),
+      uniqueCols = Seq("doc_id"),
+      boundCols = Seq("n_chars"),
+      setCols = Seq(("lang", 3)))
+    Constraints.run(v2, suite, Seq("source"))
+      .orderBy(col("source"), col("constraint_type"), col("column_name"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6157,5 +6185,6 @@ object Queries {
     "q215_constraint_suite" -> (q215ConstraintSuite _),
     "q216_k_anonymity" -> (q216KAnonymity _),
     "q217_k_suppression" -> (q217KSuppression _),
-    "q218_expectations" -> (q218Expectations _))
+    "q218_expectations" -> (q218Expectations _),
+    "q219_suite_drift" -> (q219SuiteDrift _))
 }

@@ -211,6 +211,63 @@ object Constraints {
       groupBy: Seq[String] = Nil): DataFrame =
     report(state(df, cs, groupBy), cs, groupBy)
 
+  /** Constraint SUGGESTION — derive a suite from a baseline corpus's
+    * own profile (the Deequ suggestion idea): observed completeness
+    * ratios become completeness thresholds, observed min/max become
+    * bounds, each set column's top-k values by frequency become a
+    * membership set whose threshold is the baseline's own in-set
+    * ratio, and key columns assert their observed uniqueness.
+    * Evaluating the suggested suite on a LATER corpus version turns
+    * "did quality drift?" into [[run]]'s pass/fail report — no
+    * hand-written thresholds.
+    *
+    * Cost: ONE aggregate pass over the baseline for every ratio and
+    * bound, plus one |distinct|-sized aggregation per set column for
+    * the top-k (both collect O(columns + k) rows to the driver — a
+    * threshold decision, not a data move; the q134-probe-literal
+    * class). Thresholds are exact: single divisions of collected
+    * longs, so the suggested suite reproduces bit-identically on any
+    * partitioning. */
+  def suggest(df: DataFrame,
+      completenessCols: Seq[String] = Nil,
+      uniqueCols: Seq[String] = Nil,
+      boundCols: Seq[String] = Nil,
+      setCols: Seq[(String, Int)] = Nil): Seq[Constraint] = {
+    val aggs =
+      (count(lit(1)).as("__n") +:
+        completenessCols.map(c => count(col(c)).as(s"__c_$c"))) ++
+        uniqueCols.flatMap(c => Seq(
+          countDistinct(col(c)).as(s"__ud_$c"),
+          count(col(c)).as(s"__un_$c"))) ++
+        boundCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__lo_$c"),
+          max(col(c)).cast("double").as(s"__hi_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def l(name: String): Long = row.getAs[Long](name)
+    def d(name: String): Double = row.getAs[Double](name)
+    val n = l("__n")
+    val fromProfile: Seq[Constraint] =
+      completenessCols.map(c =>
+        Completeness(c, l(s"__c_$c").toDouble / n.toDouble)) ++
+        uniqueCols.map(c => UniqueRatio(c,
+          l(s"__ud_$c").toDouble / l(s"__un_$c").toDouble)) ++
+        boundCols.flatMap(c =>
+          Seq(MinBound(c, d(s"__lo_$c")), MaxBound(c, d(s"__hi_$c"))))
+    val fromSets: Seq[Constraint] = setCols.map { case (c, k) =>
+      // top-k values by (count desc, value asc) — a deterministic
+      // cut; the threshold is the baseline's OWN in-set mass, so the
+      // suite asserts "no more tail drift than the baseline had"
+      val counted = df.where(col(c).isNotNull).groupBy(col(c))
+        .agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col(c).asc)
+        .limit(k).collect()
+      val values = counted.map(_.getString(0)).toSeq
+      val inSet = counted.map(_.getAs[Long]("__cnt")).sum
+      InSetRatio(c, values, inSet.toDouble / n.toDouble)
+    }
+    fromProfile ++ fromSets
+  }
+
   /** The expectations/quarantine half: tag every row with the array
     * of row-level constraints it VIOLATES (empty array = clean). A
     * null predicate result counts as violated — a null lang neither

@@ -47,7 +47,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q126_histogram_quantiles", // integer-rank bin interpolation
     "q127_modality_agreement", // pair-table full-outer flag sums
     "q128_forget_cascade",    // CC labels + deletion flag sums
-    "q129_oov_rate")          // deterministic top-256 vocab cut
+    "q129_oov_rate",          // deterministic top-256 vocab cut
+    "q215_constraint_suite",  // exact-long ratio metrics, one division
+    "q218_expectations",      // row-tag routing matrix, integer sums
+    "q219_suite_drift")       // driver-derived thresholds, exact longs
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {

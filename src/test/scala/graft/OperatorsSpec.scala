@@ -1315,6 +1315,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("suggest derives the baseline's own profile as thresholds, so " +
+      "the suggested suite PASSES on the baseline itself") {
+    import graft.operators._
+    val suite = Constraints.suggest(constraintFixture,
+      completenessCols = Seq("txt"),
+      uniqueCols = Seq("id"),
+      boundCols = Seq("n"),
+      setCols = Seq(("lang", 2)))
+    // exact derived thresholds
+    assert(suite.collect { case Completeness("txt", t) => t }
+      === Seq(7.0 / 8.0))
+    assert(suite.collect { case UniqueRatio("id", t) => t } === Seq(1.0))
+    assert(suite.collect { case MinBound("n", t) => t } === Seq(5.0))
+    assert(suite.collect { case MaxBound("n", t) => t } === Seq(60.0))
+    // top-2 langs by (count desc, value asc): en(3), de(2) — the tie
+    // between de/es/fr/zz resolves by count first, then value
+    val inSet = suite.collect { case c: InSetRatio => c }.head
+    assert(inSet.values === Seq("en", "de"))
+    assert(inSet.threshold === 5.0 / 8.0)
+    // the defining property: a corpus always passes its own profile
+    val rep = Constraints.run(constraintFixture, suite)
+    assert(rep.where(!col("passed")).count() === 0,
+      "baseline must pass its own suggested suite")
+    // and a drifted corpus fails exactly the drifted dimensions
+    val drifted = Seq((9L, "x", "zz", 100L), (10L, "y", "zz", 3L))
+      .toDF("id", "txt", "lang", "n")
+    val failed = Constraints.run(drifted, suite)
+      .where(!col("passed")).select("constraint_type")
+      .as[String].collect().toSet
+    assert(failed === Set("min_bound", "max_bound", "in_set_ratio"))
+  }
+
   test("enforce tags each row with exactly its violations; nulls " +
       "violate; aggregate-only suites are rejected") {
     import graft.operators._

@@ -1898,6 +1898,56 @@ class StreamingSpec extends AnyFunSuite {
           stateDir, Seq(UniqueRatio("doc_id", 1.0)))
       }
     } finally q.stop()
+  }
+
+  test("quality drift localizes to its batch: one corrupted batch " +
+      "fails its OWN batchReport while the lifetime aggregate absorbs " +
+      "it — the reason the monitor keeps per-batch granularity") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators._
+    val suite = Seq(
+      MatchRatio("lang", "^(en|de|fr|es|zh)$", 0.95),
+      MaxBound("n_chars", 600.0))
+    val good = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // the bad batch: unknown lang + inflated lengths on every row —
+    // small enough (2 of ~52 rows) that the lifetime ratio stays
+    // above threshold while the batch's own ratio is 0
+    val bad = good.take(2).map(r =>
+      (r._1 + 1000000L, r._2, "xx", r._4, r._5 + 10000L))
+    val stateDir = GraftTestSpark.tmpDir("graft-dq-drift")
+    val chk = GraftTestSpark.tmpDir("graft-dq-drift-chk")
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = graft.streaming.QualityMonitor.maintain(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        stateDir, suite)
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      Seq(good.take(30), bad, good.drop(30)).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      def failures(rep: org.apache.spark.sql.DataFrame): Set[String] =
+        rep.where(!col("passed")).select("constraint_type")
+          .as[String].collect().toSet
+      assert(failures(graft.streaming.QualityMonitor.batchReport(
+        spark, stateDir, 0L, suite)) === Set.empty)
+      assert(failures(graft.streaming.QualityMonitor.batchReport(
+        spark, stateDir, 1L, suite))
+        === Set("match_ratio", "max_bound"),
+        "the corrupted batch must fail in its own slice")
+      assert(failures(graft.streaming.QualityMonitor.batchReport(
+        spark, stateDir, 2L, suite)) === Set.empty)
+      // the lifetime ratio absorbs 40 bad rows into ~640 total (the
+      // alarm a lifetime-only monitor would MISS)...
+      val lifetime = graft.streaming.QualityMonitor.report(
+        spark, stateDir, suite)
+      assert(!failures(lifetime).contains("match_ratio"),
+        "ratio drift is invisible in the lifetime aggregate")
+      // ...while the max bound, a lifetime-monotone metric, still trips
+      assert(failures(lifetime).contains("max_bound"))
+    } finally q.stop()
   }}
 
 
