@@ -1403,4 +1403,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept3.select("qi1").distinct().as[String].collect().toSeq
       === Seq("a"), "at k=3 only class a survives")
   }
+
+  test("suppressBelowK ≡ brute-force class filter on random frames " +
+      "with null quasi-ids (property)") {
+    import graft.operators.Privacy
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val rows = Seq.fill(40 + rnd.nextInt(60))((
+        if (rnd.nextInt(5) == 0) null.asInstanceOf[String]
+        else s"g${rnd.nextInt(4)}",
+        rnd.nextInt(3), rnd.nextInt(100).toLong))
+      val df = rows.toDF("qi1", "qi2", "payload")
+      val k = 1 + rnd.nextInt(6)
+      val expect = rows.groupBy(r => (r._1, r._2)).values
+        .filter(_.size >= k).flatten.toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val got = Privacy.suppressBelowK(df, Seq("qi1", "qi2"), k)
+        .as[(String, Int, Long)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === expect, s"trial $trial k=$k")
+    }
+  }
+
+  test("threshold literals round-trip through the stack finalization " +
+      "(shortest-repr doubles, float-noise values, E-notation)") {
+    import graft.operators._
+    val gnarly = Seq(0.1 + 0.2, 1.0 / 3.0, 1.0e-7, 12345678.9)
+    gnarly.foreach { th =>
+      val rep = Constraints.run(constraintFixture,
+        Seq(Completeness("txt", th)))
+      val out = rep.select("threshold").as[Double].head()
+      assert(out === th,
+        s"threshold $th must survive the literal round-trip exactly")
+    }
+  }
 }
