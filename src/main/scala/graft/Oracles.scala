@@ -3283,21 +3283,31 @@ object Oracles {
         |    FROM s, b, bs)
         |ORDER BY source, constraint_type, column_name""".stripMargin,
 
-    // q217: suppress classes below k, then the survivor segment
-    // rollup with integer-cents balances
+    // q217: suppress classes below k, report BOTH sides per segment
+    // (totals left-joined with the survivor rollup, integer cents)
     "q217_k_suppression" ->
       """WITH cust AS (SELECT *,
         |  CAST(floor(c_acctbal/1000.0) AS BIGINT) AS bal_band
         |  FROM customer),
         |keep AS (SELECT c_nationkey, bal_band FROM cust
-        |  GROUP BY 1, 2 HAVING count(*) >= 5)
-        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations,
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |t AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM cust GROUP BY 1),
+        |k AS (SELECT c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS kept_raw,
+        |  CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS nations_raw,
         |  CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT)
-        |    AS bal_cents
-        |FROM cust c JOIN keep k ON c.c_nationkey = k.c_nationkey
-        |  AND c.bal_band = k.bal_band
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    AS cents_raw
+        |  FROM cust c JOIN keep kp ON c.c_nationkey = kp.c_nationkey
+        |    AND c.bal_band = kp.bal_band
+        |  GROUP BY 1)
+        |SELECT t.c_mktsegment, t.n_total,
+        |  coalesce(k.kept_raw, 0) AS n_kept,
+        |  t.n_total - coalesce(k.kept_raw, 0) AS n_suppressed,
+        |  coalesce(k.nations_raw, 0) AS n_nations,
+        |  coalesce(k.cents_raw, 0) AS kept_bal_cents
+        |FROM t LEFT JOIN k ON t.c_mktsegment = k.c_mktsegment
+        |ORDER BY t.c_mktsegment""".stripMargin,
 
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES

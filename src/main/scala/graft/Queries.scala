@@ -5891,21 +5891,33 @@ object Queries {
       .orderBy(col("class_size"))
   }
 
-  /** k-anonymization by suppression, then the post-suppression
-    * segment profile: rows whose (nation, balance-band) class has
-    * fewer than 5 members are dropped ([[graft.operators.Privacy
-    * .suppressBelowK]] — class aggregation + null-safe semi-join on
-    * the same keys, exchange-reusable), and the survivors roll up per
-    * market segment with integer-cents balance sums. */
+  /** k-anonymization by suppression, reported from BOTH sides: rows
+    * whose (nation, balance-band) class has fewer than 5 members are
+    * dropped ([[graft.operators.Privacy.suppressBelowK]] — class
+    * aggregation + null-safe semi-join on the same keys,
+    * exchange-reusable), and the per-segment report carries total /
+    * kept / suppressed counts plus the survivors' integer-cents
+    * balance mass — so the privacy cost of the cut is visible even
+    * where suppression is total (at tiny SFs every class is small
+    * and n_kept is rightly 0). */
   def q217KSuppression(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir).customer
       .withColumn("bal_band", floor(col("c_acctbal") / lit(1000.0)))
-    graft.operators.Privacy
+    val totals = cust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_total"))
+    val kept = graft.operators.Privacy
       .suppressBelowK(cust, Seq("c_nationkey", "bal_band"), 5)
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("c_nationkey")).as("n_nations"),
-        centsSum(col("c_acctbal")).as("bal_cents"))
+      .agg(count(lit(1)).as("kept_raw"),
+        countDistinct(col("c_nationkey")).as("nations_raw"),
+        centsSum(col("c_acctbal")).as("cents_raw"))
+    totals.join(kept, Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"), col("n_total"),
+        coalesce(col("kept_raw"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("kept_raw"), lit(0L)))
+          .as("n_suppressed"),
+        coalesce(col("nations_raw"), lit(0L)).as("n_nations"),
+        coalesce(col("cents_raw"), lit(0L)).as("kept_bal_cents"))
       .orderBy(col("c_mktsegment"))
   }
 
