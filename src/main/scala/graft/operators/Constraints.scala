@@ -184,6 +184,16 @@ object Constraints {
     * the aggregated frame (|groups| × |constraints| rows). */
   def report(st: DataFrame, cs: Seq[Constraint],
       groupBy: Seq[String] = Nil): DataFrame = {
+    // the stack expression interpolates column names and thresholds
+    // as SQL literals — fail fast on anything that couldn't be a
+    // plain identifier (or "*") rather than produce a parse error
+    // three operators later
+    cs.foreach { c =>
+      require(c.column.matches("[A-Za-z0-9_.]+|\\*"),
+        s"constraint column is not a plain identifier: '${c.column}'")
+      require(!c.threshold.isNaN && !c.threshold.isInfinite,
+        s"non-finite threshold for ${c.tag}")
+    }
     val stackArgs = cs.zipWithIndex.map { case (c, i) =>
       s"'${c.constraintType}', '${c.column}', '${c.kind}', '${c.op}', " +
         s"c${i}_num, c${i}_den, c${i}_min, c${i}_max, " +
@@ -246,6 +256,7 @@ object Constraints {
     def l(name: String): Long = row.getAs[Long](name)
     def d(name: String): Double = row.getAs[Double](name)
     val n = l("__n")
+    require(n > 0, "cannot suggest constraints from an empty baseline")
     val fromProfile: Seq[Constraint] =
       completenessCols.map(c =>
         Completeness(c, l(s"__c_$c").toDouble / n.toDouble)) ++

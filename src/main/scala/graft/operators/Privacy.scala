@@ -56,6 +56,9 @@ object Privacy {
     * any other). */
   def suppressBelowK(df: DataFrame, quasiIds: Seq[String], k: Int)
       : DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(df.columns.forall(!_.startsWith("__k_")),
+      "__k_ column prefix is reserved by suppressBelowK's join")
     val keep = df.groupBy(quasiIds.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
       .where(col("class_size") >= k)
