@@ -73,14 +73,17 @@ case class PendingCompaction(dir: String, replaced: Seq[String],
   * deterministically —
   *  - lock EMPTY: the compactor died before writing anything; drop
   *    the lock.
-  *  - lock holds only the cycle nonce: died mid-write; its partial
-  *    `compact-<nonce>-*` copies and staging dir are deleted (every
-  *    original is still present — the snapshot manifest, which gates
-  *    any commit, was never written). ROLL BACK.
-  *  - lock holds nonce + snapshot manifest: the write phase completed;
-  *    the commit may have partially run. The copies hold every
-  *    snapshot row, so recovery deletes whatever snapshot files
-  *    remain and drops the lock. ROLL FORWARD.
+  *  - lock lacks a trailing COMMIT sentinel (nonce only, or nonce +
+  *    a torn partial manifest): died mid-write or mid-manifest; its
+  *    partial `compact-<nonce>-*` copies and staging dir are deleted
+  *    (every original is still present — a complete manifest, which
+  *    alone gates any commit, was never durably written). ROLL BACK.
+  *  - lock holds nonce + snapshot manifest + the COMMIT sentinel
+  *    (written LAST, so its presence proves the manifest complete):
+  *    the write phase finished; the commit may have partially run.
+  *    The copies hold every snapshot row, so recovery deletes
+  *    whatever snapshot files remain and drops the lock. ROLL
+  *    FORWARD.
   * Until [[recover]] runs, the locked unit is simply skipped by later
   * compactions and the window dedup keeps readers exact.
   *
@@ -141,11 +144,11 @@ object Compaction {
         // exclusive create — lose the race, skip the unit (fail fast,
         // never interleave two compactions of the same unit)
         if (scala.util.Try(fs.createNewFile(lock)).getOrElse(false)) {
-          locks += lock.toString
           // re-list under the lock: a compactor that committed between
           // our probe listing and the lock acquire changed the files
           val files = dataFiles()
           if (files.length > outFiles(files)) {
+            locks += lock.toString
             // WAL stage 1: the cycle nonce names this cycle's staging
             // dir and copies, so a mid-write crash is undoable
             val nonce = System.nanoTime()
@@ -161,12 +164,19 @@ object Compaction {
                   new Path(d, s"compact-$nonce-$i.parquet"))
               }
             fs.delete(tmp, true)
-            // WAL stage 2: the snapshot manifest — its presence is
-            // what authorizes a commit (or a roll-forward recovery)
+            // WAL stage 2: the snapshot manifest, SENTINEL LAST — a
+            // torn rewrite leaves no trailing COMMIT line, so recovery
+            // can only roll forward from a manifest that is provably
+            // complete (its presence is what authorizes a commit)
             val snap = files.map(_.getPath.toString)
             write(lock,
-              s"$nonce\n$ManifestMark\n${snap.mkString("\n")}\n")
+              s"$nonce\n${snap.mkString("\n")}\n$ManifestMark\n")
             snap.foreach(replaced += _)
+          } else {
+            // the race winner already consolidated this unit: release
+            // the lock NOW — a deferred commit must not block the
+            // unit's future cycles for a no-op
+            fs.delete(lock, false)
           }
         }
       }
@@ -203,17 +213,24 @@ object Compaction {
       if (s.isDirectory) sweep(s.getPath)
       else if (s.getPath.getName == LockName) {
         val unit = s.getPath.getParent
+        // readFully, not a single read(): a short read that truncated
+        // the manifest would misroute a completed write to ROLL BACK —
+        // deleting copies whose originals an interrupted commit may
+        // already have removed
+        val len = s.getLen.toInt
+        val buf = new Array[Byte](len)
         val in = fs.open(s.getPath)
-        val content = try {
-          val buf = new Array[Byte](math.max(1, s.getLen.toInt))
-          val n = in.read(buf)
-          if (n <= 0) "" else new String(buf, 0, n, StandardCharsets.UTF_8)
-        } finally in.close()
+        try { if (len > 0) in.readFully(0, buf) } finally in.close()
+        val content = new String(buf, StandardCharsets.UTF_8)
         val lines = content.split("\n").toSeq.filter(_.nonEmpty)
-        if (lines.size >= 2 && lines(1) == ManifestMark) {
+        // roll forward ONLY on a provably complete manifest: the
+        // COMMIT sentinel is written last, so a torn rewrite cannot
+        // masquerade as one
+        if (lines.size >= 2 && lines.last == ManifestMark) {
           // write phase completed: the copies hold every snapshot row
           // — finish the interrupted commit
-          lines.drop(2).foreach(f => fs.delete(new Path(f), false))
+          lines.slice(1, lines.size - 1)
+            .foreach(f => fs.delete(new Path(f), false))
           forward += 1
         } else {
           // died mid-write (or before writing anything): undo this

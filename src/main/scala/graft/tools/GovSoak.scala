@@ -35,9 +35,9 @@ object GovSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val n = docs.count() // warm the file listing + footer cache
+    val nDocs = docs.count() // warm the file listing + footer cache
 
-    def time(label: String)(body: => Long): Unit = {
+    def timed(label: String, n: Long)(body: => Long): Unit = {
       val secs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val rows = body
@@ -45,6 +45,8 @@ object GovSoak {
       }
       println(f"""{"tool":"govsoak","dir":"$dir","n":$n,"case":"$label","rows":${secs.head._2},"secs":${secs.map(_._1).min}%.2f}""")
     }
+    def time(label: String)(body: => Long): Unit =
+      timed(label, nDocs)(body)
 
     time("suite_1")(Constraints.run(docs,
       family(0).take(1), Seq("source")).count())
@@ -71,6 +73,8 @@ object GovSoak {
     // file-overhead-bound
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val nLi = li.count()
+    def timeLi(label: String)(body: => Long): Unit =
+      timed(label, nLi)(body)
     def liFam(i: Int): Seq[Constraint] = Seq(
       Completeness("l_quantity", 0.99 - i * 0.001),
       MinBound("l_quantity", 1.0 - i),
@@ -78,14 +82,6 @@ object GovSoak {
       MinBound("l_discount", -0.01 - i * 0.001),
       MaxBound("l_tax", 1.0 + i),
       InSetRatio("l_returnflag", Seq("A", "N", "R"), 1.0 - i * 0.001))
-    def timeLi(label: String)(body: => Long): Unit = {
-      val secs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val rows = body
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }
-      println(f"""{"tool":"govsoak","dir":"$dir","n":$nLi,"case":"$label","rows":${secs.head._2},"secs":${secs.map(_._1).min}%.2f}""")
-    }
     timeLi("li_suite_1")(Constraints.run(li,
       liFam(0).take(1), Seq("l_returnflag")).count())
     timeLi("li_suite_6")(Constraints.run(li,

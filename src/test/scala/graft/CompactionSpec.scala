@@ -173,6 +173,18 @@ class CompactionSpec extends AnyFunSuite {
     assert(readIds(root) == before,
       "roll-back drops the partial copy; originals intact")
     assert(parquetFiles(root).toSet == originals)
+
+    // a TORN manifest (file list present but no trailing COMMIT
+    // sentinel) must also roll back — only a provably complete
+    // manifest may authorize deleting originals
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(root, ".compact-lock"), true)
+    out2.write(s"$nonce\nfile:$root/${originals.head}\n".getBytes("UTF-8"))
+    out2.close()
+    assert(Compaction.recover(spark, root) == ((0, 1)))
+    assert(parquetFiles(root).toSet == originals,
+      "a torn manifest must never delete the listed originals")
+
     assert(Compaction.compact(spark, root) == 3,
       "the unit compacts normally after recovery")
     assert(readIds(root) == before)

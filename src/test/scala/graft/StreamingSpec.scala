@@ -1939,8 +1939,8 @@ class StreamingSpec extends AnyFunSuite {
         "the corrupted batch must fail in its own slice")
       assert(failures(graft.streaming.QualityMonitor.batchReport(
         spark, stateDir, 2L, suite)) === Set.empty)
-      // the lifetime ratio absorbs 40 bad rows into ~640 total (the
-      // alarm a lifetime-only monitor would MISS)...
+      // the lifetime ratio absorbs the 2 bad rows into ~502 total
+      // (the alarm a lifetime-only monitor would MISS)...
       val lifetime = graft.streaming.QualityMonitor.report(
         spark, stateDir, suite)
       assert(!failures(lifetime).contains("match_ratio"),
