@@ -70,7 +70,13 @@ object GovSoak {
     // the row-volume case: the same ladder over lineitem (~12× the
     // documents row count at gen10), numeric + flag constraints, so
     // flatness is measured where the scan is data-bound rather than
-    // file-overhead-bound
+    // file-overhead-bound. Skipped when the corpus was generated
+    // documents-only (GenData table subsets).
+    val liPath = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    if (!liPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(liPath)) {
+      spark.stop(); return
+    }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val nLi = li.count()
     def timeLi(label: String)(body: => Long): Unit =

@@ -1299,6 +1299,55 @@ class OperatorsSpec extends AnyFunSuite {
       "distinct counting must be rejected from incremental suites")
   }
 
+  test("constraint suite ≡ in-memory brute force on random null-laden " +
+      "frames (property)") {
+    import graft.operators._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val rows = Seq.fill(30 + rnd.nextInt(50))((
+        rnd.nextLong(),
+        if (rnd.nextInt(6) == 0) null.asInstanceOf[String]
+        else s"w${rnd.nextInt(9)}",
+        if (rnd.nextInt(7) == 0) null.asInstanceOf[String]
+        else Seq("en", "de", "xx")(rnd.nextInt(3)),
+        rnd.nextInt(200).toLong))
+      val df = rows.toDF("id", "txt", "lang", "n")
+      val thC = rnd.nextDouble()
+      val thM = rnd.nextDouble()
+      val lo = rnd.nextInt(50).toDouble
+      val hi = (100 + rnd.nextInt(100)).toDouble
+      val suite = Seq(
+        Completeness("txt", thC),
+        MatchRatio("lang", "^(en|de)$", thM),
+        InSetRatio("lang", Seq("en", "de"), thM),
+        MinBound("n", lo), MaxBound("n", hi),
+        SizeMin(rows.size.toDouble))
+      val got = Constraints.run(df, suite)
+        .select("constraint_type", "metric", "passed")
+        .as[(String, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val nTot = rows.size.toDouble
+      val matchN = rows.count(r =>
+        r._3 != null && (r._3 == "en" || r._3 == "de")).toDouble
+      val exp = Map(
+        "completeness" ->
+          (rows.count(_._2 != null).toDouble / nTot),
+        "match_ratio" -> (matchN / nTot),
+        "in_set_ratio" -> (matchN / nTot),
+        "min_bound" -> rows.map(_._4).min.toDouble,
+        "max_bound" -> rows.map(_._4).max.toDouble,
+        "size_min" -> nTot)
+      exp.foreach { case (k, m) =>
+        assert(got(k)._1 === m, s"trial $trial metric $k")
+      }
+      assert(got("completeness")._2 === (exp("completeness") >= thC))
+      assert(got("match_ratio")._2 === (exp("match_ratio") >= thM))
+      assert(got("min_bound")._2 === (exp("min_bound") >= lo))
+      assert(got("max_bound")._2 === (exp("max_bound") <= hi))
+      assert(got("size_min")._2 === true)
+    }
+  }
+
   test("grouped constraint suite: per-group rows equal per-group runs") {
     import graft.operators._
     val suite = Seq(Completeness("txt", 0.9), MaxBound("n", 50.0))
