@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Compaction
+import graft.operators.{Compaction, Recovery}
 
 /** Property pin for the generic two-phase compaction helper
   * ([[graft.operators.Compaction]]) that the vector index, the CDC
@@ -139,7 +139,7 @@ class CompactionSpec extends AnyFunSuite {
     assert(crashed.nonEmpty)
     assert(Compaction.compact(spark, root) == 0,
       "unit stays locked after the crash (skip, don't interleave)")
-    assert(Compaction.recover(spark, root) == ((1, 0)))
+    assert(Compaction.recover(spark, root) == Recovery(1, 0, 0))
     assert(readIds(root) == before,
       "roll-forward finishes the commit: exactly the original rows")
     assert(parquetFiles(root).size == 1 &&
@@ -169,7 +169,7 @@ class CompactionSpec extends AnyFunSuite {
     fs.rename(new org.apache.hadoop.fs.Path(root, partial),
       new org.apache.hadoop.fs.Path(root, s"compact-$nonce-0.parquet"))
 
-    assert(Compaction.recover(spark, root) == ((0, 1)))
+    assert(Compaction.recover(spark, root) == Recovery(0, 1, 0))
     assert(readIds(root) == before,
       "roll-back drops the partial copy; originals intact")
     assert(parquetFiles(root).toSet == originals)
@@ -179,15 +179,167 @@ class CompactionSpec extends AnyFunSuite {
     // manifest may authorize deleting originals
     val out2 = fs.create(
       new org.apache.hadoop.fs.Path(root, ".compact-lock"), true)
-    out2.write(s"$nonce\nfile:$root/${originals.head}\n".getBytes("UTF-8"))
+    out2.write(s"$nonce\n".getBytes("UTF-8"))
     out2.close()
-    assert(Compaction.recover(spark, root) == ((0, 1)))
+    val out3 = fs.create(
+      new org.apache.hadoop.fs.Path(root, s".compact-manifest-$nonce"),
+      true)
+    out3.write(s"$nonce\nfile:$root/${originals.head}\n".getBytes("UTF-8"))
+    out3.close()
+    assert(Compaction.recover(spark, root) == Recovery(0, 1, 0))
     assert(parquetFiles(root).toSet == originals,
       "a torn manifest must never delete the listed originals")
+
+    // an EMPTY lock (died between createNewFile and the nonce write;
+    // nothing staged by construction) is a drop-only release, and the
+    // accounting says so — it is NOT a roll-back
+    fs.create(new org.apache.hadoop.fs.Path(root, ".compact-lock"), true)
+      .close()
+    assert(Compaction.recover(spark, root) == Recovery(0, 0, 1))
+    assert(parquetFiles(root).toSet == originals)
 
     assert(Compaction.compact(spark, root) == 3,
       "the unit compacts normally after recovery")
     assert(readIds(root) == before)
+  }
+
+  test("property: recover converges from ANY crash point — random " +
+      "lock/manifest truncations + copy/original subsets, flat (CDC) " +
+      "and bucket= (pair-table) layouts, ~100 unit states") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(GraftTestSpark.tmpDir("crashseed"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rnd = new scala.util.Random(42)
+
+    def readBytes(p: Path): Array[Byte] = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try { if (len > 0) in.readFully(0, buf) } finally in.close()
+      buf
+    }
+    def writeBytes(p: Path, b: Array[Byte]): Unit = {
+      val out = fs.create(p, true)
+      try out.write(b) finally out.close()
+    }
+    def truncate(p: Path, k: Int): Unit =
+      writeBytes(p, readBytes(p).take(k))
+    def listNames(d: Path): Seq[String] =
+      fs.listStatus(d).map(_.getPath.getName).toSeq
+    def controlFiles(root: Path): Seq[String] = {
+      val acc = Seq.newBuilder[String]
+      def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) { if (n.startsWith(".compact-tmp-")) acc += n
+          else walk(s.getPath) }
+        else if (n == ".compact-lock" || n.startsWith(".compact-manifest-"))
+          acc += n
+      }
+      walk(root); acc.result()
+    }
+
+    var stateCount = 0
+    var fwdSeen = 0
+    var backSeen = 0
+    for (trial <- 1 to 60) { // 40×2 + 20×1 = 100 random unit states
+      val buckets = trial % 3 != 0 // 2/3 of trials: pair-table layout
+      val root = GraftTestSpark.tmpDir(s"crashprop$trial")
+      val unitDirs =
+        if (buckets) Seq(s"$root/bucket=0", s"$root/bucket=1")
+        else Seq(root)
+      var next = trial * 1000L
+      unitDirs.foreach { d =>
+        (0 until 2).foreach { _ =>
+          appendFile(d, Seq(next, next + 1)); next += 2
+        }
+      }
+      val before = readIds(root)
+      val pending = Compaction.compactWrite(spark, root,
+        if (buckets) Some("bucket=") else None, 128L << 20)
+      assert(pending.locks.size == unitDirs.size)
+
+      // per unit: pick a crash scenario, mutate the completed
+      // write-phase state into one reachable by a real crash, and
+      // record the expected recovery classification
+      var expF = 0; var expB = 0; var expD = 0
+      unitDirs.foreach { d =>
+        val unit = new Path(d)
+        val lock = new Path(unit, ".compact-lock")
+        val nonce = new String(readBytes(lock), "UTF-8").trim
+        val manifest = new Path(unit, s".compact-manifest-$nonce")
+        val copies = listNames(unit)
+          .filter(_.startsWith(s"compact-$nonce-"))
+        val originals = listNames(unit).filter(n =>
+          n.endsWith(".parquet") && !n.startsWith("compact-"))
+        stateCount += 1
+        rnd.nextInt(5) match {
+          case 0 => // torn nonce write: nothing of the cycle staged yet
+            copies.foreach(c => fs.delete(new Path(unit, c), false))
+            fs.delete(manifest, false)
+            val k = rnd.nextInt(nonce.length + 1) // 0..len (no newline)
+            truncate(lock, k)
+            if (k == 0) expD += 1 else expB += 1
+          case 1 => // died mid-stage: random copy subset, no manifest
+            fs.delete(manifest, false)
+            copies.foreach { c =>
+              if (rnd.nextBoolean()) fs.delete(new Path(unit, c), false)
+            }
+            if (rnd.nextBoolean()) { // leftover staging dir
+              val junk = new Path(unit, s".compact-tmp-$nonce/part-junk")
+              writeBytes(junk, Array[Byte](1, 2, 3))
+            }
+            expB += 1
+          case 2 => // torn manifest: truncated at an arbitrary byte
+            val len = readBytes(manifest).length
+            val k = rnd.nextInt(len)
+            truncate(manifest, k)
+            // complete iff only the final newline was cut — the
+            // sentinel line itself survives any shorter prefix only
+            // as a non-matching fragment
+            val lines = new String(readBytes(manifest), "UTF-8")
+              .split("\n").toSeq.filter(_.nonEmpty)
+            if (lines.size >= 2 && lines.last == "COMMIT") expF += 1
+            else expB += 1
+          case 3 => // commit died mid-snapshot-delete (lock still held)
+            originals.foreach { o =>
+              if (rnd.nextBoolean()) fs.delete(new Path(unit, o), false)
+            }
+            expF += 1
+          case 4 => // commit died after releasing the lock
+            originals.foreach { o =>
+              if (rnd.nextBoolean()) fs.delete(new Path(unit, o), false)
+            }
+            fs.delete(lock, false)
+            expF += 1
+        }
+      }
+
+      val rec = Compaction.recover(spark, root.toString)
+      assert(rec == Recovery(expF, expB, expD),
+        s"trial $trial: got $rec, expected " +
+          s"Recovery($expF, $expB, $expD)")
+      fwdSeen += expF; backSeen += expB
+      assert(readIds(root) == before,
+        s"trial $trial: reader-visible rows changed across recovery")
+      assert(controlFiles(new Path(root)).isEmpty,
+        s"trial $trial: control files left behind")
+      assert(Compaction.recover(spark, root) == Recovery(0, 0, 0),
+        s"trial $trial: recover not idempotent")
+      // converged units must be all-originals or all-compacted, and
+      // stay fully maintainable: a fresh cycle compacts cleanly
+      unitDirs.foreach { d =>
+        val gens = parquetFiles(d).map(n =>
+          if (n.startsWith("compact-")) "c" else "r").toSet
+        assert(gens.size == 1, s"trial $trial: mixed generations in $d")
+      }
+      appendFile(unitDirs.head, Seq(next, next + 1))
+      Compaction.compact(spark, root,
+        if (buckets) Some("bucket=") else None)
+      assert(readIds(root) == (before ++ Seq(next, next + 1)).sorted,
+        s"trial $trial: post-recovery compaction broke the table")
+    }
+    assert(stateCount >= 100 && fwdSeen > 0 && backSeen > 0,
+      s"sweep breadth: $stateCount states ($fwdSeen fwd, $backSeen back)")
   }
 
   test("scoped window dedup: CdcStream readers pay the dedup only " +
