@@ -194,6 +194,14 @@ object Constraints {
       require(!c.threshold.isNaN && !c.threshold.isInfinite,
         s"non-finite threshold for ${c.tag}")
     }
+    // group columns ride the same selectExpr — same guard (a name
+    // needing backticks would otherwise surface as a parse error
+    // three operators later, the exact failure the constraint-column
+    // require closed)
+    groupBy.foreach { g =>
+      require(g.matches("[A-Za-z0-9_]+"),
+        s"group column is not a plain identifier: '$g'")
+    }
     val stackArgs = cs.zipWithIndex.map { case (c, i) =>
       s"'${c.constraintType}', '${c.column}', '${c.kind}', '${c.op}', " +
         s"c${i}_num, c${i}_den, c${i}_min, c${i}_max, " +
@@ -254,23 +262,40 @@ object Constraints {
           max(col(c)).cast("double").as(s"__hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     def l(name: String): Long = row.getAs[Long](name)
-    def d(name: String): Double = row.getAs[Double](name)
+    // fail fast, column-named, on an all-null profile column: getAs
+    // would silently unbox a SQL NULL min/max to 0.0 and emit a
+    // bound the baseline never exhibited (and an all-null unique
+    // column would smuggle a 0/0 NaN threshold into report(), far
+    // from the cause)
+    def d(name: String, c: String): Double = {
+      require(!row.isNullAt(row.fieldIndex(name)),
+        s"cannot suggest a bound from all-null column '$c'")
+      row.getAs[Double](name)
+    }
     val n = l("__n")
     require(n > 0, "cannot suggest constraints from an empty baseline")
     val fromProfile: Seq[Constraint] =
       completenessCols.map(c =>
         Completeness(c, l(s"__c_$c").toDouble / n.toDouble)) ++
-        uniqueCols.map(c => UniqueRatio(c,
-          l(s"__ud_$c").toDouble / l(s"__un_$c").toDouble)) ++
+        uniqueCols.map { c =>
+          require(l(s"__un_$c") > 0,
+            s"cannot suggest uniqueness from all-null column '$c'")
+          UniqueRatio(c,
+            l(s"__ud_$c").toDouble / l(s"__un_$c").toDouble)
+        } ++
         boundCols.flatMap(c =>
-          Seq(MinBound(c, d(s"__lo_$c")), MaxBound(c, d(s"__hi_$c"))))
+          Seq(MinBound(c, d(s"__lo_$c", c)), MaxBound(c, d(s"__hi_$c", c))))
     val fromSets: Seq[Constraint] = setCols.map { case (c, k) =>
       // top-k values by (count desc, value asc) — a deterministic
       // cut; the threshold is the baseline's OWN in-set mass, so the
-      // suite asserts "no more tail drift than the baseline had"
-      val counted = df.where(col(c).isNotNull).groupBy(col(c))
+      // suite asserts "no more tail drift than the baseline had".
+      // The value is CAST to string so a numeric set column profiles
+      // cleanly (isin compares post-cast on evaluation too) instead
+      // of throwing ClassCastException at getString
+      val counted = df.where(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("__v"))
         .agg(count(lit(1)).as("__cnt"))
-        .orderBy(col("__cnt").desc, col(c).asc)
+        .orderBy(col("__cnt").desc, col("__v").asc)
         .limit(k).collect()
       val values = counted.map(_.getString(0)).toSeq
       val inSet = counted.map(_.getAs[Long]("__cnt")).sum

@@ -1423,6 +1423,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("suggest API edges: numeric set columns profile via a string " +
+      "cast; all-null bound/unique columns fail fast with the column " +
+      "named; report rejects non-identifier group columns") {
+    import graft.operators._
+    // numeric set column: top-k must cast, not ClassCastException
+    val numSet = Constraints.suggest(constraintFixture,
+      setCols = Seq(("n", 2)))
+    val inSet = numSet.collect { case c: InSetRatio => c }.head
+    assert(inSet.values.forall(v => v.forall(_.isDigit)),
+      s"numeric set values must profile as strings: ${inSet.values}")
+    assert(Constraints.run(constraintFixture, numSet)
+      .select("metric").as[Double].head() === inSet.threshold,
+      "the suggested numeric suite evaluates on its own baseline")
+    // all-null bound column: fail fast, column-named — not a silent
+    // MinBound(c, 0.0)
+    val withNulls = constraintFixture
+      .withColumn("allnull", lit(null).cast("double"))
+    val eBound = intercept[IllegalArgumentException] {
+      Constraints.suggest(withNulls, boundCols = Seq("allnull"))
+    }
+    assert(eBound.getMessage.contains("allnull"))
+    // all-null unique column: fail fast instead of a 0/0 NaN
+    // threshold erroring later inside report()
+    val eUniq = intercept[IllegalArgumentException] {
+      Constraints.suggest(withNulls, uniqueCols = Seq("allnull"))
+    }
+    assert(eUniq.getMessage.contains("allnull"))
+    // group column names ride the same selectExpr as constraint
+    // columns — same plain-identifier guard
+    val eGroup = intercept[IllegalArgumentException] {
+      Constraints.report(
+        Constraints.state(constraintFixture
+            .withColumnRenamed("lang", "bad name"),
+          Seq(Completeness("txt", 0.5)), Seq("bad name")),
+        Seq(Completeness("txt", 0.5)), Seq("bad name"))
+    }
+    assert(eGroup.getMessage.contains("bad name"))
+  }
+
   // ---- Privacy (k-anonymity / suppression) ----
 
   test("k-anonymity audit partitions rows exactly; suppression keeps " +
