@@ -3309,6 +3309,86 @@ object Oracles {
         |FROM t LEFT JOIN k ON t.c_mktsegment = k.c_mktsegment
         |ORDER BY t.c_mktsegment""".stripMargin,
 
+    // q220: the mergeable uniqueness constraint replayed ONE-SHOT —
+    // per-source md5-HLL registers (the q107 chain), fixed-point
+    // Σ2^(49−r) with empty registers contributing 2^49, the SAME
+    // alpha expression text, and the LinearCounting small-range
+    // branch; the hash match vs Spark's two-batch register-max merge
+    // proves merge ≡ rebuild inside the constraint framework
+    "q220_approx_unique_monitor" ->
+      """WITH h1 AS (SELECT source,
+        |  md5('hll|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |x1 AS (SELECT source,
+        |  (strpos('0123456789abcdef', h[1]) - 1) * 16
+        |    + strpos('0123456789abcdef', h[2]) - 1 AS bucket,
+        |  substring(h, 3, 12) AS h12 FROM h1),
+        |z1 AS (SELECT source, bucket, h12,
+        |  length(regexp_extract(h12, '^(0*)', 1)) AS zc FROM x1),
+        |r1 AS (SELECT source, bucket,
+        |  CASE WHEN zc = 12 THEN 49 ELSE zc * 4
+        |    + CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3
+        |      WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1
+        |      WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1 END AS r FROM z1),
+        |g1 AS (SELECT source, bucket, max(r) AS r FROM r1 GROUP BY 1, 2),
+        |s1 AS (SELECT source,
+        |  CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS s_used,
+        |  count(*) AS n_buckets FROM g1 GROUP BY 1),
+        |e1 AS (SELECT source, 256 - n_buckets AS v,
+        |  0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        |    / (s_used + (256 - n_buckets) * 562949953421312::BIGINT)
+        |    AS raw FROM s1),
+        |m1 AS (SELECT source, round(CASE WHEN v > 0 AND raw <= 640.0e0
+        |  THEN 256.0e0 * ln(256.0e0 / v) ELSE raw END, 2) AS est
+        |  FROM e1),
+        |h2 AS (SELECT source, md5('hll|' || lang) AS h
+        |  FROM documents WHERE lang IS NOT NULL),
+        |x2 AS (SELECT source,
+        |  (strpos('0123456789abcdef', h[1]) - 1) * 16
+        |    + strpos('0123456789abcdef', h[2]) - 1 AS bucket,
+        |  substring(h, 3, 12) AS h12 FROM h2),
+        |z2 AS (SELECT source, bucket, h12,
+        |  length(regexp_extract(h12, '^(0*)', 1)) AS zc FROM x2),
+        |r2 AS (SELECT source, bucket,
+        |  CASE WHEN zc = 12 THEN 49 ELSE zc * 4
+        |    + CASE substring(h12, zc + 1, 1) WHEN '1' THEN 3
+        |      WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1
+        |      WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |      ELSE 0 END + 1 END AS r FROM z2),
+        |g2 AS (SELECT source, bucket, max(r) AS r FROM r2 GROUP BY 1, 2),
+        |s2 AS (SELECT source,
+        |  CAST(sum(1::BIGINT << (49 - r)) AS BIGINT) AS s_used,
+        |  count(*) AS n_buckets FROM g2 GROUP BY 1),
+        |e2 AS (SELECT source, 256 - n_buckets AS v,
+        |  0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        |    / (s_used + (256 - n_buckets) * 562949953421312::BIGINT)
+        |    AS raw FROM s2),
+        |m2 AS (SELECT source, round(CASE WHEN v > 0 AND raw <= 640.0e0
+        |  THEN 256.0e0 * ln(256.0e0 / v) ELSE raw END, 2) AS est
+        |  FROM e2),
+        |dens AS (SELECT source, CAST(count(doc_id) AS BIGINT) AS den1,
+        |  CAST(count(lang) AS BIGINT) AS den2,
+        |  CAST(count(text) AS BIGINT) AS c_text,
+        |  CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+        |SELECT source, constraint_type, column_name, metric, threshold,
+        |  CASE WHEN op = '>=' THEN metric >= threshold
+        |    ELSE metric <= threshold END AS passed
+        |FROM (
+        |  SELECT d.source, 'approx_unique_ratio' AS constraint_type,
+        |    'doc_id' AS column_name,
+        |    round(m1.est / CAST(d.den1 AS DOUBLE), 6) AS metric,
+        |    CAST(0.8 AS DOUBLE) AS threshold, '>=' AS op
+        |  FROM dens d JOIN m1 ON d.source = m1.source
+        |  UNION ALL SELECT d.source, 'approx_unique_ratio', 'lang',
+        |    round(m2.est / CAST(d.den2 AS DOUBLE), 6),
+        |    CAST(0.5 AS DOUBLE), '>='
+        |  FROM dens d JOIN m2 ON d.source = m2.source
+        |  UNION ALL SELECT source, 'completeness', 'text',
+        |    CAST(c_text AS DOUBLE)/CAST(n AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE), '>=' FROM dens)
+        |ORDER BY source, column_name""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -5978,6 +5978,43 @@ object Queries {
       .orderBy(col("source"), col("constraint_type"), col("column_name"))
   }
 
+  /** Monitorable approximate uniqueness — the constraint the
+    * streaming quality monitor could not cover until round 9:
+    * [[graft.operators.ApproxUniqueRatio]]'s state slice is the
+    * portable md5-HLL register array (the q107/q114 sketch), mergeable
+    * by register-wise max. The query runs the MONITOR shape in batch:
+    * two synthetic micro-batches (doc_id parity) each aggregate their
+    * own per-source state, the states merge
+    * ([[graft.operators.Constraints.mergeStates]]), and the report
+    * finalizes with the q107 fixed-point estimate + the standard
+    * LinearCounting small-range branch. The oracle rebuilds the
+    * sketch ONE-SHOT over all rows, so the hash match proves
+    * merge ≡ rebuild (q114's associativity argument) INSIDE the
+    * constraint framework, not just for raw sketch queries. doc_id
+    * (unique, est ratio ≈ 1) passes its 0.8 threshold; lang (~5
+    * distinct per source) fails its 0.5 one — a real pass/fail mix.
+    *
+    * Scale shape: each batch state is one scan + a |sources|-row
+    * shuffle carrying a 256-long array; the merge and finalization
+    * run on |sources|×|batches| tiny rows. */
+  def q220ApproxUniqueMonitor(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators._
+    val docs = t(spark, dir).documents
+    val suite = Seq(
+      ApproxUniqueRatio("doc_id", 0.8),
+      ApproxUniqueRatio("lang", 0.5),
+      Completeness("text", 0.9))
+    val states = Seq(0, 1).map(p =>
+        Constraints.state(docs.where(col("doc_id") % 2 === p), suite,
+          Seq("source")))
+      .reduce(_ unionByName _)
+    Constraints.report(
+        Constraints.mergeStates(states, suite, Seq("source")),
+        suite, Seq("source"))
+      .orderBy(col("source"), col("column_name"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6198,5 +6235,6 @@ object Queries {
     "q216_k_anonymity" -> (q216KAnonymity _),
     "q217_k_suppression" -> (q217KSuppression _),
     "q218_expectations" -> (q218Expectations _),
-    "q219_suite_drift" -> (q219SuiteDrift _))
+    "q219_suite_drift" -> (q219SuiteDrift _),
+    "q220_approx_unique_monitor" -> (q220ApproxUniqueMonitor _))
 }

@@ -39,6 +39,32 @@ sealed trait Constraint {
   /** Stable row-level violation tag. */
   def tag: String = s"$constraintType($column)"
 
+  /** OPTIONAL fixed-length array-state slice (`array<bigint>`), for
+    * constraints whose state is a sketch rather than four scalars —
+    * the portable-HLL registers of [[ApproxUniqueRatio]], the bin
+    * counts of [[HistogramDrift]]. 0 = no array slice. Array slices
+    * merge ELEMENT-WISE in [[Constraints.mergeStates]] ([[arrMergeOp]]
+    * — "max" for registers, "sum" for counters), which is exactly why
+    * they exist: they make the sketch-backed constraints mergeable
+    * monoids like the scalar ones. */
+  private[operators] def arrLen: Int = 0
+  /** Element-wise merge for the array slice: "max" | "sum". */
+  private[operators] def arrMergeOp: String = "max"
+  /** Per-row prep columns the array aggregate needs, computed ONCE
+    * per row by [[Constraints.state]] before the aggregation (so a
+    * 256-register sketch costs one md5 per row, not one per
+    * register). Names must be `__c<i>`-prefixed; later entries may
+    * reference earlier ones. */
+  private[operators] def arrPrep(i: Int): Seq[(String, Column)] = Nil
+  /** The aggregate producing the array slice (null for scalar-only
+    * constraints — the literal keeps the state schema uniform). */
+  private[operators] def arrAgg(i: Int): Column =
+    max(lit(null).cast("array<bigint>"))
+  /** Finalization for array-state constraints: a SQL expression over
+    * the stacked report columns `arr` / `num` / `den` producing the
+    * metric. None = the scalar kind ladder applies. */
+  private[operators] def arrMetricSql: Option[String] = None
+
   protected def nullLong: Column = max(lit(null).cast("long"))
   protected def nullDouble: Column = max(lit(null).cast("double"))
   protected def total: Column = count(lit(1))
@@ -80,9 +106,9 @@ case class InSetRatio(column: String, values: Seq[String],
 
 /** distinct / non-null count >= threshold (1.0 = column is a key).
   * NOT mergeable: distinct state does not compose by summation — run
-  * it in single-pass suites, not incremental ones (or pair it with
-  * the portable-HLL sketch queries for an approximate incremental
-  * twin). */
+  * it in single-pass suites, not incremental ones. The mergeable
+  * approximate twin is [[ApproxUniqueRatio]] (portable-HLL register
+  * slice), which the streaming monitor accepts. */
 case class UniqueRatio(column: String, threshold: Double)
     extends Constraint {
   val constraintType = "unique_ratio"; val op = ">="; val kind = "ratio"
@@ -90,6 +116,76 @@ case class UniqueRatio(column: String, threshold: Double)
   private[operators] def stateAggs =
     (countDistinct(col(column)), count(col(column)),
       nullDouble, nullDouble)
+}
+
+/** APPROXIMATE distinct / non-null ratio >= threshold — the mergeable
+  * twin of [[UniqueRatio]], and the constraint that makes uniqueness
+  * MONITORABLE: its state slice is a portable md5-HyperLogLog register
+  * array (m=256, the exact q107/q114 sketch — bucket = first hash
+  * byte, register = leading-zero-bits of the next 48 bits + 1), which
+  * merges by register-wise max, so [[Constraints.mergeStates]] over
+  * per-batch states equals the one-shot sketch over the union (max is
+  * associative — the q114 merge ≡ rebuild proof) and
+  * [[graft.streaming.QualityMonitor]] accepts it where it must reject
+  * [[UniqueRatio]].
+  *
+  * Finalization is engine-portable end to end: the register sum is
+  * fixed-point (Σ 2^(49−r) as exact longs), the raw estimate is
+  * α·m²·2^49 / s, and the standard small-range branch (V = zero
+  * registers > 0 and raw ≤ 2.5m) switches to LinearCounting
+  * m·ln(m/V) — all deterministic functions of exact integers, so the
+  * metric hash-matches a DuckDB replay (q220). Expect HLL error (~6.5%
+  * at m=256) in the metric; thresholds should leave that margin. */
+case class ApproxUniqueRatio(column: String, threshold: Double)
+    extends Constraint {
+  val constraintType = "approx_unique_ratio"
+  val op = ">="; val kind = "hll_ratio"
+  private[operators] def stateAggs =
+    (nullLong, count(col(column)), nullDouble, nullDouble)
+  override private[operators] val arrLen = 256
+  override private[operators] val arrMergeOp = "max"
+  override private[operators] def arrPrep(i: Int): Seq[(String, Column)] = {
+    // one md5 chain per row (null column value → null chain → the
+    // per-register max skips it); mirrors Queries.hllRanks exactly so
+    // q107/q114/q220 all speak the same sketch
+    Seq(
+      s"__c${i}_h" -> when(col(column).isNotNull,
+        md5(concat_ws("|", lit("hll"), col(column)))),
+      s"__c${i}_b" ->
+        conv(substring(col(s"__c${i}_h"), 1, 2), 16, 10).cast("int"),
+      s"__c${i}_h12" -> substring(col(s"__c${i}_h"), 3, 12),
+      s"__c${i}_zc" ->
+        length(regexp_extract(col(s"__c${i}_h12"), "^(0*)", 1)),
+      s"__c${i}_r" -> when(col(s"__c${i}_zc") === 12, lit(49L))
+        .otherwise((col(s"__c${i}_zc") * 4 + expr(
+          s"CASE substring(__c${i}_h12, __c${i}_zc + 1, 1)" +
+            " WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2" +
+            " WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1" +
+            " WHEN '7' THEN 1 ELSE 0 END") + 1).cast("long")))
+  }
+  override private[operators] def arrAgg(i: Int): Column =
+    array((0 until arrLen).map(b =>
+      coalesce(max(when(col(s"__c${i}_b") === b, col(s"__c${i}_r"))),
+        lit(0L))): _*)
+  override private[operators] def arrMetricSql: Option[String] = Some(
+    // V = zero registers; s = fixed-point Σ2^(49−r) (empty registers
+    // hold r=0 and contribute 2^49 each by construction); raw = the
+    // q107 alpha expression; small-range → LinearCounting. round(est,
+    // 2) first (the q107 convention), then the ratio to 6 dp.
+    """round(round(CASE WHEN
+      aggregate(arr, CAST(0 AS BIGINT),
+        (acc, r) -> acc + CASE WHEN r = 0 THEN 1 ELSE 0 END) > 0
+      AND 0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        / aggregate(arr, CAST(0 AS BIGINT),
+            (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT),
+              CAST(49 - r AS INT))) <= 640.0e0
+      THEN 256.0e0 * ln(256.0e0 / aggregate(arr, CAST(0 AS BIGINT),
+        (acc, r) -> acc + CASE WHEN r = 0 THEN 1 ELSE 0 END))
+      ELSE 0.7213e0/(1.0e0+1.079e0/256.0e0)*65536.0e0*562949953421312.0e0
+        / aggregate(arr, CAST(0 AS BIGINT),
+            (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT),
+              CAST(49 - r AS INT)))
+      END, 2) / CAST(den AS DOUBLE), 6)""")
 }
 
 /** min(column) >= threshold. */
@@ -146,18 +242,29 @@ object Constraints {
   private def stateCols(cs: Seq[Constraint]): Seq[Column] =
     cs.zipWithIndex.flatMap { case (c, i) =>
       val (num, den, mn, mx) = c.stateAggs
+      // the cast normalizes array nullability (containsNull) across
+      // constraints — stack() requires bit-identical column types
       Seq(num.as(s"c${i}_num"), den.as(s"c${i}_den"),
-        mn.as(s"c${i}_min"), mx.as(s"c${i}_max"))
+        mn.as(s"c${i}_min"), mx.as(s"c${i}_max"),
+        c.arrAgg(i).cast("array<bigint>").as(s"c${i}_arr"))
     }
 
-  /** One-pass aggregate state: one row per group, 4 columns per
-    * constraint. */
+  /** One-pass aggregate state: one row per group, 5 columns per
+    * constraint (num/den/min/max + the optional array slice). */
   def state(df: DataFrame, cs: Seq[Constraint],
       groupBy: Seq[String] = Nil): DataFrame = {
     require(cs.nonEmpty, "empty constraint suite")
+    // sketch-backed constraints project their per-row chain ONCE
+    // here (e.g. one md5 per row for 256 HLL registers) — still one
+    // scan, one aggregation pass
+    val prepped = cs.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      c.arrPrep(i).foldLeft(d) { case (dd, (n, e)) =>
+        dd.withColumn(n, e) }
+    }
     val aggs = stateCols(cs)
-    if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-    else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (groupBy.isEmpty) prepped.agg(aggs.head, aggs.tail: _*)
+    else prepped.groupBy(groupBy.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge state rows (e.g. one per micro-batch) back to one row per
@@ -169,11 +276,28 @@ object Constraints {
     require(bad.isEmpty,
       s"non-mergeable constraints in incremental suite: " +
         bad.map(c => s"${c.constraintType}(${c.column})").mkString(", "))
-    val aggs = cs.indices.flatMap { i =>
+    val aggs = cs.zipWithIndex.flatMap { case (c, i) =>
+      // array slices merge element-wise (register-wise max for HLL,
+      // bin-count sum for histograms): a fold over the per-batch
+      // state rows of a group — |batches| tiny arrays, never data
+      val arrMerge =
+        if (c.arrLen == 0) max(col(s"c${i}_arr"))
+        else {
+          val op = c.arrMergeOp match {
+            case "max" => "greatest(a, b)"
+            case "sum" => "a + b"
+            case other => throw new IllegalArgumentException(
+              s"unknown arrMergeOp '$other' for ${c.tag}")
+          }
+          expr(s"aggregate(collect_list(c${i}_arr), " +
+            s"array_repeat(CAST(0 AS BIGINT), ${c.arrLen}), " +
+            s"(acc, x) -> zip_with(acc, x, (a, b) -> $op))")
+        }
       Seq(sum(col(s"c${i}_num")).as(s"c${i}_num"),
         sum(col(s"c${i}_den")).as(s"c${i}_den"),
         min(col(s"c${i}_min")).as(s"c${i}_min"),
-        max(col(s"c${i}_max")).as(s"c${i}_max"))
+        max(col(s"c${i}_max")).as(s"c${i}_max"),
+        arrMerge.cast("array<bigint>").as(s"c${i}_arr"))
     }
     if (groupBy.isEmpty) states.agg(aggs.head, aggs.tail: _*)
     else states.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -205,18 +329,30 @@ object Constraints {
     val stackArgs = cs.zipWithIndex.map { case (c, i) =>
       s"'${c.constraintType}', '${c.column}', '${c.kind}', '${c.op}', " +
         s"c${i}_num, c${i}_den, c${i}_min, c${i}_max, " +
-        s"CAST(${c.threshold} AS DOUBLE)"
+        s"CAST(${c.threshold} AS DOUBLE), $i, c${i}_arr"
     }.mkString(", ")
     val stacked = st.selectExpr(groupBy ++ Seq(
       s"stack(${cs.size}, $stackArgs) AS (constraint_type, " +
-        "column_name, kind, op, num, den, minv, maxv, threshold)"): _*)
+        "column_name, kind, op, num, den, minv, maxv, threshold, " +
+        "cidx, arr)"): _*)
+    // array-state constraints carry their own finalization (keyed by
+    // the stacked constraint index — per-constraint literals like
+    // histogram baselines live inside the expression); scalar kinds
+    // fall through to the generic ladder
+    val scalarMetric =
+      when(col("kind") === "ratio",
+        col("num").cast("double") / col("den").cast("double"))
+        .when(col("kind") === "count", col("num").cast("double"))
+        .when(col("kind") === "min", col("minv"))
+        .otherwise(col("maxv"))
+    val metric = cs.zipWithIndex.foldRight(scalarMetric) {
+      case ((c, i), acc) => c.arrMetricSql match {
+        case Some(sql) => when(col("cidx") === i, expr(sql)).otherwise(acc)
+        case None => acc
+      }
+    }
     stacked
-      .withColumn("metric",
-        when(col("kind") === "ratio",
-          col("num").cast("double") / col("den").cast("double"))
-          .when(col("kind") === "count", col("num").cast("double"))
-          .when(col("kind") === "min", col("minv"))
-          .otherwise(col("maxv")))
+      .withColumn("metric", metric)
       .withColumn("passed",
         when(col("op") === ">=", col("metric") >= col("threshold"))
           .otherwise(col("metric") <= col("threshold")))

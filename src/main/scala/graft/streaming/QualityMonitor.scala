@@ -22,8 +22,11 @@ import graft.operators.{Constraint, Constraints}
   * lifetime aggregate would absorb.
   *
   * [[graft.operators.UniqueRatio]] is rejected up front (distinct
-  * state does not merge); its incremental twin is the portable-HLL
-  * register table (q107/q114). */
+  * state does not merge); its mergeable twin
+  * [[graft.operators.ApproxUniqueRatio]] (portable-HLL register
+  * slice, register-wise-max merge — the q114-proven monoid) IS
+  * accepted, so uniqueness is monitorable incrementally at HLL
+  * precision (q220). */
 object QualityMonitor {
 
   /** Wire a stream into a maintained metrics table at `tablePath`.

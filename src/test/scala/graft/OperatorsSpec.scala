@@ -1423,6 +1423,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ApproxUniqueRatio: the mergeable uniqueness constraint — " +
+      "merged per-part HLL states equal the one-shot suite exactly, " +
+      "and the estimate tracks the exact distinct ratio") {
+    import graft.operators._
+    val df = spark.range(0, 2000).select(
+      col("id"),
+      (col("id") % 50).cast("string").as("dup50"),
+      (col("id") % 4).as("part"))
+    val suite = Seq(
+      ApproxUniqueRatio("id", 0.8),     // exact ratio 1.0 → pass
+      ApproxUniqueRatio("dup50", 0.5))  // exact ratio 0.025 → fail
+    val full = Constraints.run(df.drop("part"), suite)
+    val metrics = full.select("column_name", "metric", "passed")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (mId, pId) = (metrics("id")._1, metrics("id")._2)
+    val (mDup, pDup) = (metrics("dup50")._1, metrics("dup50")._2)
+    assert(math.abs(mId - 1.0) < 0.15 && pId,
+      s"id estimate $mId must track exact 1.0 within HLL error")
+    assert(mDup < 0.05 && !pDup,
+      s"dup50 estimate $mDup must track exact 0.025 and fail at 0.5")
+    // merge ≡ batch, EXACTLY: register-wise max across part states
+    // reproduces the one-shot registers (max is associative)
+    val parts = (0 until 4).map(p =>
+      Constraints.state(df.where(col("part") === p).drop("part"), suite))
+    val merged = Constraints.report(
+      Constraints.mergeStates(parts.reduce(_ unionByName _), suite),
+      suite)
+    assert(merged.collect().toSet === full.collect().toSet,
+      "merged HLL states must equal the one-shot suite bit-exactly")
+    // and the monitor-side gate accepts it (mergeable), while the
+    // exact UniqueRatio stays rejected
+    Constraints.mergeStates(
+      Constraints.state(df, suite), suite) // no throw
+    intercept[IllegalArgumentException] {
+      Constraints.mergeStates(
+        Constraints.state(df, Seq(UniqueRatio("id", 1.0))),
+        Seq(UniqueRatio("id", 1.0)))
+    }
+  }
+
   test("suggest API edges: numeric set columns profile via a string " +
       "cast; all-null bound/unique columns fail fast with the column " +
       "named; report rejects non-identifier group columns") {

@@ -1856,7 +1856,11 @@ class StreamingSpec extends AnyFunSuite {
       MinBound("n_chars", 40.0),
       MaxBound("n_chars", 500.0),
       MatchRatio("lang", "^(en|de|fr|es)$", 0.9),
-      SizeMin(1.0))
+      SizeMin(1.0),
+      // uniqueness IS monitorable via the mergeable HLL slice — the
+      // register-wise max across batch states must reproduce the
+      // one-shot sketch exactly, so merge ≡ batch below covers it
+      ApproxUniqueRatio("doc_id", 0.5))
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
     val rows = docs.as[(Long, String, String, String, Long)]
