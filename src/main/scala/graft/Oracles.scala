@@ -3389,6 +3389,102 @@ object Oracles {
         |    CAST(0.9 AS DOUBLE), '>=' FROM dens)
         |ORDER BY source, column_name""".stripMargin,
 
+    // q222: the suggested histogram-drift constraint replayed — exact
+    // nearest-rank edges off the baseline's distinct-value cumulative
+    // counts, binning by |{edges <= v}|, q179's fixed-point PSI
+    // (per-term round to 1e-6, integer sum), baseline-derived
+    // completeness/set thresholds (the q219 pattern)
+    "q222_distribution_drift" ->
+      """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |v2d AS (SELECT source, text, lang, n_chars // 3 AS n_chars
+        |  FROM v2),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(text) AS BIGINT) AS c_text,
+        |  CAST(count(n_chars) AS BIGINT) AS nv FROM v1),
+        |top5 AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM v1
+        |  WHERE lang IS NOT NULL GROUP BY lang
+        |  ORDER BY cnt DESC, lang ASC LIMIT 5),
+        |bs AS (SELECT CAST(sum(cnt) AS BIGINT) AS in_mass FROM top5),
+        |cnts AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM v1
+        |  WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, cnt,
+        |  sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cnts),
+        |rk AS (SELECT i, (i * nv + 7) // 8 AS r
+        |  FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS i), b),
+        |edges AS (SELECT i, min(v) AS e FROM rk JOIN cum
+        |  ON rk.r > cum.cum - cum.cnt AND rk.r <= cum.cum GROUP BY i),
+        |spine AS (SELECT unnest(range(8)) AS bin),
+        |base8 AS (SELECT spine.bin,
+        |  CAST(coalesce(x.cb, 0) AS BIGINT) AS cb FROM spine
+        |  LEFT JOIN (SELECT (SELECT count(*) FROM edges
+        |      WHERE CAST(t.n_chars AS DOUBLE) >= e) AS bin,
+        |      CAST(count(*) AS BIGINT) AS cb
+        |    FROM v1 t WHERE n_chars IS NOT NULL GROUP BY 1) x
+        |  ON spine.bin = x.bin),
+        |cur2 AS (SELECT spine.bin,
+        |  CAST(coalesce(x.ca, 0) AS BIGINT) AS ca FROM spine
+        |  LEFT JOIN (SELECT (SELECT count(*) FROM edges
+        |      WHERE CAST(t.n_chars AS DOUBLE) >= e) AS bin,
+        |      CAST(count(*) AS BIGINT) AS ca
+        |    FROM v2 t WHERE n_chars IS NOT NULL GROUP BY 1) x
+        |  ON spine.bin = x.bin),
+        |cur3 AS (SELECT spine.bin,
+        |  CAST(coalesce(x.ca, 0) AS BIGINT) AS ca FROM spine
+        |  LEFT JOIN (SELECT (SELECT count(*) FROM edges
+        |      WHERE CAST(t.n_chars AS DOUBLE) >= e) AS bin,
+        |      CAST(count(*) AS BIGINT) AS ca
+        |    FROM v2d t WHERE n_chars IS NOT NULL GROUP BY 1) x
+        |  ON spine.bin = x.bin),
+        |s2 AS (SELECT CAST(count(n_chars) AS BIGINT) AS na,
+        |  CAST(count(text) AS BIGINT) AS ct,
+        |  CAST(count(*) AS BIGINT) AS nn,
+        |  CAST(sum(CASE WHEN lang IN (SELECT lang FROM top5)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS iset FROM v2),
+        |s3 AS (SELECT CAST(count(n_chars) AS BIGINT) AS na,
+        |  CAST(count(text) AS BIGINT) AS ct,
+        |  CAST(count(*) AS BIGINT) AS nn,
+        |  CAST(sum(CASE WHEN lang IN (SELECT lang FROM top5)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS iset FROM v2d),
+        |psi2 AS (SELECT CAST(sum(CAST(round(1e6 *
+        |  ((ca + 1) / (na + 8) - (cb + 1) / (nv + 8))
+        |  * ln(((ca + 1) * (nv + 8)) / ((cb + 1) * (na + 8))))
+        |  AS BIGINT)) AS DOUBLE) AS psi
+        |  FROM cur2 JOIN base8 USING (bin), s2, b),
+        |psi3 AS (SELECT CAST(sum(CAST(round(1e6 *
+        |  ((ca + 1) / (na + 8) - (cb + 1) / (nv + 8))
+        |  * ln(((ca + 1) * (nv + 8)) / ((cb + 1) * (na + 8))))
+        |  AS BIGINT)) AS DOUBLE) AS psi
+        |  FROM cur3 JOIN base8 USING (bin), s3, b)
+        |SELECT version, constraint_type, column_name, metric, threshold,
+        |  CASE WHEN op = '>=' THEN metric >= threshold
+        |    ELSE metric <= threshold END AS passed
+        |FROM (
+        |  SELECT 'v2' AS version, 'completeness' AS constraint_type,
+        |    'text' AS column_name,
+        |    CAST(s2.ct AS DOUBLE)/CAST(s2.nn AS DOUBLE) AS metric,
+        |    CAST(b.c_text AS DOUBLE)/CAST(b.n AS DOUBLE) AS threshold,
+        |    '>=' AS op FROM s2, b
+        |  UNION ALL SELECT 'v2', 'in_set_ratio', 'lang',
+        |    CAST(s2.iset AS DOUBLE)/CAST(s2.nn AS DOUBLE),
+        |    CAST(bs.in_mass AS DOUBLE)/CAST(b.n AS DOUBLE), '>='
+        |    FROM s2, b, bs
+        |  UNION ALL SELECT 'v2', 'histogram_drift', 'n_chars',
+        |    psi, CAST(100000.0 AS DOUBLE), '<=' FROM psi2
+        |  UNION ALL SELECT 'v2_drifted', 'completeness', 'text',
+        |    CAST(s3.ct AS DOUBLE)/CAST(s3.nn AS DOUBLE),
+        |    CAST(b.c_text AS DOUBLE)/CAST(b.n AS DOUBLE), '>='
+        |    FROM s3, b
+        |  UNION ALL SELECT 'v2_drifted', 'in_set_ratio', 'lang',
+        |    CAST(s3.iset AS DOUBLE)/CAST(s3.nn AS DOUBLE),
+        |    CAST(bs.in_mass AS DOUBLE)/CAST(b.n AS DOUBLE), '>='
+        |    FROM s3, b, bs
+        |  UNION ALL SELECT 'v2_drifted', 'histogram_drift', 'n_chars',
+        |    psi, CAST(100000.0 AS DOUBLE), '<=' FROM psi3)
+        |ORDER BY version, constraint_type, column_name""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

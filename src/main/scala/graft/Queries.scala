@@ -6015,6 +6015,45 @@ object Queries {
       .orderBy(col("source"), col("column_name"))
   }
 
+  /** Distribution-drift constraint in the suggestion loop — the
+    * drift class the ratio suite cannot see: a corpus whose lengths
+    * REDISTRIBUTE inside the old bounds trips no completeness, set or
+    * bound constraint. [[graft.operators.Constraints.suggest]]
+    * derives a [[graft.operators.HistogramDrift]] from the baseline
+    * half's own equi-depth quantiles (8 bins, exact nearest-rank
+    * edges) alongside completeness and the top-5 lang set; the suite
+    * is then evaluated on (a) the other half — same distribution, PSI
+    * small — and (b) a synthetically drifted copy whose n_chars are
+    * integer-squashed (`div 3`: every value stays positive, lang/text
+    * untouched, so ONLY the histogram constraint can notice). The
+    * PSI metric is the q179 fixed-point convention (psi×1e6 as exact
+    * integer terms), so it hash-matches DuckDB's replay of the same
+    * edge derivation, binning and smoothing.
+    *
+    * Scale shape: suggestion adds a |distinct-values| cumulative
+    * window (aggregate domain) + an O(bins) collect; evaluation stays
+    * the one-scan suite — the bin array rides the same single
+    * aggregation pass as every other constraint. */
+  def q222DistributionDrift(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators._
+    val docs = t(spark, dir).documents
+    val v1 = docs.where(col("doc_id") % 2 === 0)
+    val v2 = docs.where(col("doc_id") % 2 === 1)
+    val suite = Constraints.suggest(v1,
+      completenessCols = Seq("text"),
+      setCols = Seq(("lang", 5)),
+      histCols = Seq(("n_chars", 8)))
+    val drifted = v2.withColumn("n_chars", expr("n_chars div 3"))
+    Constraints.run(v2, suite)
+      .withColumn("version", lit("v2"))
+      .unionByName(Constraints.run(drifted, suite)
+        .withColumn("version", lit("v2_drifted")))
+      .select(col("version"), col("constraint_type"), col("column_name"),
+        col("metric"), col("threshold"), col("passed"))
+      .orderBy(col("version"), col("constraint_type"), col("column_name"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6236,5 +6275,6 @@ object Queries {
     "q217_k_suppression" -> (q217KSuppression _),
     "q218_expectations" -> (q218Expectations _),
     "q219_suite_drift" -> (q219SuiteDrift _),
-    "q220_approx_unique_monitor" -> (q220ApproxUniqueMonitor _))
+    "q220_approx_unique_monitor" -> (q220ApproxUniqueMonitor _),
+    "q222_distribution_drift" -> (q222DistributionDrift _))
 }

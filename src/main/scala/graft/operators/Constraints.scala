@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A declarative data-quality constraint over one column. Each
@@ -186,6 +187,65 @@ case class ApproxUniqueRatio(column: String, threshold: Double)
             (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT),
               CAST(49 - r AS INT)))
       END, 2) / CAST(den AS DOUBLE), 6)""")
+}
+
+/** DISTRIBUTIONAL drift constraint — the suite's answer to corpora
+  * that drift without tripping a single ratio or bound: PSI
+  * (population stability index) of `column`'s histogram against a
+  * baseline profile must stay <= threshold. The state slice is the
+  * bin-count array at FIXED edges derived from the baseline (the
+  * q219 suggestion pattern — [[Constraints.suggest]] emits this
+  * constraint from a baseline's own equi-depth quantiles), so it
+  * merges by element-wise SUM and the streaming monitor can watch
+  * distribution shape per batch, which no completeness/bound/set
+  * constraint can see.
+  *
+  * The metric is the q179 PSI convention, engine-portable end to
+  * end: bins are exact longs, Laplace-smoothed (c+1)/(n+B) shares,
+  * each term rounded to 1e-6 FIXED POINT before the integer sum (a
+  * float sum of ln-terms would be partitioning-order-dependent), so
+  * the metric is psi×1e6 and thresholds live on that scale (0.1 →
+  * 100000). Bin b of value v = |{edges e : v >= e}| — B bins for B−1
+  * sorted edges, total coverage, nulls in no bin (completeness is a
+  * different constraint's job). */
+case class HistogramDrift(column: String, edges: Seq[Double],
+    baseline: Seq[Long], threshold: Double) extends Constraint {
+  require(edges.nonEmpty && edges == edges.sorted,
+    s"histogram edges must be non-empty and sorted for '$column'")
+  require(baseline.size == edges.size + 1,
+    s"baseline needs ${edges.size + 1} bins for '$column'")
+  require(baseline.forall(_ >= 0) && baseline.sum > 0,
+    s"baseline histogram must carry mass for '$column'")
+  require(edges.forall(e => !e.isNaN && !e.isInfinite),
+    s"non-finite histogram edge for '$column'")
+  val constraintType = "histogram_drift"
+  val op = "<="; val kind = "psi"
+  private[operators] def stateAggs =
+    (nullLong, count(col(column)), nullDouble, nullDouble)
+  override private[operators] val arrLen = edges.size + 1
+  override private[operators] val arrMergeOp = "sum"
+  override private[operators] def arrPrep(i: Int): Seq[(String, Column)] = {
+    val idx = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(column).cast("double") >= lit(e), 1).otherwise(0)
+    }
+    Seq(s"__c${i}_bin" -> when(col(column).isNotNull, idx))
+  }
+  override private[operators] def arrAgg(i: Int): Column =
+    array((0 until arrLen).map(b =>
+      coalesce(sum(when(col(s"__c${i}_bin") === b, 1L).otherwise(0L)),
+        lit(0L))): _*)
+  override private[operators] def arrMetricSql: Option[String] = {
+    val b = arrLen
+    val nb = baseline.sum
+    val bArr = baseline.map(v => s"CAST($v AS BIGINT)")
+      .mkString("array(", ", ", ")")
+    val na = "aggregate(arr, CAST(0 AS BIGINT), (a, r) -> a + r)"
+    Some(s"""CAST(aggregate(zip_with(arr, $bArr, (ca, cb) ->
+      CAST(round(1e6 * ((ca + 1) / ($na + $b) - (cb + 1) / ($nb + $b))
+        * ln(((ca + 1) * ($nb + $b)) / ((cb + 1) * ($na + $b))))
+        AS BIGINT)),
+      CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)""")
+  }
 }
 
 /** min(column) >= threshold. */
@@ -386,7 +446,8 @@ object Constraints {
       completenessCols: Seq[String] = Nil,
       uniqueCols: Seq[String] = Nil,
       boundCols: Seq[String] = Nil,
-      setCols: Seq[(String, Int)] = Nil): Seq[Constraint] = {
+      setCols: Seq[(String, Int)] = Nil,
+      histCols: Seq[(String, Int)] = Nil): Seq[Constraint] = {
     val aggs =
       (count(lit(1)).as("__n") +:
         completenessCols.map(c => count(col(c)).as(s"__c_$c"))) ++
@@ -437,7 +498,48 @@ object Constraints {
       val inSet = counted.map(_.getAs[Long]("__cnt")).sum
       InSetRatio(c, values, inSet.toDouble / n.toDouble)
     }
-    fromProfile ++ fromSets
+    val fromHists: Seq[Constraint] = histCols.map { case (c, bins) =>
+      // equi-depth edges from the baseline's own quantiles, exact
+      // nearest-rank arithmetic: edge i = value at rank
+      // ceil(i·n/B) = (i·n + B − 1) div B, read off the cumulative
+      // counts of the DISTINCT-value domain (a window over |distinct|
+      // rows — an aggregate domain, never the data). The value at a
+      // rank is order-tie-proof: any ordering consistent with the
+      // value sort puts the same value at a given rank. Baseline bin
+      // counts follow in one more small aggregation. O(B) rows reach
+      // the driver — threshold literals, the q134 probe class.
+      require(bins >= 2, s"histogram needs >= 2 bins for '$c'")
+      val nonNull = df.where(col(c).isNotNull)
+        .select(col(c).cast("double").as("__v"))
+      val nv = nonNull.count()
+      require(nv > 0,
+        s"cannot suggest a histogram from all-null column '$c'")
+      val ranks = (1 until bins).map(i => (i * nv + bins - 1) / bins)
+      val wv = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = nonNull.groupBy(col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum(col("__cnt")).over(wv))
+        .withColumn("__lo", col("__cum") - col("__cnt"))
+      val edges = cum
+        .select(col("__v"), col("__lo"), col("__cum"),
+          explode(array(ranks.map(lit(_)): _*)).as("__rk"))
+        .where(col("__rk") > col("__lo") && col("__rk") <= col("__cum"))
+        .groupBy(col("__rk")).agg(min(col("__v")).as("__v"))
+        .orderBy(col("__rk"))
+        .collect().map(_.getAs[Double]("__v")).toSeq
+      val binExpr = edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(col("__v") >= lit(e), 1).otherwise(0) }
+      val counted = nonNull.groupBy(binExpr.as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getAs[Int]("__b") -> r.getAs[Long]("__c"))
+        .toMap
+      val baseline = (0 until bins).map(b => counted.getOrElse(b, 0L))
+      // 0.1 is the standard PSI alarm level, on the metric's 1e-6
+      // fixed-point scale
+      HistogramDrift(c, edges, baseline, 100000.0)
+    }
+    fromProfile ++ fromSets ++ fromHists
   }
 
   /** The expectations/quarantine half: tag every row with the array

@@ -1464,6 +1464,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("HistogramDrift: bin counts merge by element-wise sum — " +
+      "merged per-part states equal the one-shot suite exactly; the " +
+      "PSI metric is zero against the constraint's own baseline") {
+    import graft.operators._
+    val df = spark.range(0, 900).select(
+      (col("id") % 300).cast("double").as("v"),
+      (col("id") % 3).as("part"))
+    val edges = Seq(50.0, 100.0, 150.0, 200.0, 250.0)
+    val baseline = Seq(150L, 150L, 150L, 150L, 150L, 150L)
+    val c = HistogramDrift("v", edges, baseline, 100000.0)
+    val full = Constraints.run(df.drop("part"), Seq(c))
+    // the data IS the baseline distribution: every PSI term is
+    // round(1e6 · 0 · ln 1) = 0
+    assert(full.select("metric").as[Double].head() === 0.0)
+    val parts = (0 until 3).map(p =>
+      Constraints.state(df.where(col("part") === p).drop("part"), Seq(c)))
+    val merged = Constraints.report(
+      Constraints.mergeStates(parts.reduce(_ unionByName _), Seq(c)),
+      Seq(c))
+    assert(merged.collect().toSet === full.collect().toSet,
+      "summed bin-count states must equal the one-shot suite")
+    // and a squashed distribution trips it
+    val drifted = Constraints.run(
+      df.select((col("v") / 4).as("v")), Seq(c))
+    assert(drifted.select("passed").as[Boolean].head() === false)
+  }
+
   test("suggest API edges: numeric set columns profile via a string " +
       "cast; all-null bound/unique columns fail fast with the column " +
       "named; report rejects non-identifier group columns") {

@@ -1952,6 +1952,53 @@ class StreamingSpec extends AnyFunSuite {
       // ...while the max bound, a lifetime-monotone metric, still trips
       assert(failures(lifetime).contains("max_bound"))
     } finally q.stop()
+  }
+
+  test("distribution drift: the monitored HistogramDrift constraint " +
+      "catches a shifted batch that EVERY ratio constraint misses " +
+      "(lengths redistribute inside the old bounds)") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val suite = Constraints.suggest(docs,
+      completenessCols = Seq("text"),
+      setCols = Seq(("lang", 5)),
+      histCols = Seq(("n_chars", 8)))
+    assert(suite.exists(_.isInstanceOf[HistogramDrift]),
+      "suggest must emit the histogram constraint from the baseline")
+    val good = docs.as[(Long, String, String, String, Long)]
+      .collect().toSeq
+    // the bad batch: SAME rows except n_chars integer-squashed — the
+    // ratio metrics (completeness, in-set) equal the baseline's own
+    // thresholds exactly, so only the distribution can alarm
+    val shifted = good.map(r =>
+      (r._1 + 500000L, r._2, r._3, r._4, math.max(1L, r._5 / 3)))
+    val stateDir = GraftTestSpark.tmpDir("graft-dq-hist")
+    val chk = GraftTestSpark.tmpDir("graft-dq-hist-chk")
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = graft.streaming.QualityMonitor.maintain(
+        input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+        stateDir, suite)
+      .option("checkpointLocation", chk)
+      .start()
+    try {
+      Seq(good, shifted, good).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      def failures(batch: Long): Set[String] =
+        graft.streaming.QualityMonitor.batchReport(
+            spark, stateDir, batch, suite)
+          .where(!col("passed")).select("constraint_type")
+          .as[String].collect().toSet
+      // batches of the baseline itself: bins equal the baseline bins
+      // exactly, every PSI term is round(1e6·0·ln 1) = 0
+      assert(failures(0L) === Set.empty)
+      assert(failures(2L) === Set.empty)
+      assert(failures(1L) === Set("histogram_drift"),
+        "the shifted batch must fail the histogram constraint and " +
+          "ONLY the histogram constraint")
+    } finally q.stop()
   }}
 
 
