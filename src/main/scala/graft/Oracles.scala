@@ -3389,6 +3389,63 @@ object Oracles {
         |    CAST(0.9 AS DOUBLE), '>=' FROM dens)
         |ORDER BY source, column_name""".stripMargin,
 
+    // q221: the generalization schedule replayed — one class-stat CTE
+    // per round-robin step (nation→region→*, band1000→band5000→*),
+    // chosen = first step with min class size >= k (monotone along a
+    // genuine-coarsening ladder), else the final step
+    "q221_generalize_to_k" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal, c_nationkey,
+        |  n_regionkey FROM customer JOIN nation
+        |  ON c_nationkey = n_nationkey),
+        |s0 AS (SELECT c_nationkey AS q1,
+        |  floor(c_acctbal/1000.0) AS q2, count(*) AS cs
+        |  FROM c GROUP BY 1, 2),
+        |s1 AS (SELECT n_regionkey AS q1,
+        |  floor(c_acctbal/1000.0) AS q2, count(*) AS cs
+        |  FROM c GROUP BY 1, 2),
+        |s2 AS (SELECT n_regionkey AS q1,
+        |  floor(c_acctbal/5000.0) AS q2, count(*) AS cs
+        |  FROM c GROUP BY 1, 2),
+        |s3 AS (SELECT -1 AS q1, floor(c_acctbal/5000.0) AS q2,
+        |  count(*) AS cs FROM c GROUP BY 1, 2),
+        |s4 AS (SELECT -1 AS q1, -1 AS q2, count(*) AS cs
+        |  FROM c GROUP BY 1, 2),
+        |a AS (
+        |  SELECT 0 AS step, 0 AS lvl_qi_nation, 0 AS lvl_qi_band,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(min(cs) AS BIGINT) AS min_class_size,
+        |    CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT)
+        |      AS n_rows_below_k,
+        |    CAST(sum(CASE WHEN cs >= 5 THEN cs ELSE 0 END) AS BIGINT)
+        |      AS n_rows_kept FROM s0
+        |  UNION ALL SELECT 1, 1, 0, CAST(count(*) AS BIGINT),
+        |    CAST(min(cs) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs >= 5 THEN cs ELSE 0 END) AS BIGINT)
+        |    FROM s1
+        |  UNION ALL SELECT 2, 1, 1, CAST(count(*) AS BIGINT),
+        |    CAST(min(cs) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs >= 5 THEN cs ELSE 0 END) AS BIGINT)
+        |    FROM s2
+        |  UNION ALL SELECT 3, 2, 1, CAST(count(*) AS BIGINT),
+        |    CAST(min(cs) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs >= 5 THEN cs ELSE 0 END) AS BIGINT)
+        |    FROM s3
+        |  UNION ALL SELECT 4, 2, 2, CAST(count(*) AS BIGINT),
+        |    CAST(min(cs) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN cs >= 5 THEN cs ELSE 0 END) AS BIGINT)
+        |    FROM s4),
+        |sel AS (SELECT coalesce(
+        |  min(CASE WHEN min_class_size >= 5 THEN step END),
+        |  max(step)) AS cstep FROM a)
+        |SELECT step, lvl_qi_nation, lvl_qi_band, n_classes,
+        |  min_class_size, n_rows_below_k, n_rows_kept,
+        |  step = cstep AS chosen
+        |FROM a, sel ORDER BY step""".stripMargin,
+
     // q222: the suggested histogram-drift constraint replayed — exact
     // nearest-rank edges off the baseline's distinct-value cumulative
     // counts, binning by |{edges <= v}|, q179's fixed-point PSI

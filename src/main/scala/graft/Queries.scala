@@ -6015,6 +6015,36 @@ object Queries {
       .orderBy(col("source"), col("column_name"))
   }
 
+  /** k-anonymization by GENERALIZATION — suppression's production
+    * alternative (q217 drops rows; this coarsens values until k
+    * holds): the customer quasi-identifiers walk fixed ladders
+    * (nation → region → suppressed; 1000-balance band → 5000-band →
+    * suppressed) along [[graft.operators.Privacy.generalizationAudit]]'s
+    * round-robin schedule, and the audit reports EVERY step's
+    * k-posture — classes, min class size, rows below/at k — plus the
+    * step [[graft.operators.Privacy.generalizeToK]] would choose
+    * (first satisfying; min class size is monotone along a
+    * genuine-coarsening ladder, which OperatorsSpec property-pins).
+    * The information-loss-vs-rows-kept trade is the row set itself:
+    * later steps keep more rows at coarser (lossier) recodings.
+    *
+    * Scale shape: one keyed aggregation per schedule step (5 steps
+    * here), each re-aggregated to four scalars — the nation side
+    * broadcast-joins for its region ladder. */
+  def q221GeneralizeToK(spark: SparkSession, dir: String): DataFrame = {
+    val tb = t(spark, dir)
+    val cust = tb.customer.join(
+      broadcast(tb.nation.select(col("n_nationkey"), col("n_regionkey"))),
+      col("c_nationkey") === col("n_nationkey"))
+    val ladders = Seq(
+      "qi_nation" -> Seq(col("c_nationkey"), col("n_regionkey"),
+        lit(-1L)),
+      "qi_band" -> Seq(floor(col("c_acctbal") / 1000.0),
+        floor(col("c_acctbal") / 5000.0), lit(-1L)))
+    graft.operators.Privacy.generalizationAudit(cust, ladders, k = 5)
+      .orderBy(col("step"))
+  }
+
   /** Distribution-drift constraint in the suggestion loop — the
     * drift class the ratio suite cannot see: a corpus whose lengths
     * REDISTRIBUTE inside the old bounds trips no completeness, set or
@@ -6276,5 +6306,6 @@ object Queries {
     "q218_expectations" -> (q218Expectations _),
     "q219_suite_drift" -> (q219SuiteDrift _),
     "q220_approx_unique_monitor" -> (q220ApproxUniqueMonitor _),
+    "q221_generalize_to_k" -> (q221GeneralizeToK _),
     "q222_distribution_drift" -> (q222DistributionDrift _))
 }

@@ -1581,6 +1581,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("generalizeToK property: every output class >= k; the chosen " +
+      "step (information loss) is monotone in k; the audit's chosen " +
+      "row matches a brute-force walk") {
+    import graft.operators.Privacy
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val n = 60 + rnd.nextInt(80)
+      val rows = Seq.fill(n)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(200).toLong,
+          rnd.nextInt(100).toLong))
+      val df = rows.toDF("qa", "qb", "payload")
+      // genuine-coarsening ladders: value → value div m → constant
+      val ma = 2 + rnd.nextInt(4)
+      val mb = 2 + rnd.nextInt(6)
+      val ladders = Seq(
+        "ga" -> Seq(col("qa"), col("qa") / ma cast "long", lit(-1L)),
+        "gb" -> Seq(col("qb"), col("qb") / mb cast "long", lit(-1L)))
+      def bruteLevels(k: Int): Seq[Int] = {
+        def ok(levels: Seq[Int]): Boolean = {
+          def g(v: Long, lvl: Int, m: Int): Long =
+            if (lvl == 0) v else if (lvl == 1) v / m else -1L
+          rows.groupBy(r => (g(r._1, levels(0), ma), g(r._2, levels(1), mb)))
+            .values.forall(_.size >= k)
+        }
+        Privacy.schedule(Seq(2, 2)).find(ok)
+          .getOrElse(Seq(2, 2))
+      }
+      val ks = Seq(2, 4, 8)
+      val chosen = ks.map { k =>
+        val (out, levels) = Privacy.generalizeToK(df, ladders, k,
+          drop = Seq("qa", "qb"))
+        assert(levels === bruteLevels(k), s"trial $trial k=$k levels")
+        // unconditional output guarantee, even when the walk topped out
+        val sizes = out.groupBy(col("ga"), col("gb"))
+          .agg(count(lit(1)).as("cs"))
+          .select("cs").as[Long].collect()
+        assert(sizes.forall(_ >= k), s"trial $trial k=$k class sizes")
+        assert(!out.columns.contains("qa") && !out.columns.contains("qb"),
+          "raw quasi-identifiers must not survive generalization")
+        // audit agreement: its chosen row carries the same levels
+        val auditRow = Privacy.generalizationAudit(df, ladders, k)
+          .where(col("chosen")).select("lvl_ga", "lvl_gb")
+          .as[(Int, Int)].collect().toSeq
+        assert(auditRow === Seq((levels(0), levels(1))),
+          s"trial $trial k=$k audit")
+        levels
+      }
+      // loss monotone in k: a larger k never chooses a finer step
+      val steps = chosen.map(l =>
+        Privacy.schedule(Seq(2, 2)).indexOf(l))
+      assert(steps === steps.sorted, s"trial $trial monotone: $steps")
+    }
+  }
+
   test("threshold literals round-trip through the stack finalization " +
       "(shortest-repr doubles, float-noise values, E-notation)") {
     import graft.operators._
