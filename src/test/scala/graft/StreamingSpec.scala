@@ -1999,6 +1999,100 @@ class StreamingSpec extends AnyFunSuite {
         "the shifted batch must fail the histogram constraint and " +
           "ONLY the histogram constraint")
     } finally q.stop()
+  }
+
+  test("quality-gated live topology: enforce routes clean rows to the " +
+      "exactly-once parquet table and violations to the index sink, " +
+      "the monitor rides the clean stream, and the whole composition " +
+      "survives a graceful stop + restart") {
+    import graft.operators._
+    import graft.streaming.{QualityMonitor, Sinks}
+    val suite = Seq(
+      Completeness("text", 0.99),
+      MinBound("n_chars", 40.0),
+      MaxBound("n_chars", 500.0),
+      MatchRatio("lang", "^(en|de|fr|es)$", 0.9),
+      ApproxUniqueRatio("doc_id", 0.5))
+    val all = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val (phase1, phase2) = all.splitAt(all.size / 2)
+    val inDir = GraftTestSpark.tmpDir("graft-qg-in")
+    val cleanDir = GraftTestSpark.tmpDir("graft-qg-clean")
+    val quarRoot = GraftTestSpark.tmpDir("graft-qg-quar")
+    val metricsDir = GraftTestSpark.tmpDir("graft-qg-metrics")
+    val chk = (1 to 4).map(i => GraftTestSpark.tmpDir(s"graft-qg-chk$i"))
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def feed(rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    def startTopology(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG")
+        .parquet(inDir)
+      val tagged = Constraints.enforce(src, suite)
+      val clean = tagged.where(size($"violations") === 0)
+        .drop("violations")
+      val quarantine = tagged.where(size($"violations") > 0)
+        .select($"doc_id", $"source",
+          concat_ws(",", $"violations").as("reasons"))
+      val qClean = clean.writeStream // exactly-once parquet table
+        .format("parquet").option("path", cleanDir)
+        .option("checkpointLocation", chk(0)).start()
+      val qQuar = quarantine.writeStream // at-least-once index docs
+        .foreachBatch(Sinks.indexSinkPartitions(
+          () => new Sinks.FileIndexSink(quarRoot), "quarantine"))
+        .option("checkpointLocation", chk(1)).start()
+      val qMon = QualityMonitor.maintain(clean, metricsDir, suite,
+          Seq("source"))
+        .option("checkpointLocation", chk(2)).start()
+      val qAlert = quarantine.writeStream // stateless per-trigger alert
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val n = b.count(); if (n > 0) alerts.synchronized {
+            alerts += n }; ()
+        }
+        .option("checkpointLocation", chk(3)).start()
+      Seq(qClean, qQuar, qMon, qAlert)
+    }
+
+    feed(phase1)
+    val run1 = startTopology()
+    try run1.foreach(_.processAllAvailable())
+    finally run1.foreach(_.stop()) // graceful stop mid-ingest
+    feed(phase2)
+    val run2 = startTopology() // same checkpoints: resume, not replay
+    try run2.foreach(_.processAllAvailable())
+    finally run2.foreach(_.stop())
+
+    // (a) clean + quarantine = input, exactly once on the clean side
+    val cleanIds = spark.read.parquet(cleanDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(cleanIds.distinct.size === cleanIds.size,
+      "exactly-once clean table: no duplicates across the restart")
+    val quarIds = spark.read.json(s"$quarRoot/quarantine/docs-*.jsonl")
+      .select("doc_id").as[Long].collect().toSeq.distinct
+    assert(cleanIds.toSet.intersect(quarIds.toSet) === Set.empty,
+      "a row routes to exactly one side")
+    assert(cleanIds.toSet ++ quarIds.toSet === all.map(_._1).toSet,
+      "clean + quarantine must account for every ingested row")
+    assert(quarIds.nonEmpty && alerts.nonEmpty,
+      "the fixture really exercises the quarantine path")
+    // quarantined docs carry their reasons
+    assert(spark.read.json(s"$quarRoot/quarantine/docs-*.jsonl")
+      .where(length($"reasons") === 0).count() === 0)
+
+    // (b) the lifetime report equals the batch suite over everything
+    // the clean table ingested — through the stop/restart boundary
+    val lifetime = QualityMonitor.report(spark, metricsDir, suite,
+      Seq("source"))
+    val batch = Constraints.run(spark.read.parquet(cleanDir), suite,
+      Seq("source"))
+    assert(lifetime.collect().toSet === batch.collect().toSet,
+      "merge-of-batch-states must equal the one-shot suite")
   }}
 
 
