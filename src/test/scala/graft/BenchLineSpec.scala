@@ -25,6 +25,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("n").asInt() === 3)
   }
 
+  test("subset43_best: emitted only when a run history exists, and " +
+      "survives the oversize degradation ladder") {
+    val none = Bench.jsonLine(Seq(("q01_x", 1.0, true)), "/sf", 3)
+    assert(om.readTree(none).get("subset43_best") === null,
+      "no history: the field must be absent, not -1")
+    val some = Bench.jsonLine(Seq(("q01_x", 1.5, true)), "/sf", 3,
+      subsetBest = 1.2)
+    assert(om.readTree(some).get("subset43_best").asDouble() === 1.2)
+    val many = (1 to 300).map(i => (f"q$i%03d_some_name", 1.0, true))
+    val degraded = Bench.jsonLine(many, "/sf", 3, subsetBest = 40.0)
+    assert(degraded.length <= 1800)
+    assert(om.readTree(degraded).get("subset43_best").asDouble() === 40.0,
+      "the best-of-round gate number is headline, not per-query detail")
+  }
+
   test("failed query: -1 in the map, named in failed, subset43 fails closed") {
     val line = Bench.jsonLine(Seq(
       ("q02_revenue", 1.0, false),
