@@ -164,10 +164,14 @@ case class ApproxUniqueRatio(column: String, threshold: Double)
             " WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1" +
             " WHEN '7' THEN 1 ELSE 0 END") + 1).cast("long")))
   }
+  // O(1) buffer update per row (graft.expressions.HllRegisterMax) —
+  // the declarative 256-conditional-max formulation costs O(m) branch
+  // evaluations per row and dominated the suite scan at 6M rows
+  // (GovSoak); values are identical (all-zero init, null-skipping,
+  // element-wise-max merge)
   override private[operators] def arrAgg(i: Int): Column =
-    array((0 until arrLen).map(b =>
-      coalesce(max(when(col(s"__c${i}_b") === b, col(s"__c${i}_r"))),
-        lit(0L))): _*)
+    graft.expressions.SketchAggs.hllRegisterMax(
+      col(s"__c${i}_b"), col(s"__c${i}_r"), arrLen)
   override private[operators] def arrMetricSql: Option[String] = Some(
     // V = zero registers; s = fixed-point Σ2^(49−r) (empty registers
     // hold r=0 and contribute 2^49 each by construction); raw = the

@@ -30,7 +30,16 @@ import graft.operators.{Constraint, Constraints}
 object QualityMonitor {
 
   /** Wire a stream into a maintained metrics table at `tablePath`.
-    * Start + await the returned writer. */
+    * Start + await the returned writer.
+    *
+    * Crash/retry contract: the per-batch write is an idempotent
+    * OVERWRITE of its own `batch=<id>/` dir, so a foreachBatch retry
+    * re-running the whole batch never double-counts. In a larger
+    * topology where this monitor runs beside other sinks, a crash
+    * BETWEEN this state write and a sibling sink's commit simply
+    * replays the batch into the same dir — a harmless re-overwrite;
+    * the metrics table cannot drift from what the stream actually
+    * delivered. */
   def maintain(stream: DataFrame, tablePath: String,
       cs: Seq[Constraint], groupBy: Seq[String] = Nil)
       : DataStreamWriter[Row] = {

@@ -58,6 +58,19 @@ object GovSoak {
       (0 until 4).flatMap(family), Seq("source")).count())
     time("suite_6_plus_distinct")(Constraints.run(docs,
       family(0) :+ UniqueRatio("doc_id", 1.0), Seq("source")).count())
+    // round-9 array-slice constraints: the HLL register slice should
+    // cost one md5 per row + 256 branchy max-updates (NOT the
+    // two-phase distinct rewrite UniqueRatio forces), and the
+    // histogram slice a 7-comparison fold — both ride the same single
+    // aggregation pass
+    time("suite_6_plus_hll")(Constraints.run(docs,
+      family(0) :+ ApproxUniqueRatio("doc_id", 0.5), Seq("source"))
+      .count())
+    time("suite_6_plus_hist")(Constraints.run(docs,
+      family(0) :+ HistogramDrift("n_chars",
+        Seq(60.0, 120.0, 180.0, 240.0, 300.0, 360.0, 420.0),
+        Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L), 1.0e12),
+      Seq("source")).count())
     time("enforce_route")(Constraints
       .enforce(docs, family(0))
       .select(col("source"),
@@ -94,6 +107,9 @@ object GovSoak {
       liFam(0), Seq("l_returnflag")).count())
     timeLi("li_suite_24")(Constraints.run(li,
       (0 until 4).flatMap(liFam), Seq("l_returnflag")).count())
+    timeLi("li_suite_6_plus_hll")(Constraints.run(li,
+      liFam(0) :+ ApproxUniqueRatio("l_orderkey", 0.01),
+      Seq("l_returnflag")).count())
     timeLi("li_bare_scan")(li.groupBy(col("l_returnflag")).count().count())
 
     spark.stop()

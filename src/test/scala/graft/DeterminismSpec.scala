@@ -50,7 +50,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q129_oov_rate",          // deterministic top-256 vocab cut
     "q215_constraint_suite",  // exact-long ratio metrics, one division
     "q218_expectations",      // row-tag routing matrix, integer sums
-    "q219_suite_drift")       // driver-derived thresholds, exact longs
+    "q219_suite_drift",       // driver-derived thresholds, exact longs
+    "q220_approx_unique_monitor", // register-max merge + LC branch
+    "q221_generalize_to_k",   // per-step class stats, chosen window
+    "q222_distribution_drift") // fixed-point PSI, exact bin counts
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {
