@@ -446,12 +446,20 @@ object Constraints {
     * class). Thresholds are exact: single divisions of collected
     * longs, so the suggested suite reproduces bit-identically on any
     * partitioning. */
+  /** `mergeableUnique = true` emits [[ApproxUniqueRatio]] instead of
+    * exact [[UniqueRatio]] for `uniqueCols`, with the threshold
+    * derated by the sketch's standard error margin (×(1−2·1.04/√m) ≈
+    * ×0.87 at m=256) so the baseline's own HLL estimate doesn't flap
+    * the suite — use it when the suggested suite is destined for the
+    * streaming [[graft.streaming.QualityMonitor]], which rejects the
+    * exact form. */
   def suggest(df: DataFrame,
       completenessCols: Seq[String] = Nil,
       uniqueCols: Seq[String] = Nil,
       boundCols: Seq[String] = Nil,
       setCols: Seq[(String, Int)] = Nil,
-      histCols: Seq[(String, Int)] = Nil): Seq[Constraint] = {
+      histCols: Seq[(String, Int)] = Nil,
+      mergeableUnique: Boolean = false): Seq[Constraint] = {
     val aggs =
       (count(lit(1)).as("__n") +:
         completenessCols.map(c => count(col(c)).as(s"__c_$c"))) ++
@@ -481,8 +489,10 @@ object Constraints {
         uniqueCols.map { c =>
           require(l(s"__un_$c") > 0,
             s"cannot suggest uniqueness from all-null column '$c'")
-          UniqueRatio(c,
-            l(s"__ud_$c").toDouble / l(s"__un_$c").toDouble)
+          val ratio = l(s"__ud_$c").toDouble / l(s"__un_$c").toDouble
+          if (mergeableUnique)
+            ApproxUniqueRatio(c, ratio * (1.0 - 2.0 * 1.04 / 16.0))
+          else UniqueRatio(c, ratio)
         } ++
         boundCols.flatMap(c =>
           Seq(MinBound(c, d(s"__lo_$c", c)), MaxBound(c, d(s"__hi_$c", c))))

@@ -1491,6 +1491,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drifted.select("passed").as[Boolean].head() === false)
   }
 
+  test("suggest(mergeableUnique): the suggested suite is monitorable " +
+      "— uniqueness comes back as the HLL twin with a derated " +
+      "threshold the baseline itself passes") {
+    import graft.operators._
+    val df = spark.range(0, 800).select(col("id"),
+      (col("id") % 7).cast("string").as("lang"))
+    val suite = Constraints.suggest(df, uniqueCols = Seq("id"),
+      completenessCols = Seq("lang"), mergeableUnique = true)
+    assert(suite.forall(_.mergeable),
+      "every suggested constraint must be monitor-accepted")
+    val approx = suite.collect { case c: ApproxUniqueRatio => c }
+    assert(approx.map(_.column) === Seq("id"))
+    assert(approx.head.threshold < 1.0 && approx.head.threshold > 0.8,
+      s"threshold ${approx.head.threshold} must derate the exact 1.0 " +
+        "by the sketch error margin")
+    // the defining property survives the approximation: the baseline
+    // passes its own suggested suite
+    val rep = Constraints.run(df, suite)
+    assert(rep.where(!col("passed")).count() === 0)
+    // and mergeStates accepts it end to end (the monitor's gate)
+    Constraints.mergeStates(Constraints.state(df, suite), suite)
+  }
+
   test("suggest API edges: numeric set columns profile via a string " +
       "cast; all-null bound/unique columns fail fast with the column " +
       "named; report rejects non-identifier group columns") {
