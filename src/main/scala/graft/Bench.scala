@@ -156,27 +156,37 @@ object Bench {
     val runsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS",
       "BENCH_RUNS.jsonl")
     val subset = subset43Of(results)
-    val subsetBest = try {
+    // history rows are GATE numbers: only a run that measured the
+    // complete 43-query subset may record one — a BENCH_ONLY partial
+    // run's passers-only sum would otherwise poison subset43_best
+    // downward for every later full run
+    val subsetComplete =
+      results.count { case (name, _, _) => inSubset(name) } >= 43
+    val subsetBest = if (!subsetComplete) -1.0 else try {
       val p = java.nio.file.Paths.get(runsPath)
+      // match against the SAME escaped form the writer emits, or a
+      // quote/backslash in the sf path would write history it can
+      // never read back
+      val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
       val prior =
         if (!java.nio.file.Files.exists(p)) Seq.empty[Double]
         else {
           val re = ("\"subset43\":([-0-9.]+).*\"sf\":\"" +
-            java.util.regex.Pattern.quote(sfDir) + "\"").r
+            java.util.regex.Pattern.quote(sfEsc) + "\"").r
           scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(p)).asScala.toSeq
             .flatMap(l => re.findFirstMatchIn(l)
               .map(_.group(1).toDouble).filter(_ >= 0))
         }
-      if (subset >= 0) {
-        val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+      if (subset >= 0 && subsetComplete) {
         java.nio.file.Files.write(p,
           (s"""{"subset43":${ms(subset)},"sf":"$sfEsc","n":$n}""" + "\n")
             .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
       }
-      val all = prior ++ (if (subset >= 0) Seq(subset) else Nil)
+      val all = prior ++
+        (if (subset >= 0 && subsetComplete) Seq(subset) else Nil)
       if (all.isEmpty) -1.0 else all.min
     } catch { case e: Exception =>
       System.err.println(s"[bench] runs history failed: ${e.getMessage}")

@@ -3507,12 +3507,14 @@ object Oracles {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS iset FROM v2d),
         |psi2 AS (SELECT CAST(sum(CAST(round(1e6 *
         |  ((ca + 1) / (na + 8) - (cb + 1) / (nv + 8))
-        |  * ln(((ca + 1) * (nv + 8)) / ((cb + 1) * (na + 8))))
+        |  * ln(((ca + 1) * CAST(nv + 8 AS DOUBLE))
+        |    / ((cb + 1) * CAST(na + 8 AS DOUBLE))))
         |  AS BIGINT)) AS DOUBLE) AS psi
         |  FROM cur2 JOIN base8 USING (bin), s2, b),
         |psi3 AS (SELECT CAST(sum(CAST(round(1e6 *
         |  ((ca + 1) / (na + 8) - (cb + 1) / (nv + 8))
-        |  * ln(((ca + 1) * (nv + 8)) / ((cb + 1) * (na + 8))))
+        |  * ln(((ca + 1) * CAST(nv + 8 AS DOUBLE))
+        |    / ((cb + 1) * CAST(na + 8 AS DOUBLE))))
         |  AS BIGINT)) AS DOUBLE) AS psi
         |  FROM cur3 JOIN base8 USING (bin), s3, b)
         |SELECT version, constraint_type, column_name, metric, threshold,

@@ -239,17 +239,22 @@ object Compaction {
       // caller never needs recover() for a call that merely THREW —
       // every original is still present, so deleting this call's
       // copies, manifests and locks is a clean no-trace undo. Order
-      // per unit: copies/tmp → manifest → lock (the lock outlives an
-      // incomplete manifest even if this undo itself dies).
+      // per unit: MANIFEST FIRST, then copies/tmp, then lock — if
+      // this undo itself dies (or a delete throws, swallowed by the
+      // Try) after removing copies, a surviving COMPLETE manifest
+      // would otherwise make recover() roll FORWARD and delete
+      // originals whose copies are already gone; with the manifest
+      // gone first, every partial-undo crash state is (lock, maybe
+      // copies, no manifest) = ROLL BACK, which is always safe.
       inFlight.foreach { case (d, nonce, lock) =>
         scala.util.Try {
+          fs.delete(new Path(d, s"$ManifestPrefix$nonce"), false)
           fs.listStatus(d).foreach { f =>
             val n = f.getPath.getName
             if (n.startsWith(s"compact-$nonce-") ||
               n == s".compact-tmp-$nonce")
               fs.delete(f.getPath, true)
           }
-          fs.delete(new Path(d, s"$ManifestPrefix$nonce"), false)
           fs.delete(lock, false)
         }
       }
@@ -337,8 +342,16 @@ object Compaction {
     }
     def sweep(p: Path): Unit = {
       val entries = fs.listStatus(p)
-      val hasLock = entries.exists(s =>
-        !s.isDirectory && s.getPath.getName == LockName)
+      // the lock's nonce (empty string for an empty lock), used to
+      // tell THIS cycle's manifest from an orphan of an OLDER cycle:
+      // a lock for cycle N2 must not shield cycle N1's leftover
+      // manifest from the orphan sweep, or the unit needs two
+      // recover passes to converge
+      val lockNonce: Option[String] = entries
+        .find(s => !s.isDirectory && s.getPath.getName == LockName)
+        .map(s => readAll(s.getPath, s.getLen.toInt)
+          .split("\n").toSeq.filter(_.nonEmpty)
+          .headOption.getOrElse(""))
       entries.foreach { s =>
         val name = s.getPath.getName
         // dot-dirs (`.compact-tmp-*` staging) are never units, and a
@@ -364,9 +377,12 @@ object Compaction {
                   rollBack(unit, nonce, s.getPath)
               }
           }
-        } else if (name.startsWith(ManifestPrefix) && !hasLock) {
-          // orphan manifest: the lock is gone, so either a commit or
-          // an undo crashed after releasing it. Complete → finish the
+        } else if (name.startsWith(ManifestPrefix) &&
+            !lockNonce.contains(name.stripPrefix(ManifestPrefix))) {
+          // orphan manifest: no lock holds ITS nonce — either the
+          // lock is gone (a commit or undo crashed after releasing
+          // it) or a NEWER cycle has since locked the unit, which
+          // must not shield the older leftover. Complete → finish the
           // commit; torn (unreachable by any crash, defensively
           // handled) → drop the manifest, never touch copies.
           val unit = s.getPath.getParent

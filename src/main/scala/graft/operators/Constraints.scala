@@ -244,10 +244,16 @@ case class HistogramDrift(column: String, edges: Seq[Double],
     val bArr = baseline.map(v => s"CAST($v AS BIGINT)")
       .mkString("array(", ", ", ")")
     val na = "aggregate(arr, CAST(0 AS BIGINT), (a, r) -> a + r)"
+    // the ln-ratio products promote to DOUBLE BEFORE multiplying: two
+    // ~1e9 BIGINT counts would wrap a long product negative and turn
+    // the term into ln(negative) = NaN → 0 — a silent drift pass at
+    // exactly the scale the constraint exists for. Below 2^53 the
+    // double product is exact, so oracle hash parity is unchanged at
+    // every verified rung.
     Some(s"""CAST(aggregate(zip_with(arr, $bArr, (ca, cb) ->
       CAST(round(1e6 * ((ca + 1) / ($na + $b) - (cb + 1) / ($nb + $b))
-        * ln(((ca + 1) * ($nb + $b)) / ((cb + 1) * ($na + $b))))
-        AS BIGINT)),
+        * ln(((ca + 1) * CAST($nb + $b AS DOUBLE))
+          / ((cb + 1) * CAST($na + $b AS DOUBLE)))) AS BIGINT)),
       CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)""")
   }
 }

@@ -110,12 +110,16 @@ object Privacy {
     }
     val all = audits.reduce(_ unionByName _)
     // chosen = first step meeting k (min class size is monotone along
-    // a genuine-coarsening schedule), else the final step
+    // a genuine-coarsening schedule), else the final step. A NULL min
+    // class size (empty input) is vacuously satisfied — the SAME rule
+    // generalizeToK's walk applies, so the audit's chosen row always
+    // carries the levels the walk would return
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
     all.withColumn("chosen",
       col("step") === coalesce(
-        min(when(col("min_class_size") >= k, col("step"))).over(w),
+        min(when(col("min_class_size") >= k ||
+          col("min_class_size").isNull, col("step"))).over(w),
         max(col("step")).over(w)))
   }
 

@@ -203,6 +203,52 @@ class CompactionSpec extends AnyFunSuite {
     assert(readIds(root) == before)
   }
 
+  test("crash contract: an orphan manifest of an OLDER cycle is not " +
+      "shielded by a NEWER cycle's lock — one recover pass converges " +
+      "both") {
+    import org.apache.hadoop.fs.Path
+    val root = GraftTestSpark.tmpDir("compact2nonce")
+    (0 until 3).foreach(i => appendFile(root, Seq(i * 2L, i * 2L + 1)))
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(name: String, content: String): Unit = {
+      val out = fs.create(new Path(root, name), true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    val originals = parquetFiles(root)
+    // cycle N1: commit crashed after releasing the lock — a COMPLETE
+    // orphan manifest remains, its copy present, one snapshot file
+    // still undeleted
+    appendFile(root, Seq(100L, 101L))
+    val n1copy = (parquetFiles(root).toSet -- originals).head
+    fs.rename(new Path(root, n1copy),
+      new Path(root, "compact-111-0.parquet"))
+    write(".compact-manifest-111",
+      s"111\nfile:$root/${originals.head}\nCOMMIT\n")
+    // cycle N2: a newer compactor took the lock and died mid-write
+    write(".compact-lock", "222\n")
+    appendFile(root, Seq(200L, 201L))
+    val n2copy = (parquetFiles(root).toSet -- originals
+      - "compact-111-0.parquet").head
+    fs.rename(new Path(root, n2copy),
+      new Path(root, "compact-222-0.parquet"))
+
+    // ONE pass: N1's orphan rolls forward (its listed snapshot file
+    // drops, manifest gone), N2 rolls back (partial copy drops)
+    assert(Compaction.recover(spark, root) == Recovery(1, 1, 0))
+    val after = parquetFiles(root).toSet
+    assert(!after.contains(originals.head),
+      "N1's listed snapshot file must drop (roll forward)")
+    assert(after.contains("compact-111-0.parquet"),
+      "N1's committed copy survives")
+    assert(!after.contains("compact-222-0.parquet"),
+      "N2's partial copy must drop (roll back)")
+    assert(!fs.exists(new Path(root, ".compact-manifest-111")) &&
+      !fs.exists(new Path(root, ".compact-lock")))
+    assert(Compaction.recover(spark, root) == Recovery(0, 0, 0),
+      "converged in ONE pass — idempotent thereafter")
+  }
+
   test("property: recover converges from ANY crash point — random " +
       "lock/manifest truncations + copy/original subsets, flat (CDC) " +
       "and bucket= (pair-table) layouts, ~100 unit states") {

@@ -1656,6 +1656,19 @@ class OperatorsSpec extends AnyFunSuite {
         Privacy.schedule(Seq(2, 2)).indexOf(l))
       assert(steps === steps.sorted, s"trial $trial monotone: $steps")
     }
+    // empty-frame agreement: both the walk and the audit treat a NULL
+    // min class size as vacuously satisfied and choose the all-finest
+    // step (the audit previously fell to the all-coarsest step)
+    val empty = Seq.empty[(Long, Long, Long)].toDF("qa", "qb", "payload")
+    val ladders = Seq(
+      "ga" -> Seq(col("qa"), col("qa") / 2 cast "long", lit(-1L)),
+      "gb" -> Seq(col("qb"), col("qb") / 2 cast "long", lit(-1L)))
+    val (_, emptyLevels) = Privacy.generalizeToK(empty, ladders, 3,
+      drop = Seq("qa", "qb"))
+    assert(emptyLevels === Seq(0, 0))
+    assert(Privacy.generalizationAudit(empty, ladders, 3)
+      .where(col("chosen")).select("step").as[Int].collect().toSeq
+      === Seq(0), "audit must choose the same step as the walk")
   }
 
   test("threshold literals round-trip through the stack finalization " +
