@@ -203,6 +203,48 @@ class CompactionSpec extends AnyFunSuite {
     assert(readIds(root) == before)
   }
 
+  test("all-or-nothing: an in-process failure mid-call undoes every " +
+      "unit this call staged — no locks, manifests or copies remain, " +
+      "and the table is untouched and immediately maintainable") {
+    import org.apache.hadoop.fs.Path
+    val root = GraftTestSpark.tmpDir("compactundo")
+    // unit A compacts cleanly; unit B's data is CORRUPT, so the read
+    // throws after A has already been fully staged (copies+manifest)
+    (0 until 3).foreach(i => appendFile(s"$root/u=a", Seq(i * 2L, i * 2L + 1)))
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/u=b"))
+    (0 until 2).foreach { i =>
+      val out = fs.create(new Path(s"$root/u=b/garbage-$i.parquet"), true)
+      out.write(s"not parquet $i".getBytes("UTF-8")); out.close()
+    }
+    val before = readIds(s"$root/u=a")
+    intercept[Throwable] {
+      Compaction.compactWrite(spark, root, Some("u="), 128L << 20)
+    }
+    // unit A's staging is fully undone: originals only, no control
+    // files anywhere, and recover() finds nothing to do
+    assert(readIds(s"$root/u=a") == before)
+    assert(parquetFiles(s"$root/u=a").forall(!_.startsWith("compact-")),
+      "unit A's staged copies must be rolled back")
+    Seq("u=a", "u=b").foreach { u =>
+      assert(!fs.exists(new Path(s"$root/$u/.compact-lock")),
+        s"$u lock must be released by the undo")
+      assert(fs.listStatus(new Path(s"$root/$u")).forall(s =>
+        !s.getPath.getName.startsWith(".compact-manifest-")),
+        s"$u manifest must be removed by the undo")
+    }
+    assert(Compaction.recover(spark, root) == Recovery(0, 0, 0),
+      "a failed in-process call must not leave recovery work behind")
+    // and the table is immediately maintainable once B is repaired
+    fs.listStatus(new Path(s"$root/u=b")).foreach(s =>
+      fs.delete(s.getPath, false))
+    appendFile(s"$root/u=b", Seq(50L, 51L))
+    appendFile(s"$root/u=b", Seq(52L, 53L))
+    assert(Compaction.compact(spark, root, Some("u=")) == 5)
+    assert(readIds(root) == (before ++ Seq(50L, 51L, 52L, 53L)).sorted)
+  }
+
   test("crash contract: an orphan manifest of an OLDER cycle is not " +
       "shielded by a NEWER cycle's lock — one recover pass converges " +
       "both") {
