@@ -3544,6 +3544,79 @@ object Oracles {
         |    psi, CAST(100000.0 AS DOUBLE), '<=' FROM psi3)
         |ORDER BY version, constraint_type, column_name""".stripMargin,
 
+    // q223: the quantile-bound constraint replayed — the q222 edge
+    // derivation, per-version binning, exact-integer median rank
+    // ((n·5000+9999)//10000), metric = the containing bin's upper
+    // edge (a literal edge value), threshold = the baseline p25 edge
+    "q223_quantile_bound" ->
+      """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |v2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |v2d AS (SELECT source, text, lang, n_chars // 3 AS n_chars
+        |  FROM v2),
+        |b AS (SELECT CAST(count(n_chars) AS BIGINT) AS nv FROM v1),
+        |cnts AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM v1
+        |  WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, cnt,
+        |  sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cnts),
+        |rk AS (SELECT i, (i * nv + 7) // 8 AS r
+        |  FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS i), b),
+        |edges AS (SELECT i, min(v) AS e FROM rk JOIN cum
+        |  ON rk.r > cum.cum - cum.cnt AND rk.r <= cum.cum GROUP BY i),
+        |spine AS (SELECT unnest(range(8)) AS bin),
+        |c2 AS (SELECT spine.bin,
+        |  CAST(coalesce(x.ca, 0) AS BIGINT) AS ca FROM spine
+        |  LEFT JOIN (SELECT (SELECT count(*) FROM edges
+        |      WHERE CAST(t.n_chars AS DOUBLE) >= e) AS bin,
+        |      CAST(count(*) AS BIGINT) AS ca
+        |    FROM v2 t WHERE n_chars IS NOT NULL GROUP BY 1) x
+        |  ON spine.bin = x.bin),
+        |c3 AS (SELECT spine.bin,
+        |  CAST(coalesce(x.ca, 0) AS BIGINT) AS ca FROM spine
+        |  LEFT JOIN (SELECT (SELECT count(*) FROM edges
+        |      WHERE CAST(t.n_chars AS DOUBLE) >= e) AS bin,
+        |      CAST(count(*) AS BIGINT) AS ca
+        |    FROM v2d t WHERE n_chars IS NOT NULL GROUP BY 1) x
+        |  ON spine.bin = x.bin),
+        |cm2 AS (SELECT bin, sum(ca) OVER (ORDER BY bin
+        |  ROWS UNBOUNDED PRECEDING) AS cs FROM c2),
+        |cm3 AS (SELECT bin, sum(ca) OVER (ORDER BY bin
+        |  ROWS UNBOUNDED PRECEDING) AS cs FROM c3),
+        |s2 AS (SELECT CAST(count(n_chars) AS BIGINT) AS na,
+        |  CAST(count(text) AS BIGINT) AS ct,
+        |  CAST(count(*) AS BIGINT) AS nn FROM v2),
+        |s3 AS (SELECT CAST(count(n_chars) AS BIGINT) AS na,
+        |  CAST(count(text) AS BIGINT) AS ct,
+        |  CAST(count(*) AS BIGINT) AS nn FROM v2d),
+        |i2 AS (SELECT CAST(count(*) AS INT) AS idx FROM cm2, s2
+        |  WHERE cs < (na * 5000 + 9999) // 10000),
+        |i3 AS (SELECT CAST(count(*) AS INT) AS idx FROM cm3, s3
+        |  WHERE cs < (na * 5000 + 9999) // 10000),
+        |m2 AS (SELECT CASE WHEN idx <= 6
+        |  THEN (SELECT e FROM edges WHERE i = idx + 1)
+        |  ELSE CAST('Infinity' AS DOUBLE) END AS metric FROM i2),
+        |m3 AS (SELECT CASE WHEN idx <= 6
+        |  THEN (SELECT e FROM edges WHERE i = idx + 1)
+        |  ELSE CAST('Infinity' AS DOUBLE) END AS metric FROM i3),
+        |th AS (SELECT e AS thr FROM edges WHERE i = 2)
+        |SELECT version, constraint_type, column_name, metric, threshold,
+        |  CASE WHEN op = '>=' THEN metric >= threshold
+        |    ELSE metric <= threshold END AS passed
+        |FROM (
+        |  SELECT 'v2' AS version, 'completeness' AS constraint_type,
+        |    'text' AS column_name,
+        |    CAST(s2.ct AS DOUBLE)/CAST(s2.nn AS DOUBLE) AS metric,
+        |    CAST(0.9 AS DOUBLE) AS threshold, '>=' AS op FROM s2
+        |  UNION ALL SELECT 'v2', 'quantile_bound', 'n_chars',
+        |    m2.metric, th.thr, '>=' FROM m2, th
+        |  UNION ALL SELECT 'v2_drifted', 'completeness', 'text',
+        |    CAST(s3.ct AS DOUBLE)/CAST(s3.nn AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE), '>=' FROM s3
+        |  UNION ALL SELECT 'v2_drifted', 'quantile_bound', 'n_chars',
+        |    m3.metric, th.thr, '>=' FROM m3, th)
+        |ORDER BY version, constraint_type, column_name""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -6084,6 +6084,38 @@ object Queries {
       .orderBy(col("version"), col("constraint_type"), col("column_name"))
   }
 
+  /** Monitorable quantile bound — the last member of the
+    * distribution-governance trio (q220 uniqueness, q222 shape, q223
+    * location): "the MEDIAN document length must not collapse" as a
+    * mergeable constraint. [[graft.operators.QuantileBound]] reads
+    * the rank-⌈n/2⌉ bin off the same fixed-edge bin-count slice as
+    * q222's histogram (edges suggested from the baseline half's own
+    * equi-depth quantiles), so its metric is a LITERAL EDGE VALUE —
+    * exact-integer bin choice, engine-portable. Evaluated on the
+    * sibling half (median ≈ the p50 edge, ≥ the p25-edge floor —
+    * passes) and on the integer-squashed copy (median collapses into
+    * the bottom bin — fails), next to a completeness constraint that
+    * stays silent on both. */
+  def q223QuantileBound(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators._
+    val docs = t(spark, dir).documents
+    val v1 = docs.where(col("doc_id") % 2 === 0)
+    val v2 = docs.where(col("doc_id") % 2 === 1)
+    val edges = Constraints.suggest(v1, histCols = Seq(("n_chars", 8)))
+      .collect { case h: HistogramDrift => h }.head.edges
+    val suite = Seq(
+      QuantileBound("n_chars", edges, 5000, edges(1), ">="),
+      Completeness("text", 0.9))
+    val drifted = v2.withColumn("n_chars", expr("n_chars div 3"))
+    Constraints.run(v2, suite)
+      .withColumn("version", lit("v2"))
+      .unionByName(Constraints.run(drifted, suite)
+        .withColumn("version", lit("v2_drifted")))
+      .select(col("version"), col("constraint_type"), col("column_name"),
+        col("metric"), col("threshold"), col("passed"))
+      .orderBy(col("version"), col("constraint_type"), col("column_name"))
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6307,5 +6339,6 @@ object Queries {
     "q219_suite_drift" -> (q219SuiteDrift _),
     "q220_approx_unique_monitor" -> (q220ApproxUniqueMonitor _),
     "q221_generalize_to_k" -> (q221GeneralizeToK _),
-    "q222_distribution_drift" -> (q222DistributionDrift _))
+    "q222_distribution_drift" -> (q222DistributionDrift _),
+    "q223_quantile_bound" -> (q223QuantileBound _))
 }

@@ -193,6 +193,77 @@ case class ApproxUniqueRatio(column: String, threshold: Double)
       END, 2) / CAST(den AS DOUBLE), 6)""")
 }
 
+/** Shared fixed-edge bin-count state slice (`HistogramDrift` /
+  * `QuantileBound`): bin b of value v = |{edges e : v >= e}| — B bins
+  * for B−1 sorted edges, total coverage, nulls in no bin. Merges by
+  * element-wise SUM. (A helper object, not a mixin: scalac fails to
+  * emit the mixin forwarder for a trait-level override of these
+  * qualified-private members — AbstractMethodError at runtime.) */
+private[operators] object HistogramSlice {
+  def prep(column: String, edges: Seq[Double], i: Int)
+      : Seq[(String, Column)] = {
+    val idx = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(column).cast("double") >= lit(e), 1).otherwise(0)
+    }
+    Seq(s"__c${i}_bin" -> when(col(column).isNotNull, idx))
+  }
+  def agg(i: Int, len: Int): Column =
+    array((0 until len).map(b =>
+      coalesce(sum(when(col(s"__c${i}_bin") === b, 1L).otherwise(0L)),
+        lit(0L))): _*)
+}
+
+/** Approximate QUANTILE bound from the [[HistogramSlice]] bin counts —
+  * "the median document length must stay >= X" as a MERGEABLE,
+  * monitorable constraint: the metric is the upper EDGE of the bin
+  * containing the rank-⌈q·n⌉ value (the histogram's resolution-bounded
+  * quantile estimate; +Infinity when the rank falls in the open last
+  * bin — a quantile beyond the profiled range fails any finite `<=`
+  * bound honestly). The quantile is specified in BASIS POINTS and the
+  * rank computed in exact integer arithmetic ((n·bp + 9999) div
+  * 10000), so the bin choice — and therefore the metric, a literal
+  * edge value — is deterministic under any partitioning and replays
+  * in DuckDB (q223). Pair with [[HistogramDrift]] on the same edges:
+  * the state slice is shared shape, one extra array per group. */
+case class QuantileBound(column: String, edges: Seq[Double],
+    quantileBp: Int, threshold: Double, op: String)
+    extends Constraint {
+  require(edges.nonEmpty && edges == edges.sorted,
+    s"quantile edges must be non-empty and sorted for '$column'")
+  require(edges.forall(e => !e.isNaN && !e.isInfinite),
+    s"non-finite quantile edge for '$column'")
+  require(quantileBp >= 1 && quantileBp <= 10000,
+    s"quantileBp must be 1..10000 for '$column'")
+  require(op == ">=" || op == "<=",
+    s"op must be >= or <= for quantile_bound('$column')")
+  val constraintType = "quantile_bound"
+  val kind = "qbound"
+  private[operators] def stateAggs =
+    (nullLong, count(col(column)), nullDouble, nullDouble)
+  override private[operators] val arrLen = edges.size + 1
+  override private[operators] val arrMergeOp = "sum"
+  override private[operators] def arrPrep(i: Int): Seq[(String, Column)] =
+    HistogramSlice.prep(column, edges, i)
+  override private[operators] def arrAgg(i: Int): Column =
+    HistogramSlice.agg(i, arrLen)
+  override private[operators] def arrMetricSql: Option[String] = {
+    val eArr = edges.map(e => s"CAST($e AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val total = "aggregate(arr, CAST(0 AS BIGINT), (a, c) -> a + c)"
+    val rank = s"((($total) * $quantileBp + 9999) div 10000)"
+    // idx = number of bins whose cumulative count stays below the
+    // rank = the index of the bin containing it
+    val idx = s"""aggregate(arr,
+      named_struct('s', CAST(0 AS BIGINT), 'i', 0),
+      (acc, c) -> named_struct('s', acc.s + c,
+        'i', acc.i + (CASE WHEN acc.s + c < $rank THEN 1 ELSE 0 END)),
+      acc -> acc.i)"""
+    Some(s"""CASE WHEN ($idx) <= ${edges.size - 1}
+      THEN element_at($eArr, ($idx) + 1)
+      ELSE CAST('Infinity' AS DOUBLE) END""")
+  }
+}
+
 /** DISTRIBUTIONAL drift constraint — the suite's answer to corpora
   * that drift without tripping a single ratio or bound: PSI
   * (population stability index) of `column`'s histogram against a
@@ -213,7 +284,8 @@ case class ApproxUniqueRatio(column: String, threshold: Double)
   * sorted edges, total coverage, nulls in no bin (completeness is a
   * different constraint's job). */
 case class HistogramDrift(column: String, edges: Seq[Double],
-    baseline: Seq[Long], threshold: Double) extends Constraint {
+    baseline: Seq[Long], threshold: Double)
+    extends Constraint {
   require(edges.nonEmpty && edges == edges.sorted,
     s"histogram edges must be non-empty and sorted for '$column'")
   require(baseline.size == edges.size + 1,
@@ -228,16 +300,10 @@ case class HistogramDrift(column: String, edges: Seq[Double],
     (nullLong, count(col(column)), nullDouble, nullDouble)
   override private[operators] val arrLen = edges.size + 1
   override private[operators] val arrMergeOp = "sum"
-  override private[operators] def arrPrep(i: Int): Seq[(String, Column)] = {
-    val idx = edges.foldLeft(lit(0)) { (acc, e) =>
-      acc + when(col(column).cast("double") >= lit(e), 1).otherwise(0)
-    }
-    Seq(s"__c${i}_bin" -> when(col(column).isNotNull, idx))
-  }
+  override private[operators] def arrPrep(i: Int): Seq[(String, Column)] =
+    HistogramSlice.prep(column, edges, i)
   override private[operators] def arrAgg(i: Int): Column =
-    array((0 until arrLen).map(b =>
-      coalesce(sum(when(col(s"__c${i}_bin") === b, 1L).otherwise(0L)),
-        lit(0L))): _*)
+    HistogramSlice.agg(i, arrLen)
   override private[operators] def arrMetricSql: Option[String] = {
     val b = arrLen
     val nb = baseline.sum

@@ -53,7 +53,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q219_suite_drift",       // driver-derived thresholds, exact longs
     "q220_approx_unique_monitor", // register-max merge + LC branch
     "q221_generalize_to_k",   // per-step class stats, chosen window
-    "q222_distribution_drift") // fixed-point PSI, exact bin counts
+    "q222_distribution_drift", // fixed-point PSI, exact bin counts
+    "q223_quantile_bound")     // integer-rank bin choice, edge literal
 
   probes.foreach { name =>
     test(s"$name is partition-invariant") {

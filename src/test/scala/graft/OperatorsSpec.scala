@@ -1491,6 +1491,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drifted.select("passed").as[Boolean].head() === false)
   }
 
+  test("QuantileBound: the metric is the containing bin's upper edge " +
+      "(exact-integer rank), +Infinity past the last edge; merged " +
+      "per-part states equal the one-shot suite") {
+    import graft.operators._
+    // 0..299 uniform: edges at 100/200 → bins of 100/100/100
+    val df = spark.range(0, 300).select(col("id").cast("double").as("v"),
+      (col("id") % 3).as("part"))
+    val edges = Seq(100.0, 200.0)
+    def metricAt(bp: Int): Double =
+      Constraints.run(df.drop("part"),
+        Seq(QuantileBound("v", edges, bp, 0.0, ">=")))
+        .select("metric").as[Double].head()
+    assert(metricAt(2500) === 100.0,  // rank 75 → bin 0 → edge 100
+      "p25 lands in the first bin")
+    assert(metricAt(5000) === 200.0,  // rank 150 → bin 1 → edge 200
+      "median lands in the middle bin")
+    assert(metricAt(9000).isPosInfinity, // rank 270 → open last bin
+      "a quantile past the last edge reports +Infinity, not a clamp")
+    // merge ≡ one-shot on the summed bin slice
+    val c = QuantileBound("v", edges, 5000, 150.0, ">=")
+    val parts = (0 until 3).map(p =>
+      Constraints.state(df.where(col("part") === p).drop("part"), Seq(c)))
+    val merged = Constraints.report(
+      Constraints.mergeStates(parts.reduce(_ unionByName _), Seq(c)),
+      Seq(c))
+    assert(merged.collect().toSet ===
+      Constraints.run(df.drop("part"), Seq(c)).collect().toSet)
+    // API edges
+    intercept[IllegalArgumentException] {
+      QuantileBound("v", edges, 0, 1.0, ">=") }
+    intercept[IllegalArgumentException] {
+      QuantileBound("v", edges, 5000, 1.0, "==") }
+    intercept[IllegalArgumentException] {
+      QuantileBound("v", Seq(2.0, 1.0), 5000, 1.0, ">=") }
+  }
+
   test("suggest(mergeableUnique): the suggested suite is monitorable " +
       "— uniqueness comes back as the HLL twin with a derated " +
       "threshold the baseline itself passes") {
