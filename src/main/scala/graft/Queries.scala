@@ -6116,6 +6116,41 @@ object Queries {
       .orderBy(col("version"), col("constraint_type"), col("column_name"))
   }
 
+  /** The large-large cosine-threshold join from PURE SQL — the round-9
+    * closure of the README roadmap's last similarity-join seam. The
+    * naive `a JOIN b ON cosine_sim(..) >= 0.35D` text is what a SQL
+    * user writes; with broadcast disabled neither side can gate, and
+    * by default the rewrite declines (the cartesian is the user's
+    * literal query). Here the session OPTS IN via
+    * `spark.graft.similarityJoin.largeLarge=banded`, so the identical
+    * SQL plans as SimilarityBandedJoinExec with geometry derived from
+    * the join's own threshold — BandGeometry.derive(0.35) = 16 bands ×
+    * 4 bits (recall ≥ 0.9 at the threshold). Both confs live on a
+    * DERIVED session (`newSession`), so nothing leaks into the shared
+    * catalog session. The LSH is deterministic (integer Rademacher
+    * signatures), so the oracle replays banding + gate bit-for-bit at
+    * 16×4 — same contract as q131, which pins the explicit-geometry
+    * operator-API form of this plan at 8×8. */
+  def q224SimJoinSqlLargeLarge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val s = spark.newSession()
+    PlanBridge.addOptimization(s, graft.plans.SimilarityJoinRewrite)
+    PlanBridge.addStrategy(s, graft.plans.SimilarityJoinStrategy)
+    GraftFunctions.register(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set(graft.plans.SimilarityJoinRewrite.LargeLargeConf, "banded")
+    t(s, dir).embeddings.createOrReplaceTempView("emb_q224")
+    s.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                   CAST(b.embedding AS ARRAY<DOUBLE>)), 4) AS sim
+        |FROM emb_q224 a JOIN emb_q224 b
+        |  ON cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                CAST(b.embedding AS ARRAY<DOUBLE>)) >= 0.35D
+        | AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6340,5 +6375,6 @@ object Queries {
     "q220_approx_unique_monitor" -> (q220ApproxUniqueMonitor _),
     "q221_generalize_to_k" -> (q221GeneralizeToK _),
     "q222_distribution_drift" -> (q222DistributionDrift _),
-    "q223_quantile_bound" -> (q223QuantileBound _))
+    "q223_quantile_bound" -> (q223QuantileBound _),
+    "q224_simjoin_sql_large" -> (q224SimJoinSqlLargeLarge _))
 }

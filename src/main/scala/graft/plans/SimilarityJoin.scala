@@ -201,17 +201,44 @@ object SimilarityJoinStrategy extends SparkStrategy {
   * [[SimilarityJoinPlan]] in the EXACT regime, so it plans as the
   * norm-cached broadcast gate instead of BroadcastNestedLoopJoin.
   *
-  * The rewrite fires only when a side is small enough to broadcast
-  * (min side ≤ autoBroadcastJoinThreshold): a large-large exact query
-  * is left for Spark to plan as the cartesian the user literally wrote
-  * — silently substituting the sub-recall banded operator would change
-  * query semantics. The banded path is opt-in via the operator API
-  * ([[graft.operators.Similarity.cosineJoin]]).
+  * The rewrite fires unconditionally when a side is small enough to
+  * broadcast (min side ≤ autoBroadcastJoinThreshold) — the exact
+  * broadcast-gate operator is result-identical to the query. The
+  * large-large exact case is, by default, left for Spark to plan as
+  * the cartesian the user literally wrote — silently substituting the
+  * sub-recall banded operator would change query semantics. A session
+  * that PREFERS the survivable plan shape over exact recall can say so
+  * explicitly with [[SimilarityJoinRewrite.LargeLargeConf]]
+  * (`spark.graft.similarityJoin.largeLarge=banded`): the rewrite then
+  * emits the banded-LSH regime with threshold-derived geometry
+  * ([[BandGeometry.derive]] at the join's own threshold, ≥ 0.9 recall
+  * at the threshold) for joins where NEITHER side broadcasts — the
+  * same opt-in contract as the operator API's
+  * [[graft.operators.Similarity.cosineJoin]] with
+  * [[SimJoinRegime.Banded]], but reachable from pure SQL tooling.
   *
   * Residual conjuncts (`... AND a.id < b.id`) survive as a Filter on
   * top of the rewritten node.
   */
 object SimilarityJoinRewrite extends Rule[LogicalPlan] {
+
+  /** Session conf for the large-large exact case: `cartesian`
+    * (default — decline the rewrite, the user gets the plan they
+    * wrote) or `banded` (rewrite to the banded-LSH operator with
+    * derived geometry; an explicit, session-scoped trade of exact
+    * recall for a plan shape that survives two unbroadcastable
+    * sides). Any other value fails the query at planning time. */
+  val LargeLargeConf = "spark.graft.similarityJoin.largeLarge"
+
+  /** The regime for an unbroadcastable join, per [[LargeLargeConf]]:
+    * None = decline the rewrite. */
+  private def largeLargeRegime: Option[SimJoinRegime] =
+    SQLConf.get.getConfString(LargeLargeConf, "cartesian") match {
+      case "cartesian" => None
+      case "banded"    => Some(SimJoinRegime.Banded)
+      case other => throw new IllegalArgumentException(
+        s"$LargeLargeConf must be 'cartesian' or 'banded', got '$other'")
+    }
 
   /** Splits `cond` into (cosine-threshold predicate, residuals). */
   private def extract(cond: Expression, l: LogicalPlan, r: LogicalPlan)
@@ -251,13 +278,20 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner | Cross, Some(cond), _)
-        if broadcastable(l, r) =>
+    case j @ Join(l, r, Inner | Cross, Some(cond), _) =>
       extract(cond, l, r) match {
         case Some((lv, rv, t, residual)) =>
-          val sim = SimilarityJoinPlan(l, r, lv, rv, t,
-            SimJoinRegime.Exact, bands = 0, bandBits = 0)
-          residual.reduceOption(And).map(Filter(_, sim)).getOrElse(sim)
+          // conf is consulted only once a cosine predicate is in hand:
+          // an invalid value must fail THIS query, not every join in
+          // the session
+          val regime =
+            if (broadcastable(l, r)) Some(SimJoinRegime.Exact)
+            else largeLargeRegime
+          regime.fold(j: LogicalPlan) { reg =>
+            val sim = SimilarityJoinPlan(l, r, lv, rv, t,
+              reg, bands = 0, bandBits = 0)
+            residual.reduceOption(And).map(Filter(_, sim)).getOrElse(sim)
+          }
         case None => j
       }
   }

@@ -124,6 +124,58 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(got === exactPairs(0.9))
   }
 
+  test("large-large naive join: default keeps the cartesian the user " +
+      "wrote; the session flag opts into the banded operator; an " +
+      "invalid flag value fails the query") {
+    PlanBridge.addOptimization(spark, SimilarityJoinRewrite)
+    PlanBridge.addStrategy(spark, graft.plans.SimilarityJoinStrategy)
+    def naive = {
+      val cond = VectorExpressions.cosineSim(
+        col("va").cast("array<double>"),
+        col("vb").cast("array<double>")) >= lit(0.9) &&
+        col("id_a") < col("id_b")
+      vecs("id_a", "va").join(vecs("id_b", "vb"), cond)
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // default (conf unset): the rewrite declines — the user's
+      // literal plan shape (BNLJ/cartesian under the hood) survives
+      assert(findExec(naive) {
+        case e: SimilarityBandedJoinExec => e
+      }.isEmpty, "without the flag the rewrite must decline")
+      assert(findExec(naive) {
+        case e: SimilarityBroadcastGateExec => e
+      }.isEmpty, "neither side broadcasts — no gate either")
+
+      spark.conf.set(SimilarityJoinRewrite.LargeLargeConf, "banded")
+      val banded = naive
+      assert(findExec(banded) {
+        case e: SimilarityBandedJoinExec => e
+      }.nonEmpty, "flag=banded must plan the banded operator")
+      val got = banded.select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+      val exact = exactPairs(0.9)
+      assert(got.subsetOf(exact), "banded may miss pairs, never invent")
+      // derived geometry guarantees ≥ 0.9 recall AT the threshold; the
+      // planted near-dup pairs sit far above it — demand ≥ 80% overall
+      assert(got.size >= (exact.size * 8) / 10,
+        s"recall too low: ${got.size} of ${exact.size}")
+
+      spark.conf.set(SimilarityJoinRewrite.LargeLargeConf, "bogus")
+      val err = intercept[Exception](naive.collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(
+        _.contains(SimilarityJoinRewrite.LargeLargeConf)),
+        s"error must name the conf: $err")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset(SimilarityJoinRewrite.LargeLargeConf)
+    }
+  }
+
   test("auto band geometry: derive meets the S-curve target with the " +
       "widest bands that fit the 64-bit budget") {
     import graft.plans.BandGeometry._
