@@ -36,6 +36,15 @@ import graft.plans.SimJoinRegime
   * Prints one JSON line per check (`{"tool":"clustercheck",...}`) and
   * a summary line; exits 1 if any check fails. BASELINE.md pins the
   * table.
+  *
+  * Launch via `sbt "runMain graft.tools.ClusterCheck <sfDir>"` (or
+  * any launcher that applies build.sbt's JDK-17 `--add-opens` set —
+  * spark-submit injects the same list): a bare `java` driver dies in
+  * Kryo's eager class registration (`Unable to create serializer …
+  * java.nio.HeapByteBuffer`) as soon as a primitive-keyed shuffle
+  * auto-picks Kryo, before any check's own code runs. The Worker adds
+  * the flags to executor JVMs itself. Set `GRAFT_CC_STACKS=1` for
+  * full stack traces on failures.
   */
 object ClusterCheck {
 
@@ -45,7 +54,11 @@ object ClusterCheck {
     val t0 = System.nanoTime()
     val (ok, detail) =
       try body
-      catch { case e: Throwable => (false, s"threw ${e.getClass.getSimpleName}: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          if (sys.env.contains("GRAFT_CC_STACKS")) e.printStackTrace()
+          (false, s"threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     val secs = (System.nanoTime() - t0) / 1e9
     if (!ok) failures += 1
     println(f"""{"tool":"clustercheck","check":"$name","status":"${if (ok) "pass" else "FAIL"}","secs":$secs%.1f,"detail":"$detail"}""")
@@ -81,11 +94,21 @@ object ClusterCheck {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     // executors are SEPARATE JVMs launched by the standalone Worker
     // from SPARK_HOME — they need this build's classes on their own
-    // classpath (the driver's java.class.path carries exactly that)
+    // classpath. The driver's java.class.path carries exactly that,
+    // but may hold RELATIVE entries (java -cp target/...), which the
+    // executor would resolve against ITS cwd (the per-executor work
+    // dir) — the classes then silently vanish remotely and every
+    // graft closure deserializes to a raw SerializedLambda CCE.
+    // Absolutize every entry against the driver's cwd first.
+    val execCp = sys.props("java.class.path")
+      .split(java.io.File.pathSeparator)
+      .filter(_.nonEmpty)
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
     val spark = SparkSession.builder()
       .master("local-cluster[2,4,2048]")
       .appName("graft-cluster-check")
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraClassPath", execCp)
       // the Worker builds the executor launch command through the
       // launcher library, whose scala-version probe needs this when
       // the JVM wasn't started by load-spark-env.sh (as under sbt)
