@@ -312,7 +312,79 @@ object ClusterCheck {
       (ok, s"${imp.size} groups x 256 registers")
     }
 
-    // ---- 8. structured streaming: executor-side state stores ----
+    // ---- 8. bloom-pruned semi join: the sketch bytes build ----
+    // ---- distributed, land on the driver, and ship back out as ----
+    // ---- a foldable Literal inside codegen — result must be ----
+    // ---- EXACTLY the unpruned semi join ----
+    check("bloom_semi") {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_acctbal") > 9000).select(col("c_custkey"))
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val got = graft.operators.Bloom.bloomPrunedSemiJoin(
+        orders, cust, "o_custkey", "c_custkey", expectedItems = 1000L)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val keys = cust.collect().map(_.getLong(0)).toSet
+      val ref = orders.select("o_orderkey", "o_custkey").collect()
+        .filter(r => keys(r.getLong(1))).map(_.getLong(0)).toSet
+      (got == ref,
+        s"${got.size} orders (ref ${ref.size}) via ${keys.size}-key sketch")
+    }
+
+    // ---- 9. native z-order expression: executor-side codegen ----
+    // ---- must reach the kernel class on the executor classpath ----
+    check("zorder_key") {
+      import graft.expressions.{ZOrderExpressions, ZOrderKernels}
+      val got = events.select(col("event_id"),
+        ZOrderExpressions.zorderKey(
+          col("event_id") % 65536, col("user_id") % 65536).as("zk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val ref = events.select("event_id", "user_id").collect().map { r =>
+        (r.getLong(0), ZOrderKernels.interleave16(
+          r.getLong(0) % 65536, r.getLong(1) % 65536))
+      }.toMap
+      (got == ref, s"${got.size} morton keys")
+    }
+
+    // ---- 10. constraint monoid: per-half states built in remote ----
+    // ---- JVMs, merged (register-wise max + bin-count sum + ----
+    // ---- scalar sums), must equal the one-pass batch suite AND ----
+    // ---- the exact scalars a driver loop computes ----
+    check("constraint_merge") {
+      import graft.operators.{ApproxUniqueRatio, Completeness, Constraints,
+        MaxBound, MinBound, QuantileBound, SizeMin}
+      val cs = Seq(
+        Completeness("text", 0.5), MinBound("n_chars", 0.0),
+        MaxBound("n_chars", 1e6), ApproxUniqueRatio("doc_id", 0.5),
+        QuantileBound("n_chars", Seq(100.0, 300.0, 600.0), 5000, 0.0, ">="),
+        SizeMin(1.0))
+      val halves = Seq(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 =!= 0))
+      val states = halves.map(h => Constraints.state(h, cs))
+        .reduce(_ unionByName _)
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0) + ":" + r.getString(1),
+          (r.getDouble(2), r.getBoolean(4)))).toMap
+      val merged = keyed(Constraints.report(
+        Constraints.mergeStates(states, cs), cs))
+      val full = keyed(Constraints.run(docs, cs))
+      val rows = docs.select("text", "n_chars").collect()
+      val nChars = rows.map(_.getLong(1))
+      val comp = rows.count(_.getString(0) != null).toDouble / rows.length
+      val scalarsOk =
+        merged("completeness:text")._1 == comp &&
+        merged("min_bound:n_chars")._1 == nChars.min.toDouble &&
+        merged("max_bound:n_chars")._1 == nChars.max.toDouble &&
+        merged("size_min:*")._1 == rows.length.toDouble
+      // doc_id is unique: the HLL estimate must sit inside the
+      // sketch's ~6.5% band at m=256 (3σ ≈ 20%)
+      val approxOk = math.abs(merged("approx_unique_ratio:doc_id")._1 - 1.0) < 0.2
+      (merged == full && scalarsOk && approxOk,
+        s"${merged.size} constraints, merge==batch=${merged == full}, " +
+          f"approx_unique=${merged("approx_unique_ratio:doc_id")._1}%.3f")
+    }
+
+    // ---- 11. structured streaming: executor-side state stores ----
     check("streaming_state") {
       val outDir = java.nio.file.Files.createTempDirectory("ccstream").toString
       events.select("event_type", "user_id", "ts")
