@@ -43,9 +43,52 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(e => selected(e._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val subset = SparkEntry.oracleSql.filter(e => selected(e._1))
+      .toSeq.map { case (k, v) => (q(k), q(v)) }
+    val path = Paths.get(s"$outDir/oracle_sql.json")
+    // a SUBSET run into a dir already holding a fuller oracle map
+    // MERGES (subset entries replace their keys, the rest survive):
+    // a plain rewrite would silently shrink the map, and the next
+    // full oracle_check on that dir would "pass" having compared
+    // only the subset. Full runs still rewrite.
+    val existing: Option[String] =
+      if (only.isDefined && Files.exists(path)) Some(Files.readString(path))
+      else None
+    Files.writeString(path, mergedJson(existing, subset))
     spark.stop()
+  }
+
+  /** Subset entries replace their keys in `existingJson`; everything
+    * else survives verbatim. */
+  private[graft] def mergedJson(existingJson: Option[String],
+      subset: Seq[(String, String)]): String = {
+    val existing = existingJson.map(parseFlat).getOrElse(Seq.empty)
+    val newKeys = subset.map(_._1).toSet
+    (existing.filterNot(p => newKeys(p._1)) ++ subset)
+      .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")
+  }
+
+  /** Parses the flat one-level `{"k": "v", ...}` JSON this object
+    * itself writes, returning RAW (still-escaped, still-quoted)
+    * key/value tokens — merging needs identity on keys (query names,
+    * never escaped) and pass-through on values, not decoding. */
+  private[graft] def parseFlat(json: String): Seq[(String, String)] = {
+    val toks = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < json.length) {
+      if (json(i) == '"') {
+        val sb = new StringBuilder("\"")
+        i += 1
+        while (json(i) != '"') {
+          if (json(i) == '\\') { sb.append(json(i)).append(json(i + 1)); i += 2 }
+          else { sb.append(json(i)); i += 1 }
+        }
+        i += 1
+        toks += sb.append('"').toString
+      } else i += 1
+    }
+    require(toks.size % 2 == 0,
+      s"unpairable oracle_sql.json: ${toks.size} string tokens")
+    toks.grouped(2).map { case scala.collection.Seq(k, v) => (k, v) }.toSeq
   }
 }

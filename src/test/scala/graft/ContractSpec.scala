@@ -38,6 +38,31 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("Verify subset runs MERGE oracle_sql.json instead of rewriting") {
+    // the hazard: a subset Verify into a full-run out dir used to
+    // rewrite the oracle map filtered to the subset, and the next
+    // full oracle_check on that dir would silently compare only the
+    // subset. parseFlat round-trips the writer's exact escaping.
+    val full = Seq(
+      ("\"q01_agg\"", "\"SELECT 1\""),
+      ("\"q02_join\"", "\"SELECT\\n\\t\\\"x\\\" FROM t\""),
+      ("\"q03_misc\"", "\"a \\\\ b \\u0001\""))
+    val fullJson = full.map { case (k, v) => s"$k: $v" }
+      .mkString("{", ",", "}")
+    assert(Verify.parseFlat(fullJson) == full)
+    // subset replaces q02, keeps q01/q03 verbatim
+    val merged = Verify.mergedJson(Some(fullJson),
+      Seq(("\"q02_join\"", "\"SELECT 2\"")))
+    val pairs = Verify.parseFlat(merged).toMap
+    assert(pairs.keySet ==
+      Set("\"q01_agg\"", "\"q02_join\"", "\"q03_misc\""))
+    assert(pairs("\"q02_join\"") == "\"SELECT 2\"")
+    assert(pairs("\"q03_misc\"") == "\"a \\\\ b \\u0001\"")
+    // no existing file (fresh subset dir): subset-only map, unchanged
+    assert(Verify.mergedJson(None, Seq(("\"q05_x\"", "\"S\""))) ==
+      "{\"q05_x\": \"S\"}")
+  }
+
   test("query names follow the qNN(N)_snake format, no duplicates") {
     // 2- or 3-digit id (the catalog outgrew q99); lexicographic sorting
     // puts q100 next to q10 — cosmetic only, nothing keys on order.
