@@ -69,7 +69,7 @@ class PlanAuditSpec extends AnyFunSuite {
   })
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name plans without scale-killer joins") {
+    test(s"$name plans without scale-killer joins") { GraftTestSpark.withCaches {
       val qe = fn(spark, dir).queryExecution
       assert(!qe.executedPlan.toString.contains("CartesianProduct"),
         s"$name plans a CartesianProduct — unbounded at scale, no exceptions")
@@ -84,6 +84,6 @@ class PlanAuditSpec extends AnyFunSuite {
             "provably bounded side — verify the bound, then allowlist " +
             "with the reason:\n" +
             unbounded.map(j => s"  cond=${j.condition}").mkString("\n"))
-    }
+    }}
   }
 }
