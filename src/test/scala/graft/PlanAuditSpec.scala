@@ -40,21 +40,24 @@ class PlanAuditSpec extends AnyFunSuite {
     * it). Each entry names the bounded side. */
   private val boundedByConstruction: Map[String, String] = Map(
     "q115_quantized_ann" ->
-      "PQ codebook attach: grouped centroid table, k*16 subcodes <= 256 rows",
+      ("centroid attach (assign + probe): deterministic 1/250 subset " +
+        "standing in for fixed-k sampled centroids at scale (q41 doc)"),
     "q144_semantic_dedup_increment" ->
-      "centroid attach: k-means centroid table, k = 4 rows",
+      "centroid attach: fitCentroids(k = 6) table",
     "q162_ivf_pq_serve" ->
-      "IVF cell + PQ codebook attach: k + k*16 rows, k = 4",
+      ("centroid attach (assign + probe): 1/250 subset standing in for " +
+        "fixed-k sampled centroids; PQ codebook is 16 codes x 8 subspaces"),
     "q188_hll_intersection" ->
       "ta < tb self-pair over the distinct event-type domain (5 values)",
     "q196_cluster_purity" ->
-      "centroid attach x2 (fit + assign): k = 4 rows each",
+      "centroid attach (fit iterations + assign): fitCentroids(k = 4)",
     "q41_ann_ivf" ->
-      "IVF centroid attach: k = 4 rows",
+      ("centroid attach (assign + probe): deterministic 1/250 subset " +
+        "standing in for fixed-k sampled centroids at scale (in-source doc)"),
     "q55_kmeans_fit" ->
-      "centroid attach: k = 4 rows",
+      "centroid attach: fitCentroids(k = 4) fit iterations",
     "q63_sampled_fit" ->
-      "sampled-fit centroid attach: k = 4 rows")
+      "sampled-fit centroid attach: fitCentroids(k = 4) on a hash sample")
 
   private def refsBoth(j: Join, a: Expression, b: Expression): Boolean =
     (a.references.subsetOf(j.left.outputSet) &&
