@@ -1127,11 +1127,23 @@ object Queries {
     * `repartitionByRange` on the same hash key; ntile here keeps the
     * shard id oracle-checkable. */
   def q64ShardAssign(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(
-      md5(concat_ws("|", lit("shard-seed"), col("doc_id"))), col("doc_id"))
-    t(spark, dir).documents
-      .select(col("doc_id"), wordCount(col("text")).cast("long").as("ws"))
-      .withColumn("shard", ntile(8).over(w))
+    // ntile over the full corpus in hash order — computed TWO-PHASE
+    // (Analytics.globalRunning): a literal global ntile window would
+    // funnel every document through one sort task; here the only
+    // unpartitioned window runs on the spark_partition_id offset
+    // frame (≤ shuffle partitions rows) and the shard is derived
+    // from the exact global rank — bit-identical assignment.
+    val base = graft.operators.Caches.persistTracked(
+      t(spark, dir).documents
+        .select(col("doc_id"), wordCount(col("text")).cast("long").as("ws"))
+        .withColumn("__k",
+          md5(concat_ws("|", lit("shard-seed"), col("doc_id")))))
+    val total = base.agg(count(lit(1)).as("__n"))
+    Analytics.globalRunning(base, Seq(col("__k"), col("doc_id")),
+        rankOut = Some("__rk"))
+      .crossJoin(broadcast(total))
+      .withColumn("shard",
+        Analytics.ntileFromRank(col("__rk"), col("__n"), 8))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"))
       .orderBy(col("shard"))
@@ -3443,8 +3455,9 @@ object Queries {
 
   /** kNN label prediction over embeddings — holdout vectors
     * (vec_id % 5 = 0) classified by the majority label of their 5
-    * nearest labeled neighbors ([[Similarity.bruteForceTopK]]: labeled
-    * corpus streams, holdout side broadcasts; sim rounded to 4 dp
+    * nearest labeled neighbors ([[Similarity.gridTopK]]: both sides
+    * are data-sized, so the exact all-pairs scoring runs as a grid
+    * equi-join — no corpus-fraction broadcast; sim rounded to 4 dp
     * before ranking, ties by neighbor then label — fully
     * deterministic). Output: the confusion matrix plus per-cell mean
     * neighbor agreement — the standard label-noise/split-leakage
@@ -3456,7 +3469,11 @@ object Queries {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val holdout = emb.where(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val nn = Similarity.bruteForceTopK(holdout, labeled, k = 5)
+    // the holdout is 1/5 of the CORPUS — not "small by construction",
+    // so the broadcast brute-force path is the wrong regime: gridTopK
+    // scores the same exact pairs through a grid equi-join with
+    // bounded per-task memory (bit-identical output)
+    val nn = Similarity.gridTopK(holdout, labeled, k = 5)
     val nl = nn.join(
       emb.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label")), Seq("neighbor_id"))
@@ -4208,15 +4225,17 @@ object Queries {
       .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
-    val lat = s3.select(col("user_id"),
-      (unix_timestamp(col("t3")) - unix_timestamp(col("t1")))
-        .as("latency"))
-    val w = Window.orderBy(col("latency"), col("user_id"))
-    val ranked = lat
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    val lat = graft.operators.Caches.persistTracked(
+      s3.select(col("user_id"),
+        (unix_timestamp(col("t3")) - unix_timestamp(col("t1")))
+          .as("latency")))
+    // exact percentile ranks over the converted-user frame, TWO-PHASE
+    // (the frame is one row per funnel-completing user — data-sized
+    // at 100 TB, so no single-task global window): global rank from
+    // Analytics.globalRunning, total attached as a one-row broadcast.
+    val ranked = Analytics.globalRunning(lat,
+        Seq(col("latency"), col("user_id")), rankOut = Some("rn"))
+      .crossJoin(broadcast(lat.agg(count(lit(1)).as("n"))))
     ranked.agg(
       max(col("n")).as("n_converted"),
       max(when(col("rn") === expr("(n * 25 + 99) div 100"),
@@ -4346,13 +4365,26 @@ object Queries {
       .select(col("o_custkey"),
         datediff(col("d_max"), col("last_d")).as("rec_days"),
         col("freq"), col("money_c"))
-    rfm
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("rec_days"), col("o_custkey"))))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("freq").desc, col("o_custkey"))))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("money_c").desc, col("o_custkey"))))
+    // three corpus-order ntiles (R/F/M) over the per-customer frame —
+    // each TWO-PHASE (Analytics.globalRunning): the customer aggregate
+    // is data-sized at 100 TB, so a literal global ntile window is the
+    // single-task sort the plan audit rejects; shards derive from
+    // exact global ranks, bit-identical to the ntile(5) windows.
+    val rfmP = graft.operators.Caches.persistTracked(rfm)
+    val total = rfmP.agg(count(lit(1)).as("__n"))
+    val withRanks = Analytics.globalRunning(
+      Analytics.globalRunning(
+        Analytics.globalRunning(rfmP,
+          Seq(col("rec_days"), col("o_custkey")), rankOut = Some("__rkr")),
+        Seq(col("freq").desc, col("o_custkey")), rankOut = Some("__rkf")),
+      Seq(col("money_c").desc, col("o_custkey")), rankOut = Some("__rkm"))
+    withRanks.crossJoin(broadcast(total))
+      .withColumn("r",
+        Analytics.ntileFromRank(col("__rkr"), col("__n"), 5))
+      .withColumn("f",
+        Analytics.ntileFromRank(col("__rkf"), col("__n"), 5))
+      .withColumn("m",
+        Analytics.ntileFromRank(col("__rkm"), col("__n"), 5))
       .groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("money_c")) / 100.0).as("revenue"),
@@ -4373,11 +4405,16 @@ object Queries {
     val rev = tt.lineitem
       .groupBy(col("l_partkey"))
       .agg(centsSum(col("l_extendedprice")).as("rev_c"))
-    val total = rev.agg(sum(col("rev_c")).as("total_c"))
-    val w = Window.orderBy(col("rev_c").desc, col("l_partkey"))
-    rev
-      .withColumn("cum_c", sum(col("rev_c")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val revP = graft.operators.Caches.persistTracked(rev)
+    val total = revP.agg(sum(col("rev_c")).as("total_c"))
+    // cumulative revenue in descending-revenue order over the PART
+    // frame — two-phase (Analytics.globalRunning): the per-part
+    // aggregate is data-sized (20B parts at 100 TB), so the running
+    // sum decomposes into range-partitioned intra sums + a pid-frame
+    // offset window, bit-identical to the global window it replaces.
+    Analytics.globalRunning(revP,
+        Seq(col("rev_c").desc, col("l_partkey")),
+        runningSums = Seq("rev_c" -> "cum_c"))
       .crossJoin(broadcast(total))
       .withColumn("cls",
         when(col("cum_c") * 10000 <= col("total_c") * 8000, "A")
@@ -5296,12 +5333,20 @@ object Queries {
         .as("doc_id")).distinct()
         .agg(count(lit(1)).as("n_inv"))
         .crossJoin(broadcast(total)))
-    val tokRow = row("token_p50", col("p50"), ">=", 10L)(
-      d.select(size(tokens(col("text"))).cast("long").as("v"))
-        .withColumn("rk", row_number().over(Window.orderBy(col("v"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .where(col("rk") === expr("(50 * n + 99) div 100"))
-        .agg(max(col("v")).as("p50")))
+    // exact p50 off the token-count VALUE domain (cumulative counts
+    // of distinct per-doc token counts — bounded by max doc length,
+    // never |docs|): the value whose cumulative range contains the
+    // nearest-rank cut is the same value row_number-at-rank selected.
+    val tokRow = row("token_p50", col("p50"), ">=", 10L)({
+      val byV = d.select(size(tokens(col("text"))).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      byV.crossJoin(broadcast(total))
+        .where(col("cum") >= expr("(50 * n_docs + 99) div 100")
+          && col("cum") - col("c") < expr("(50 * n_docs + 99) div 100"))
+        .agg(max(col("v")).as("p50"))
+    })
     dupRow.unionByName(shortRow).unionByName(enRow)
       .unionByName(contamRow).unionByName(nearRow).unionByName(tokRow)
       .withColumn("passed",

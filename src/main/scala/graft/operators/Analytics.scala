@@ -15,6 +15,92 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Two-phase EXACT global window — the distributed replacement for
+    * `Window.orderBy(...)` with an empty partitionSpec over a
+    * data-sized frame (the single-task global-sort scale killer that
+    * PlanAuditSpec rejects). Classic parallel prefix-sum
+    * decomposition, same as q207's day-offset form but generic:
+    *
+    *  1. range-repartition on the total order `sortCols` (the range
+    *     partitioner samples for balanced, ORDERED partitions) and
+    *     pin `spark_partition_id()`;
+    *  2. intra-partition `row_number` / running sums via windows
+    *     PARTITIONED by pid — each partition sorts independently;
+    *  3. per-pid totals prefix-summed by the ONLY unpartitioned
+    *     window, over the pid frame (≤ `spark.sql.shuffle.partitions`
+    *     rows — config-bounded, never data-sized), broadcast back.
+    *
+    * `sortCols` MUST be a total order (include a unique tiebreak):
+    * with unique keys the result is partition-placement-invariant —
+    * global rank/running sums are functions of the order alone, so
+    * output is bit-identical to the single-task window. The
+    * range-partitioned frame is persisted (tracked via [[Caches]])
+    * so the offset pass and the row pass see one pid assignment.
+    *
+    * `rankOut`: column name for the 1-based global row_number (LONG —
+    * a global rank can exceed Int at 100 TB). `runningSums`:
+    * (srcCol, outCol) pairs for inclusive running sums over the same
+    * order. */
+  def globalRunning(df: DataFrame, sortCols: Seq[Column],
+      rankOut: Option[String] = None,
+      runningSums: Seq[(String, String)] = Nil): DataFrame = {
+    require(rankOut.nonEmpty || runningSums.nonEmpty,
+      "globalRunning needs a rank output and/or running sums")
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = Caches.persistTracked(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn("__gr_pid", spark_partition_id()))
+    val wIntra = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
+    val wRun = wIntra.rowsBetween(Window.unboundedPreceding, 0)
+    val intra = runningSums.foldLeft(
+      parts.withColumn("__gr_irn",
+        row_number().over(wIntra).cast("long"))) {
+      case (acc, (src, out)) =>
+        acc.withColumn(s"__gr_ir_$out", sum(col(src)).over(wRun))
+    }
+    val aggs = count(lit(1)).as("__gr_cnt") +:
+      runningSums.map { case (src, out) => sum(col(src)).as(s"__gr_t_$out") }
+    val wOff = Window.orderBy(col("__gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = runningSums.foldLeft(
+      parts.groupBy(col("__gr_pid")).agg(aggs.head, aggs.tail: _*)
+        .withColumn("__gr_rnoff",
+          coalesce(sum(col("__gr_cnt")).over(wOff), lit(0L)))) {
+      case (acc, (_, out)) =>
+        acc.withColumn(s"__gr_off_$out",
+          coalesce(sum(col(s"__gr_t_$out")).over(wOff), lit(0L)))
+    }.select(col("__gr_pid") +: col("__gr_rnoff") +:
+      runningSums.map { case (_, out) => col(s"__gr_off_$out") }: _*)
+    val joined = intra.join(broadcast(offs), Seq("__gr_pid"))
+    val withRank = rankOut.fold(joined)(r =>
+      joined.withColumn(r, col("__gr_rnoff") + col("__gr_irn")))
+    val withSums = runningSums.foldLeft(withRank) {
+      case (acc, (_, out)) =>
+        acc.withColumn(out, col(s"__gr_off_$out") + col(s"__gr_ir_$out"))
+    }
+    withSums.drop(Seq("__gr_pid", "__gr_irn", "__gr_rnoff") ++
+      runningSums.flatMap { case (_, out) =>
+        Seq(s"__gr_ir_$out", s"__gr_off_$out") }: _*)
+  }
+
+  /** Spark's `ntile(n)` bucket for a precomputed 1-based global
+    * `rank` out of `total` rows, as column arithmetic (SQL-standard
+    * semantics: the first `total mod n` buckets hold one extra row).
+    * Lets [[globalRunning]] replace a global `ntile` window: attach
+    * `total` as a broadcast one-row aggregate, then derive the
+    * bucket from the exact global rank. INT like the builtin.
+    * (Column `/` is double division — the floor-casts below are exact
+    * for counts < 2^53, i.e. any real row count.) */
+  def ntileFromRank(rank: Column, total: Column, n: Int): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val b = idiv(total.cast("long"), lit(n.toLong))
+    val r = total.cast("long") % n
+    val cut = r * (b + 1)
+    when(rank <= cut, idiv(rank - 1, b + 1) + 1)
+      .otherwise(r + idiv(rank - cut - 1, b) + 1)
+      .cast("int")
+  }
+
   /** Per-group top-k with rank and percent-of-group-total.
     * `metric` must be a column of the input; ties break on `tieBreak`
     * for determinism (reference behavior is list-order, i.e. arbitrary).

@@ -513,7 +513,10 @@ object Constraints {
     *
     * Cost: ONE aggregate pass over the baseline for every ratio and
     * bound, plus one |distinct|-sized aggregation per set column for
-    * the top-k (both collect O(columns + k) rows to the driver — a
+    * the top-k and one two-phase cumulative-rank pass per histogram
+    * column — distributed even when |distinct| ≈ |rows|, i.e. for
+    * continuous columns (all collect O(columns + k + bins) rows to
+    * the driver — a
     * threshold decision, not a data move; the q134-probe-literal
     * class). Thresholds are exact: single divisions of collected
     * longs, so the suggested suite reproduces bit-identically on any
@@ -587,13 +590,18 @@ object Constraints {
     val fromHists: Seq[Constraint] = histCols.map { case (c, bins) =>
       // equi-depth edges from the baseline's own quantiles, exact
       // nearest-rank arithmetic: edge i = value at rank
-      // ceil(i·n/B) = (i·n + B − 1) div B, read off the cumulative
-      // counts of the DISTINCT-value domain (a window over |distinct|
-      // rows — an aggregate domain, never the data). The value at a
-      // rank is order-tie-proof: any ordering consistent with the
-      // value sort puts the same value at a given rank. Baseline bin
-      // counts follow in one more small aggregation. O(B) rows reach
-      // the driver — threshold literals, the q134 probe class.
+      // ceil(i·n/B) = (i·n + B − 1) div B, read off cumulative counts
+      // of the DISTINCT-value domain. For a CONTINUOUS column
+      // |distinct| ≈ |rows|, so the cumulative sum is computed
+      // TWO-PHASE ([[Analytics.globalRunning]]: range-partitioned
+      // intra sums + one pid-frame offset window, ≤ shuffle-partitions
+      // rows) — never a single-task global window over the value
+      // domain. The value at a rank is order-tie-proof (each distinct
+      // value appears once), and the two-phase sum is bit-identical
+      // to the global window it replaces, so the emitted edges — and
+      // the DuckDB oracle that replays them — are unchanged. Baseline
+      // bin counts follow in one more small aggregation. O(B) rows
+      // reach the driver — threshold literals, the q134 probe class.
       require(bins >= 2, s"histogram needs >= 2 bins for '$c'")
       val nonNull = df.where(col(c).isNotNull)
         .select(col(c).cast("double").as("__v"))
@@ -601,11 +609,9 @@ object Constraints {
       require(nv > 0,
         s"cannot suggest a histogram from all-null column '$c'")
       val ranks = (1 until bins).map(i => (i * nv + bins - 1) / bins)
-      val wv = Window.orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = nonNull.groupBy(col("__v"))
-        .agg(count(lit(1)).as("__cnt"))
-        .withColumn("__cum", sum(col("__cnt")).over(wv))
+      val cum = Analytics.globalRunning(
+          nonNull.groupBy(col("__v")).agg(count(lit(1)).as("__cnt")),
+          Seq(col("__v")), runningSums = Seq("__cnt" -> "__cum"))
         .withColumn("__lo", col("__cum") - col("__cnt"))
       val edges = cum
         .select(col("__v"), col("__lo"), col("__cum"),

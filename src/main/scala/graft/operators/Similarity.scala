@@ -85,6 +85,44 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Exact top-k cosine neighbors when the QUERY side is itself
+    * data-sized (a holdout split, a full-corpus diagnostic) — the
+    * regime where [[bruteForceTopK]]'s broadcast of the query side
+    * stops being "small by construction". Same O(|Q|·|C|) scored
+    * pairs (exactness is the point of the baseline), but decomposed
+    * as a GRID equi-join instead of a broadcast nest loop: queries
+    * hash into `qBlocks` row-blocks and replicate across `cBlocks`;
+    * corpus hashes into `cBlocks` and replicates across `qBlocks`;
+    * joining on the (block, block) cell key meets every pair exactly
+    * once. The join is a shuffled hash join on the cell key — no
+    * broadcast, per-task memory bounded by |Q|/qBlocks — and both
+    * replication factors are knobs, so shuffle volume vs parallelism
+    * tunes to the cluster. Scoring, rounding, and ranking are
+    * bit-identical to [[bruteForceTopK]]. */
+  def gridTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qBlocks: Int = 8, cBlocks: Int = 8): DataFrame = {
+    val cells = (0 until cBlocks).map(lit(_))
+    val qcells = (0 until qBlocks).map(lit(_))
+    val q = withL2(queries.select(col("id").as("query_id"),
+        col("vec").cast("array<double>").as("qv")), "qv", "qn")
+      .withColumn("__qb", pmod(hash(col("query_id")), lit(qBlocks)))
+      .withColumn("__cb", explode(array(cells: _*)))
+    val c = withL2(corpus.select(col("id").as("neighbor_id"),
+        col("vec").cast("array<double>").as("cv")), "cv", "cnn")
+      .withColumn("__cb", pmod(hash(col("neighbor_id")), lit(cBlocks)))
+      .withColumn("__qb", explode(array(qcells: _*)))
+    val scored = c.join(q, Seq("__qb", "__cb"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineNC(col("qv"), col("qn"), col("cv"), col("cnn")), 4)
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic Lloyd's k-means for IVF centroids: init = the k
     * lowest-id vectors, fixed iteration count, mean in double with a
     * deterministic id tie-break on assignment. Each iteration is one

@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Catalog-wide physical-plan audit — the automated form of the
@@ -14,21 +14,30 @@ import org.scalatest.funsuite.AnyFunSuite
   *  2. Every non-equi logical `Join` (the shapes that plan as
   *     `BroadcastNestedLoopJoin`) must carry a side whose
   *     `maxRows` proves it bounded (≤ 4096 rows — ungrouped
-  *     aggregates, literal probe frames, limits). This is the
-  *     broadcast tiny-frame attach idiom: grand totals, calibration
-  *     constants, probe literals riding along every row.
+  *     aggregates, literal probe frames, limits). An equi-key must be
+  *     a TOP-LEVEL CONJUNCT ([[PlanChecks.hasEquiKeys]]) — an
+  *     `EqualTo` under `Or`/`Not` does not make a join hash-joinable.
   *  3. Queries where the bounded side is bounded by CONSTRUCTION but
   *     invisible to `maxRows` (a grouped aggregate over a bounded key
-  *     domain — k-means centroids, PQ codebooks, the event-type
-  *     domain) are allowlisted BY NAME with the reason; anything new
+  *     domain — k-means centroids, PQ codebooks, literal query
+  *     frames) are allowlisted BY NAME with the reason; anything new
   *     that plans a nest-loop join with no provable bound fails the
   *     suite instead of shipping.
+  *  4. Every `Window`/`WindowGroupLimit` with an EMPTY (or
+  *     all-foldable) partitionSpec — a single-task global sort, the
+  *     other scale-killer class — must either have a `maxRows`-bounded
+  *     child or be allowlisted by name with the bounded-domain reason
+  *     (calendar days, value buckets, spark_partition_id offset
+  *     frames from the two-phase `Analytics.globalRunning`
+  *     decomposition — aggregate domains, never corpus rows).
   *
   * Scope note: a `BroadcastNestedLoopJoin` string inside a reused
   * cached subplan (`InMemoryRelation`) belongs to the plan that built
   * the cache; the logical check covers each query's own join tree.
-  * `graft.PlanScan` (Test/runMain) prints the adjudication table this
-  * allowlist was derived from.
+  * `graft.PlanScan` (Test/runMain) prints the adjudication table the
+  * two allowlists were derived from; predicates live in
+  * [[PlanChecks]], shared with the scan so the test and the table
+  * can never disagree.
   */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = GraftTestSpark.spark
@@ -51,6 +60,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "ta < tb self-pair over the distinct event-type domain (5 values)",
     "q196_cluster_purity" ->
       "centroid attach (fit iterations + assign): fitCentroids(k = 4)",
+    "q212_hybrid_fusion" ->
+      ("5-vector literal query frame (vec_id between 1 and 5) broadcast " +
+        "against one corpus pass (bruteForceTopK self-match exclusion)"),
+    "q25_ann_bruteforce" ->
+      ("8-vector literal query frame (vec_id < 8) broadcast against the " +
+        "streaming corpus (bruteForceTopK self-match exclusion)"),
     "q41_ann_ivf" ->
       ("centroid attach (assign + probe): deterministic 1/250 subset " +
         "standing in for fixed-k sampled centroids at scale (in-source doc)"),
@@ -59,34 +74,133 @@ class PlanAuditSpec extends AnyFunSuite {
     "q63_sampled_fit" ->
       "sampled-fit centroid attach: fitCentroids(k = 4) on a hash sample")
 
-  private def refsBoth(j: Join, a: Expression, b: Expression): Boolean =
-    (a.references.subsetOf(j.left.outputSet) &&
-      b.references.subsetOf(j.right.outputSet)) ||
-    (a.references.subsetOf(j.right.outputSet) &&
-      b.references.subsetOf(j.left.outputSet))
-
-  private def hasEquiKeys(j: Join): Boolean = j.condition.exists(_.exists {
-    case EqualTo(a, b) => refsBoth(j, a, b)
-    case EqualNullSafe(a, b) => refsBoth(j, a, b)
-    case _ => false
-  })
+  /** Empty-partitionSpec windows whose frame is bounded by
+    * construction but invisible to maxRows. Each entry names the
+    * bounded DOMAIN the window runs over — aggregate frames only,
+    * never corpus rows. "pid offset frame" = the ≤ shuffle-partitions
+    * offset window of the two-phase `Analytics.globalRunning`
+    * decomposition (the q207 prefix-sum pattern). */
+  private val boundedWindowDomain: Map[String, String] = Map(
+    "q173_funnel_latency" ->
+      "two-phase percentile ranks: pid offset frame (≤ shuffle partitions)",
+    "q176_rfm_segments" ->
+      "two-phase ntile ×3 (R/F/M): pid offset frames (≤ shuffle partitions)",
+    "q177_abc_analysis" ->
+      "two-phase cumulative revenue: pid offset frame (≤ shuffle partitions)",
+    "q184_skyline" ->
+      "frontier max over the per-PRICE aggregate — price value domain",
+    "q190_greedy_coverage" ->
+      "cumulative gain over the greedy-round frame (5 iterations)",
+    "q193_churn_hazard" ->
+      "at-risk tail sum over the tenure-week aggregate (calendar-bounded)",
+    "q194_daily_audience" ->
+      "cumulative new users over the per-DAY aggregate (calendar-bounded)",
+    "q200_corpus_scorecard" ->
+      ("exact p50 over the token-count VALUE domain (distinct per-doc " +
+        "token counts, bounded by max doc length)"),
+    "q207_peak_concurrency" ->
+      "day-offset prefix sum over the per-DAY aggregate (canonical form)",
+    "q209_incident_impact" ->
+      ("p95 threshold rank over the 10-minute error-bin aggregate " +
+        "(calendar-bounded)"),
+    "q34_value_histogram" ->
+      ("grand-total share over the 50-unit value-bucket aggregate " +
+        "(value domain)"),
+    "q39_running_revenue" ->
+      "running totals over the per-DAY aggregate (calendar-bounded)",
+    "q59_split_assign" ->
+      "share-of-total over the 3-row split aggregate",
+    "q64_shard_assign" ->
+      "two-phase corpus ntile: pid offset frame (≤ shuffle partitions)",
+    "q98_mixture_weights" ->
+      "mixture shares over the per-SOURCE aggregate (source domain)")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name plans without scale-killer joins") { GraftTestSpark.withCaches {
-      val qe = fn(spark, dir).queryExecution
-      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct — unbounded at scale, no exceptions")
-      val unbounded = qe.optimizedPlan.collect {
-        case j: Join if !hasEquiKeys(j) &&
-            !j.left.maxRows.exists(_ <= boundCap) &&
-            !j.right.maxRows.exists(_ <= boundCap) => j
+    test(s"$name plans without scale-killer joins or global windows") {
+      GraftTestSpark.withCaches {
+        val qe = fn(spark, dir).queryExecution
+        assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct — unbounded at scale, no exceptions")
+        val unbounded =
+          PlanChecks.unboundedNestLoops(qe.optimizedPlan, boundCap)
+        if (!boundedByConstruction.contains(name))
+          assert(unbounded.isEmpty,
+            s"$name plans ${unbounded.size} nest-loop join(s) with no " +
+              "provably bounded side — verify the bound, then allowlist " +
+              "with the reason:\n" +
+              unbounded.map(j => s"  cond=${j.condition}").mkString("\n"))
+        val gwin =
+          PlanChecks.unboundedGlobalWindows(qe.optimizedPlan, boundCap)
+        if (!boundedWindowDomain.contains(name))
+          assert(gwin.isEmpty,
+            s"$name plans ${gwin.size} empty-partitionSpec window(s) over " +
+              "a frame maxRows can't bound — a single-task global sort " +
+              "at scale; decompose two-phase (Analytics.globalRunning) " +
+              "or allowlist with the bounded-domain reason:\n" +
+              gwin.map(w => s"  ${w.nodeName} over ${w.child.nodeName}")
+                .mkString("\n"))
       }
-      if (!boundedByConstruction.contains(name))
-        assert(unbounded.isEmpty,
-          s"$name plans ${unbounded.size} nest-loop join(s) with no " +
-            "provably bounded side — verify the bound, then allowlist " +
-            "with the reason:\n" +
-            unbounded.map(j => s"  cond=${j.condition}").mkString("\n"))
-    }}
+    }
+  }
+
+  // -- the audit's own teeth: injected counterexamples must be caught
+
+  private def docs() = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("audit catches a disjunctive (OR) equi-condition as non-equi") {
+    val a = docs().select(col("doc_id").as("x"), col("n_chars").as("y"))
+    val b = docs().select(col("doc_id").as("x2"), col("n_chars").as("y2"))
+    // EqualTo exists in the tree — but only under Or, so Spark plans
+    // a nested-loop join; the audit must NOT count it as equi-keyed
+    // (the round-9 helper matched EqualTo anywhere and missed this)
+    val j = a.join(b, a("x") === b("x2") || a("y") === b("y2"))
+    val plan = j.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = plan.collect { case jn: Join => jn }
+    assert(joins.nonEmpty && joins.forall(!PlanChecks.hasEquiKeys(_)))
+    assert(PlanChecks.unboundedNestLoops(plan, boundCap).nonEmpty,
+      "OR-of-equalities join must be flagged as an unbounded nest loop")
+  }
+
+  test("audit accepts a top-level equi conjunct with a range residual") {
+    val a = docs().select(col("doc_id").as("x"), col("n_chars").as("y"))
+    val b = docs().select(col("doc_id").as("x2"), col("n_chars").as("y2"))
+    val j = a.join(b, a("x") === b("x2") && a("y") > b("y2"))
+    assert(PlanChecks.unboundedNestLoops(
+      j.queryExecution.optimizedPlan, boundCap).isEmpty,
+      "equi conjunct + residual is hash-joinable — must not be flagged")
+  }
+
+  test("audit catches a NOT(=) condition as non-equi") {
+    val a = docs().select(col("doc_id").as("x"))
+    val b = docs().select(col("doc_id").as("x2"))
+    val j = a.join(b, a("x") =!= b("x2"))
+    assert(PlanChecks.unboundedNestLoops(
+      j.queryExecution.optimizedPlan, boundCap).nonEmpty,
+      "NOT(a=b) join (EqualTo under Not) must be flagged")
+  }
+
+  test("audit catches an empty-partitionSpec window over a data frame") {
+    val w = docs().withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    assert(PlanChecks.unboundedGlobalWindows(
+      w.queryExecution.optimizedPlan, boundCap).nonEmpty,
+      "global row_number over a parquet scan must be flagged")
+  }
+
+  test("audit catches a foldable partitionBy(lit) window as global") {
+    val w = docs().withColumn("n",
+      count(lit(1)).over(Window.partitionBy(lit(1))))
+    assert(PlanChecks.unboundedGlobalWindows(
+      w.queryExecution.optimizedPlan, boundCap).nonEmpty,
+      "partitionBy(lit(1)) is one global partition — must be flagged")
+  }
+
+  test("audit accepts a global window over a maxRows-bounded frame") {
+    val w = docs().limit(100).withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    assert(PlanChecks.unboundedGlobalWindows(
+      w.queryExecution.optimizedPlan, boundCap).isEmpty,
+      "a ≤4096-row frame (limit) is not a scale risk")
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
+
+/** Shared plan-shape predicates for the scale-killer audit
+  * ([[PlanAuditSpec]]) and its adjudication enumerator
+  * ([[PlanScan]]) — one definition so the test and the table it was
+  * derived from can never disagree.
+  *
+  * `hasEquiKeys` mirrors what Spark's `ExtractEquiJoinKeys` actually
+  * extracts: an equi-key must be a TOP-LEVEL CONJUNCT of the join
+  * condition. An `EqualTo` buried under `Or`/`Not` (e.g.
+  * `a.x = b.x OR a.y = b.y`) does NOT make the join hash-joinable —
+  * Spark plans it as a nested-loop join — so matching `EqualTo`
+  * anywhere in the expression tree (the first formulation) was a
+  * false NEGATIVE in the audit: a disjunctive join would have passed
+  * as equi-keyed while planning as a data×data nest loop. */
+object PlanChecks {
+  /** Flatten a condition into its top-level AND-conjuncts (the same
+    * decomposition as Catalyst's `splitConjunctivePredicates`). */
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def refsBoth(j: Join, a: Expression, b: Expression): Boolean =
+    a.references.nonEmpty && b.references.nonEmpty &&
+      ((a.references.subsetOf(j.left.outputSet) &&
+        b.references.subsetOf(j.right.outputSet)) ||
+      (a.references.subsetOf(j.right.outputSet) &&
+        b.references.subsetOf(j.left.outputSet)))
+
+  /** True iff the join condition carries at least one top-level
+    * conjunct of the form `left-side-expr = right-side-expr` — i.e.
+    * the shape `ExtractEquiJoinKeys` turns into hash-join keys. */
+  def hasEquiKeys(j: Join): Boolean =
+    j.condition.toSeq.flatMap(splitConjuncts).exists {
+      case EqualTo(a, b) => refsBoth(j, a, b)
+      case EqualNullSafe(a, b) => refsBoth(j, a, b)
+      case _ => false
+    }
+
+  /** Non-equi joins (nest-loop shapes) where neither side's `maxRows`
+    * proves it bounded by `cap`. */
+  def unboundedNestLoops(plan: LogicalPlan, cap: Long): Seq[Join] =
+    plan.collect {
+      case j: Join if !hasEquiKeys(j) &&
+          !j.left.maxRows.exists(_ <= cap) &&
+          !j.right.maxRows.exists(_ <= cap) => j
+    }
+
+  /** The OTHER scale-killer class: window operators with an EMPTY
+    * partitionSpec force every input row through ONE task (a global
+    * sort + single-partition window). Legitimate only over a domain
+    * bounded by construction — an aggregate frame (days, buckets,
+    * partition ids, top-k output), never corpus rows. Collects each
+    * such node from the optimized plan UNLESS its child's `maxRows`
+    * already proves the frame bounded by `cap` (limits, ungrouped
+    * aggregates). Matches both `Window` and the optimizer-inserted
+    * `WindowGroupLimit`; an all-FOLDABLE partitionSpec (e.g.
+    * `partitionBy(lit(1))`) is one global partition and counts as
+    * empty. */
+  def unboundedGlobalWindows(plan: LogicalPlan, cap: Long): Seq[UnaryNode] =
+    plan.collect {
+      case w: Window if w.partitionSpec.forall(_.foldable) &&
+          !w.child.maxRows.exists(_ <= cap) => w
+      case w: WindowGroupLimit if w.partitionSpec.forall(_.foldable) &&
+          !w.child.maxRows.exists(_ <= cap) => w
+    }
+}
