@@ -79,10 +79,20 @@ object Verify {
       if (json(i) == '"') {
         val sb = new StringBuilder("\"")
         i += 1
-        while (json(i) != '"') {
-          if (json(i) == '\\') { sb.append(json(i)).append(json(i + 1)); i += 2 }
-          else { sb.append(json(i)); i += 1 }
+        // bounds-checked: a truncated/corrupt existing map (e.g. an
+        // interrupted write) must fail with a clear "regenerate this
+        // file" message, not a StringIndexOutOfBoundsException
+        while (i < json.length && json(i) != '"') {
+          if (json(i) == '\\') {
+            require(i + 1 < json.length,
+              "malformed/truncated oracle_sql.json (dangling escape) — " +
+                "delete the file and re-run a full Verify")
+            sb.append(json(i)).append(json(i + 1)); i += 2
+          } else { sb.append(json(i)); i += 1 }
         }
+        require(i < json.length,
+          "malformed/truncated oracle_sql.json (unterminated string) — " +
+            "delete the file and re-run a full Verify")
         i += 1
         toks += sb.append('"').toString
       } else i += 1

@@ -61,6 +61,13 @@ class ContractSpec extends AnyFunSuite {
     // no existing file (fresh subset dir): subset-only map, unchanged
     assert(Verify.mergedJson(None, Seq(("\"q05_x\"", "\"S\""))) ==
       "{\"q05_x\": \"S\"}")
+    // a truncated existing map (interrupted write) fails LOUDLY with
+    // the regenerate hint, not a StringIndexOutOfBoundsException
+    for (bad <- Seq("{\"q01_agg\": \"SELECT",      // unterminated string
+                    "{\"q01_agg\": \"SELECT 1\\")) // dangling escape
+      assert(intercept[IllegalArgumentException] {
+        Verify.parseFlat(bad)
+      }.getMessage.contains("oracle_sql.json"))
   }
 
   test("query names follow the qNN(N)_snake format, no duplicates") {
