@@ -407,6 +407,84 @@ object ClusterCheck {
       (got == ref, s"${got.size} event types, ${ref.values.sum} rows")
     }
 
+    // ---- 12. streaming checkpoint RESTART across JVMs: a windowed ----
+    // ---- aggregation processes half the input, the query stops, ----
+    // ---- a second incarnation restarts from the SAME checkpoint ----
+    // ---- (state-store partials + source offsets restored into ----
+    // ---- fresh executor JVMs), and the appended output must be ----
+    // ---- the batch formulation EXACTLY ONCE — StreamingSpec ----
+    // ---- proves this in local[4], where state never crosses a ----
+    // ---- process boundary; here both incarnations distribute ----
+    check("streaming_restart") {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("ccrestart").toString
+      val src = s"$base/in"
+      val ev = events.select(expr("cast(ts as timestamp)").as("ets"),
+        col("event_type"), col("event_id"))
+      ev.where(col("event_id") % 2 === 0).repartition(2)
+        .write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      // watermark delay > the data's full time span: no row is ever
+      // late (the halves are an id-parity split, so both cover the
+      // whole span), nothing finalizes until the flush sentinel —
+      // EVERY window is half-built state that must survive the
+      // restart into fresh executor JVMs
+      val (minTs, maxTs) = {
+        val r = ev.agg(min(col("ets")), max(col("ets"))).head()
+        (r.getTimestamp(0), r.getTimestamp(1))
+      }
+      val delayDays =
+        (maxTs.getTime - minTs.getTime) / 86400000L + 2
+      def run(): Long = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .withWatermark("ets", s"$delayDays days")
+          .groupBy(window(col("ets"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/chk")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(s"$base/out").count()
+      }
+      val emitted1 = run() // first incarnation: half the input, then stops
+      // half 2 plus a watermark-flush sentinel land as NEW files in the
+      // live source dir (the T11 file-source pattern, parquet form); the
+      // sentinel sits past max + delay so the restarted run's watermark
+      // finalizes every real window, while its own window stays
+      // un-emitted (the watermark never passes it)
+      val flushTs = new java.sql.Timestamp(
+        maxTs.getTime + (delayDays + 2) * 86400000L)
+      ev.where(col("event_id") % 2 =!= 0)
+        .unionByName(spark.range(1).select(lit(flushTs).as("ets"),
+          lit("flush").as("event_type"), lit(-1L).as("event_id")))
+        .repartition(2).write.mode("overwrite").parquet(s"$base/h2")
+      new java.io.File(s"$base/h2").listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          new java.io.File(src, "h2-" + f.getName).toPath))
+      val emittedTotal = run() // restart from the same checkpoint
+      // multiset compare (a Set would mask duplicate emissions)
+      val got = spark.read.parquet(s"$base/out")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val ref = ev.select("ets", "event_type").collect()
+        .map(r => (r.getTimestamp(0).getTime
+          - Math.floorMod(r.getTimestamp(0).getTime, 86400000L),
+          r.getString(1)))
+        .groupBy(identity).map { case ((ws, t), rs) =>
+          (ws, t, rs.length.toLong) }
+        .toSeq.sortBy(t => (t._1, t._2))
+      (got == ref && emitted1 < emittedTotal,
+        s"run1 emitted $emitted1, after restart $emittedTotal " +
+          s"(ref ${ref.size} windows), exactly_once=${got == ref}")
+    }
+
     spark.stop()
     println(s"""{"tool":"clustercheck","summary":true,"failures":$failures}""")
     if (failures > 0) sys.exit(1)
