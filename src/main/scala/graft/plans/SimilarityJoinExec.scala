@@ -4,6 +4,25 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.AccumulatorV2
+
+/** max-merge long accumulator (Spark ships sum/avg only): records the
+  * LARGEST single-bucket candidate-pair count an execution saw, so a
+  * driver (BandSoak, a monitoring harness) can read the hot-bucket
+  * skew of a banded join as one number instead of mining task logs. */
+class MaxLongAccumulator extends AccumulatorV2[Long, Long] {
+  private var _v = 0L
+  override def isZero: Boolean = _v == 0L
+  override def copy(): MaxLongAccumulator = {
+    val a = new MaxLongAccumulator; a._v = _v; a
+  }
+  override def reset(): Unit = _v = 0L
+  override def add(v: Long): Unit = if (v > _v) _v = v
+  override def merge(o: AccumulatorV2[Long, Long]): Unit =
+    _v = math.max(_v, o.value)
+  override def value: Long = _v
+}
 
 /** Shared kernels for the two similarity-join operators. All
   * signature arithmetic is integer (quantized 1e-6 fixed point,
@@ -208,10 +227,82 @@ case class SimilarityBandedJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): SimilarityBandedJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** (bucketKey → (signature, row)) with bands-fold replication.
-    * bucketKey packs (band, band-signature) into one long. */
-  private def keyed(plan: SparkPlan, vecE: Expression)
-      : RDD[(Long, (Long, UnsafeRow))] = {
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "candPairs" -> SQLMetrics.createMetric(sparkContext,
+      "candidate pairs gated"),
+    "numBuckets" -> SQLMetrics.createMetric(sparkContext,
+      "non-empty bucket cells"),
+    "splitBuckets" -> SQLMetrics.createMetric(sparkContext,
+      "oversized buckets split"))
+
+  /** Largest single bucket-cell candidate-pair count the last
+    * execution saw (the task-skew number — a cell is the unit of
+    * sequential work); -1 before any execution. With the split conf
+    * off (default) a cell IS a bucket. */
+  def maxCellPairs: Long = Option(maxAcc).map(_.value).getOrElse(-1L)
+  @transient private var maxAcc: MaxLongAccumulator = _
+
+  /** (bucketKey, cellKey) → (signature, row) with bands-fold
+    * replication. bucketKey packs (band, band-signature) into one
+    * long; cellKey is 0 except in `hot` buckets, which are split into
+    * a kL×kR grid of cells — each left row lands in ONE deterministic
+    * row-block i (content hash) and replicates across the kR column
+    * blocks, each right row symmetrically, so a pair meets in exactly
+    * one cell and the per-task pairing cost is bounded by
+    * maxBucketPairs instead of |bucket_l|×|bucket_r|. */
+  private def keyed(plan: SparkPlan, vecE: Expression, isLeft: Boolean,
+      hotBc: org.apache.spark.broadcast.Broadcast[Map[Long, (Int, Int)]])
+      : RDD[((Long, Long), (Long, UnsafeRow))] = {
+    val nbits = bands * bandBits
+    val nBands = bands
+    val nBandBits = bandBits
+    val planOut = plan.output
+    plan.execute().mapPartitions { iter =>
+      val vecProj = UnsafeProjection.create(Seq(vecE), planOut)
+      val hot = hotBc.value
+      iter.flatMap { row =>
+        val arr = vecProj(row).getArray(0)
+        if (arr == null) Iterator.empty
+        else {
+          val sig = SimilarityJoinKernels.signature(
+            arr.toDoubleArray(), nbits)
+          val copy = row.asInstanceOf[UnsafeRow].copy()
+          val mask = (1L << nBandBits) - 1L
+          (0 until nBands).iterator.flatMap { b =>
+            val bucket =
+              (b.toLong << nBandBits) | ((sig >> (b * nBandBits)) & mask)
+            hot.get(bucket) match {
+              case None =>
+                Iterator(((bucket, 0L), (sig, copy)))
+              case Some((kL, kR)) =>
+                // UnsafeRow.hashCode is Murmur3 over the row BYTES —
+                // content-derived, so the block assignment is
+                // partition-invariant (the simjoin_banded_stable
+                // ClusterCheck contract)
+                if (isLeft) {
+                  val i = java.lang.Math.floorMod(copy.hashCode, kL).toLong
+                  (0 until kR).iterator.map(j =>
+                    ((bucket, (i << 32) | j.toLong), (sig, copy)))
+                } else {
+                  val j = java.lang.Math.floorMod(copy.hashCode, kR).toLong
+                  (0 until kL).iterator.map(i =>
+                    ((bucket, (i.toLong << 32) | j), (sig, copy)))
+                }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Per-bucket row counts from a signature-only pass (shuffles
+    * (long, long) pairs — tiny next to the join shuffle). Used only
+    * when the split conf is on; costs one extra traversal of the
+    * child. */
+  private def bucketCounts(plan: SparkPlan, vecE: Expression)
+      : RDD[(Long, Long)] = {
     val nbits = bands * bandBits
     val nBands = bands
     val nBandBits = bandBits
@@ -224,16 +315,14 @@ case class SimilarityBandedJoinExec(
         else {
           val sig = SimilarityJoinKernels.signature(
             arr.toDoubleArray(), nbits)
-          val copy = row.asInstanceOf[UnsafeRow].copy()
           val mask = (1L << nBandBits) - 1L
           (0 until nBands).iterator.map { b =>
-            val bucket =
-              (b.toLong << nBandBits) | ((sig >> (b * nBandBits)) & mask)
-            (bucket, (sig, copy))
+            ((b.toLong << nBandBits) | ((sig >> (b * nBandBits)) & mask),
+              1L)
           }
         }
       }
-    }
+    }.reduceByKey(_ + _)
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -246,15 +335,55 @@ case class SimilarityBandedJoinExec(
     val rOut = right.output
     val lVecE = leftVec
     val rVecE = rightVec
+    val numOut = longMetric("numOutputRows")
+    val candMetric = longMetric("candPairs")
+    val bucketMetric = longMetric("numBuckets")
+    val warnPairs = conf.getConfString(
+      SimilarityBandedJoinExec.WarnPairsConf, "1000000000").toLong
+    val maxPairs = conf.getConfString(
+      SimilarityBandedJoinExec.MaxBucketPairsConf, "0").toLong
+    maxAcc = new MaxLongAccumulator
+    sparkContext.register(maxAcc, "max bucket-cell candidate pairs")
+    val maxAccL = maxAcc
 
-    keyed(left, leftVec).cogroup(keyed(right, rightVec),
+    // opt-in hot-bucket mitigation: size every bucket first (an extra
+    // signature pass over both children), then grid-split any bucket
+    // whose cross product exceeds the bound. Only the hot buckets —
+    // typically none — reach the driver or pay replication.
+    val hot: Map[Long, (Int, Int)] =
+      if (maxPairs <= 0) Map.empty
+      else {
+        val cell = math.max(1L,
+          math.ceil(math.sqrt(maxPairs.toDouble)).toLong)
+        bucketCounts(left, leftVec)
+          .join(bucketCounts(right, rightVec))
+          .filter { case (_, (lc, rc)) => lc * rc > maxPairs }
+          .collect()
+          .map { case (bucket, (lc, rc)) =>
+            (bucket, (((lc + cell - 1) / cell).toInt,
+              ((rc + cell - 1) / cell).toInt))
+          }.toMap
+      }
+    if (hot.nonEmpty) {
+      val m = longMetric("splitBuckets")
+      m.add(hot.size)
+      val execId = sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
+      SQLMetrics.postDriverMetricUpdates(sparkContext, execId, Seq(m))
+    }
+    val hotBc = sparkContext.broadcast(hot)
+
+    keyed(left, leftVec, isLeft = true, hotBc)
+      .cogroup(keyed(right, rightVec, isLeft = false, hotBc),
         conf.numShufflePartitions)
       .mapPartitions { buckets =>
         val lProj = UnsafeProjection.create(Seq(lVecE), lOut)
         val rProj = UnsafeProjection.create(Seq(rVecE), rOut)
         val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
-        buckets.flatMap { case (bucket, (ls, rs)) =>
+        val log = org.slf4j.LoggerFactory.getLogger(
+          classOf[SimilarityBandedJoinExec])
+        buckets.flatMap { case ((bucket, cell), (ls, rs)) =>
           if (ls.isEmpty || rs.isEmpty) Iterator.empty
           else {
             val band = (bucket >> nBandBits).toInt
@@ -268,12 +397,23 @@ case class SimilarityBandedJoinExec(
               val vec = rProj(row).getArray(0).toDoubleArray()
               (sig, VecRow(row, vec, norm(vec)))
             }.toArray
+            val cand = lRows.length.toLong * rRows.length
+            candMetric.add(cand)
+            bucketMetric.add(1)
+            maxAccL.add(cand)
+            if (cand > warnPairs)
+              log.warn(s"banded similarity join: bucket $bucket cell " +
+                s"$cell pairs ${lRows.length}x${rRows.length} = $cand " +
+                s"candidates in ONE task (warn bound $warnPairs) — set " +
+                s"${SimilarityBandedJoinExec.MaxBucketPairsConf} to " +
+                "grid-split oversized buckets")
             lRows.iterator.flatMap { case (lSig, l) =>
               rRows.iterator.collect {
                 case (rSig, r)
                     if firstCommonBand(lSig, rSig, nBands, nBandBits) ==
                       band &&
                       gatedSim(l.vec, r.vec, l.norm, r.norm) >= t =>
+                  numOut.add(1)
                   resultProj(joined(l.row, r.row))
               }
             }
@@ -281,4 +421,23 @@ case class SimilarityBandedJoinExec(
         }
       }
   }
+}
+
+object SimilarityBandedJoinExec {
+  /** Oversized-bucket WARNING bound (candidate pairs in one bucket
+    * cell; default 1e9 ≈ a minute of sequential gated dots): exceeding
+    * it logs an executor-side warning naming the bucket and the
+    * mitigation conf. Observation only — the plan is unchanged. */
+  val WarnPairsConf = "spark.graft.similarityJoin.bucketWarnPairs"
+
+  /** Opt-in hot-bucket mitigation bound: when > 0, buckets whose
+    * |left|×|right| cross product exceeds it are grid-split into
+    * ⌈l/√bound⌉ × ⌈r/√bound⌉ cells (left rows replicate across column
+    * blocks, right rows across row blocks; a pair meets in exactly one
+    * cell, so the OUTPUT is identical to the unsplit plan) — per-task
+    * work is then bounded by ~the conf value regardless of how skewed
+    * the signature distribution is. Costs one extra signature pass
+    * over both children (bucket sizing) plus replication inside the
+    * hot buckets only. 0 (default) = off. */
+  val MaxBucketPairsConf = "spark.graft.similarityJoin.maxBucketPairs"
 }

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.plans.{SimilarityBandedJoinExec, SimJoinRegime}
+
+/** Banded-similarity-join hot-bucket soak:
+  * `BandSoak <sfDir> [thresholds csv] [maxBucketPairs]`
+  *
+  * Measures the scale caveat `BandGeometry.derive` documents — a low
+  * threshold forces narrow bands (0.35 → 4-bit bands = 16 coarse
+  * buckets per band), and coarse buckets mean large within-bucket
+  * cross products — as NUMBERS instead of prose: for each threshold
+  * the self-join runs with threshold-derived geometry and one JSON
+  * line reports the bucket-count / candidate-pair / largest-bucket /
+  * max-task-time profile straight off the exec's SQL metrics and the
+  * [[graft.plans.MaxLongAccumulator]] skew accumulator.
+  *
+  * An optional third arg re-runs every threshold with the grid-split
+  * mitigation bound (`spark.graft.similarityJoin.maxBucketPairs`)
+  * set, so the pinned table shows mitigation effect + overhead on the
+  * same data. BASELINE.md records the 200k-vector table (GenData
+  * mult=100 embeddings).
+  */
+object BandSoak {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val thresholds =
+      if (args.length > 1) args(1).split(",").toSeq.map(_.toDouble)
+      else Seq(0.35, 0.6, 0.8)
+    val splitBound = if (args.length > 2) args(2).toLong else 0L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE off so the executed plan IS the exec node we read
+      // metrics from (no AdaptiveSparkPlanExec indirection)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var maxTaskMs = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null && e.taskInfo.duration > maxTaskMs)
+          maxTaskMs = e.taskInfo.duration
+    })
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+
+    def run(t: Double, bound: Long): Unit = {
+      if (bound > 0)
+        spark.conf.set(SimilarityBandedJoinExec.MaxBucketPairsConf,
+          bound.toString)
+      else
+        spark.conf.unset(SimilarityBandedJoinExec.MaxBucketPairsConf)
+      maxTaskMs = 0L
+      val t0 = System.nanoTime()
+      val df = Similarity.cosineJoin(a, b, "va", "vb", t,
+        SimJoinRegime.Banded)
+      // execute the df's OWN plan instance (a .count() would build a
+      // fresh aggregate plan with a fresh exec whose metrics we then
+      // could not read)
+      df.queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the async listener bus drain task events
+      val exec = df.queryExecution.executedPlan.collect {
+        case e: SimilarityBandedJoinExec => e
+      }.head
+      println(f"""{"tool":"bandsoak","n":$n,"threshold":$t,"bands":${exec.bands},"bandBits":${exec.bandBits},"splitBound":$bound,"pairs":${exec.metrics("numOutputRows").value},"candPairs":${exec.metrics("candPairs").value},"bucketCells":${exec.metrics("numBuckets").value},"splitBuckets":${exec.metrics("splitBuckets").value},"maxCellPairs":${exec.maxCellPairs},"maxTaskSecs":${maxTaskMs / 1000.0},"secs":$secs%.1f}""")
+    }
+
+    thresholds.foreach(t => run(t, 0L))
+    if (splitBound > 0) thresholds.foreach(t => run(t, splitBound))
+    spark.stop()
+  }
+}

@@ -268,6 +268,51 @@ class SimilarityJoinSpec extends AnyFunSuite {
         s"geometry (${autoHits.size}/40) at moderate similarity")
   }
 
+  test("hot-bucket grid split: output identical to the unsplit plan, " +
+      "no duplicate emissions, split + skew metrics populated") {
+    // metrics live on the plan INSTANCE that executed — collect the
+    // join df itself (a derived .where() df would execute a fresh
+    // copy of the exec and leave this one's accumulators empty)
+    def runJoin(): (Seq[(Long, Long)], SimilarityBandedJoinExec) = {
+      val df = Similarity.cosineJoin(
+        vecs("id_a", "va"), vecs("id_b", "vb"),
+        "va", "vb", 0.9, SimJoinRegime.Banded)
+      val ia = df.schema.fieldIndex("id_a")
+      val ib = df.schema.fieldIndex("id_b")
+      val pairs = df.collect().toSeq
+        .map(r => (r.getLong(ia), r.getLong(ib)))
+        .filter(p => p._1 < p._2)
+      (pairs, findExec(df) { case e: SimilarityBandedJoinExec => e }.head)
+    }
+    val (basePairsSeq, baseExec) = runJoin()
+    val basePairs = basePairsSeq.toSet
+    val baseMax = baseExec.maxCellPairs
+    assert(baseMax > 0, "unsplit run must record its largest bucket")
+    assert(baseExec.metrics("candPairs").value >= basePairs.size,
+      "every output pair was a gated candidate")
+    assert(baseExec.metrics("splitBuckets").value === 0)
+    spark.conf.set(SimilarityBandedJoinExec.MaxBucketPairsConf, "4")
+    try {
+      val (got, exec) = runJoin()
+      // a pair meets in exactly ONE cell of its first common band —
+      // the grid must not re-introduce duplicate emissions
+      assert(got.size === got.toSet.size,
+        "grid split re-emitted a pair from multiple cells")
+      assert(got.toSet === basePairs,
+        "split plan must produce the identical pair set")
+      assert(exec.metrics("splitBuckets").value > 0,
+        "the tiny bound must have split the planted-cluster buckets")
+      // content-hash block assignment is balls-into-bins, so the cell
+      // bound is approximate — but the skew metric must drop well
+      // below the unsplit hot bucket
+      assert(exec.maxCellPairs < baseMax,
+        s"split did not reduce the largest cell: " +
+          s"${exec.maxCellPairs} vs unsplit $baseMax")
+    } finally {
+      spark.conf.unset(SimilarityBandedJoinExec.MaxBucketPairsConf)
+    }
+  }
+
   test("kernels: quantize rounds half away from zero; signature is " +
       "invariant to array copies; firstCommonBand finds the lowest") {
     assert(SimilarityJoinKernels.quantize(1e-6) === 1L)
