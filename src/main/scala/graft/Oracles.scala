@@ -3661,6 +3661,50 @@ object Oracles {
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
         |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
+    // q225: q224's replay at the WIDE derived geometry — the
+    // signatureBits=256 session budget makes deriveWide(0.6) pick
+    // 26 bands × 7 bits (182 hyperplanes; recall 0.905 at the
+    // threshold), so the only changes vs q224 are the bit count, the
+    // band substring width/count, and the 0.6 gate. Same integer
+    // Rademacher hyperplane mix (bit indices just run past 64).
+    "q225_simjoin_wide_band" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id, e,
+        |  list_transform(e, x -> CAST(round(x*1e6) AS BIGINT)) AS q FROM v),
+        |sgn AS (SELECT bit, dim,
+        |  CASE WHEN ((xor(x4, x4 >> 15) >> 16) & 1) = 1
+        |    THEN 1 ELSE -1 END AS s
+        |FROM (SELECT bit, dim,
+        |    (xor(x2, x2 >> 4) * 668265261) % 4294967296 AS x4
+        |  FROM (SELECT bit, dim,
+        |      (xor(xor(s0, 61), s0 >> 16) * 9) % 4294967296 AS x2
+        |    FROM (SELECT b.i AS bit, d.d AS dim, b.i*1000003 + d.d AS s0
+        |      FROM (SELECT unnest(range(216)) AS i) b
+        |      CROSS JOIN (SELECT unnest(range(64)) AS d) d)))),
+        |bit AS (SELECT vec_id, g.bit AS bit,
+        |  CASE WHEN sum(g.s * q[CAST(g.dim+1 AS INT)]) > 0
+        |  THEN '1' ELSE '0' END AS bv
+        |FROM qv CROSS JOIN sgn g
+        |GROUP BY vec_id, g.bit),
+        |sig AS (SELECT vec_id, string_agg(bv, '' ORDER BY bit) AS bits
+        |FROM bit GROUP BY vec_id),
+        |banded AS (SELECT vec_id, b.b AS band,
+        |  substring(bits, CAST(b.b*6+1 AS INT), 6) AS bucket
+        |FROM sig CROSS JOIN (SELECT unnest(range(36)) AS b) b),
+        |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |FROM banded l JOIN banded r
+        |  ON l.band = r.band AND l.bucket = r.bucket
+        |  AND l.vec_id < r.vec_id),
+        |s AS (SELECT c.id_a, c.id_b,
+        |  list_dot_product(a.e, b.e)
+        |   /(sqrt(list_dot_product(a.e, a.e))*sqrt(list_dot_product(b.e, b.e)))
+        |  AS sim
+        |FROM cand c JOIN v a ON a.vec_id = c.id_a
+        |  JOIN v b ON b.vec_id = c.id_b)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
     "q56_winnow_shared" ->
       s"""$WINNOW_CTES
          |SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp

@@ -6196,6 +6196,42 @@ object Queries {
         |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** The wide-signature banded join — q224's SQL-surface plan under a
+    * session signature-bit budget (`signatureBits=256`). At a mid
+    * threshold the classic 64-bit derive is stuck at 4-bit bands (16
+    * buckets per band — recall forces coarse buckets), so EVERY band
+    * carries ~n²/16 candidate pairs; the 256-bit budget lets
+    * `BandGeometry.deriveWide(0.4)` pick 36 bands × 6 bits (216
+    * hyperplanes; recall 0.904 ≥ 0.9 at the threshold) — 64 buckets
+    * per band and no over-provisioned bands, ~1.8× fewer candidates
+    * here and up to ~5× at 0.6 (the BandSoak pin) for a linear
+    * signature-cost increase. Threshold 0.4 (vs q224's 0.35) keeps
+    * the output non-empty at every rung (59 pairs at sf0.01, 66 at
+    * sf0.001) while exercising the word-straddling 216-bit path.
+    * Same determinism contract as q131/q224: integer Rademacher
+    * signatures, so the oracle replays the banding + exact gate
+    * bit-for-bit. */
+  def q225SimJoinWideBand(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val s = spark.newSession()
+    PlanBridge.addOptimization(s, graft.plans.SimilarityJoinRewrite)
+    PlanBridge.addStrategy(s, graft.plans.SimilarityJoinStrategy)
+    GraftFunctions.register(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set(graft.plans.SimilarityJoinRewrite.LargeLargeConf, "banded")
+    s.conf.set(graft.plans.SimilarityJoinStrategy.SignatureBitsConf, "256")
+    t(s, dir).embeddings.createOrReplaceTempView("emb_q225")
+    s.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                   CAST(b.embedding AS ARRAY<DOUBLE>)), 4) AS sim
+        |FROM emb_q225 a JOIN emb_q225 b
+        |  ON cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                CAST(b.embedding AS ARRAY<DOUBLE>)) >= 0.4D
+        | AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+
   // ---------- registry ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6421,5 +6457,6 @@ object Queries {
     "q221_generalize_to_k" -> (q221GeneralizeToK _),
     "q222_distribution_drift" -> (q222DistributionDrift _),
     "q223_quantile_bound" -> (q223QuantileBound _),
-    "q224_simjoin_sql_large" -> (q224SimJoinSqlLargeLarge _))
+    "q224_simjoin_sql_large" -> (q224SimJoinSqlLargeLarge _),
+    "q225_simjoin_wide_band" -> (q225SimJoinWideBand _))
 }

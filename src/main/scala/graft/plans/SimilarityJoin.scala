@@ -77,6 +77,51 @@ object BandGeometry {
       .find { case (b, r) => recallAt(threshold, b, r) >= targetRecall }
       .getOrElse((64, 1))
 
+  /** Hard cap on explicit/derived signature size: past ~1024 bits the
+    * per-row projection cost (bits × dims multiply-adds) dominates
+    * whatever candidate selectivity the extra width buys. */
+  val MaxSignatureBits = 1024
+
+  /** Budgeted generalization of [[derive]]: given `budgetBits` of
+    * signature (any multiple the exec's ⌈bits/64⌉-word packing can
+    * hold, ≤ [[MaxSignatureBits]]), pick the WIDEST band `r ≤ 16`
+    * whose MINIMAL band count `b = ⌈ln(1−recall)/ln(1−p^r)⌉` fits the
+    * budget (`b·r ≤ budgetBits`), i.e. the most selective buckets
+    * that still hit the recall target — and, unlike [[derive]], no
+    * more bands than the target needs (derive fills all 64 bits, so
+    * e.g. at 0.6 it ships 16 bands for recall 0.989 when 9 already
+    * give 0.92; every extra band is a full extra shuffle replica and
+    * ~n²/2^r extra candidates).
+    *
+    * Why the budget matters at MID thresholds: recall at 0.6 under
+    * 64 bits forces 4-bit bands — 16 buckets per band, ~n²/16
+    * candidates EACH. At 256 bits the same target gets 7-bit bands
+    * (deriveWide(0.6) = (26, 7)): 128 buckets per band, ~5× fewer
+    * total candidates for 4× the (linear, cheap) signature cost. The
+    * knob trades linear per-row work for quadratic per-bucket work —
+    * at corpus scale that trade is the whole game. For budgetBits=64
+    * the geometry never does more work than [[derive]]'s (same or
+    * fewer bands at the same width). */
+  def deriveWide(threshold: Double,
+      targetRecall: Double = DefaultTargetRecall,
+      budgetBits: Int = 256): (Int, Int) = {
+    require(budgetBits >= 16 && budgetBits <= MaxSignatureBits,
+      s"budgetBits in [16, $MaxSignatureBits]: $budgetBits")
+    require(targetRecall > 0 && targetRecall < 1)
+    val p = bitProb(threshold)
+    val candidates = for {
+      r <- 16 to 1 by -1
+      pBand = math.pow(p, r)
+      // double-underflow guards, same traps as deriveMinhash: a pBand
+      // so small that 1-pBand == 1.0 must not become a 1-band plan
+      if pBand < 1.0 && (1.0 - pBand) < 1.0
+      bD = math.ceil(math.log(1.0 - targetRecall)
+        / math.log(1.0 - pBand)).max(1.0)
+      if bD * r <= budgetBits
+    } yield (bD.toInt, r)
+    candidates.headOption.getOrElse((budgetBits, 1))
+  }
+
   /** MinHash (jaccard) analogue of [[derive]]: one minhash agrees for
     * a pair at jaccard `s` with probability `s` itself, so a band of
     * `r` hashes collides with `s^r` and ≥ 1 of `b` bands with
@@ -142,11 +187,17 @@ case class SimilarityJoinPlan(
     bands: Int, bandBits: Int) extends BinaryNode {
 
   // (0, 0) = auto: the strategy derives geometry from the threshold
-  // via BandGeometry.derive at planning time
+  // via BandGeometry.derive / deriveWide at planning time. Explicit
+  // geometry may exceed one long (the exec packs ⌈bits/64⌉ words);
+  // bandBits stays ≤ 16 so a (band, band-signature) bucket key packs
+  // into one long, and the total is capped at MaxSignatureBits — past
+  // that the per-row signature cost dwarfs any selectivity gain.
   require((bands == 0 && bandBits == 0) ||
-    (bands > 0 && bandBits > 0 && bands * bandBits <= 64),
-    s"signature must fit one long (or 0,0 for auto): " +
-      s"bands=$bands bandBits=$bandBits")
+    (bands > 0 && bandBits > 0 && bandBits <= 16 &&
+      bands * bandBits <= BandGeometry.MaxSignatureBits),
+    s"band geometry out of range (or 0,0 for auto): " +
+      s"bands=$bands bandBits=$bandBits " +
+      s"(bandBits ≤ 16, total ≤ ${BandGeometry.MaxSignatureBits})")
 
   // inner join: no nullability change on either side
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -162,6 +213,14 @@ case class SimilarityJoinPlan(
   * regimes build the SMALLER side by stats — the streamed side is
   * never collected, so the 100 TB side flows through untouched. */
 object SimilarityJoinStrategy extends SparkStrategy {
+
+  /** Session signature-bit budget for DERIVED banded geometry: 0
+    * (default) = the classic one-long [[BandGeometry.derive]];
+    * 16..1024 = [[BandGeometry.deriveWide]] under that budget. Only
+    * consulted when the plan's geometry is (0,0)-auto — explicit
+    * geometry is always honored verbatim. */
+  val SignatureBitsConf = "spark.graft.similarityJoin.signatureBits"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: SimilarityJoinPlan =>
       val bcBytes = SQLConf.get.autoBroadcastJoinThreshold
@@ -174,9 +233,19 @@ object SimilarityJoinStrategy extends SparkStrategy {
       def banded = {
         // explicit geometry is honored verbatim (q131's oracle replays
         // 8×8 bit-for-bit); (0,0) derives from the threshold so the
-        // default banded plan meets the documented recall target
+        // default banded plan meets the documented recall target. A
+        // session that grants a wider signature budget (signatureBits
+        // conf > 0) gets the budgeted derivation — wider, more
+        // selective bands at the same recall target; 0 (default)
+        // keeps the classic 64-bit derive, so existing derived plans
+        // (q224's oracle replays 16×4 bit-for-bit) never shift under
+        // a library upgrade.
+        val sigBits = SQLConf.get.getConfString(
+          SimilarityJoinStrategy.SignatureBitsConf, "0").toInt
         val (b, r) =
           if (p.bands > 0) (p.bands, p.bandBits)
+          else if (sigBits > 0)
+            BandGeometry.deriveWide(p.threshold, budgetBits = sigBits)
           else BandGeometry.derive(p.threshold)
         SimilarityBandedJoinExec(
           planLater(p.left), planLater(p.right),

@@ -105,6 +105,53 @@ object SimilarityJoinKernels {
     -1
   }
 
+  /** `⌈nbits/64⌉`-word generalization of [[signature]] for budgets
+    * beyond one long ([[BandGeometry.deriveWide]] geometries): word w
+    * holds bits [64w, 64w+64) with the SAME bit/hyperplane indexing,
+    * so for nbits ≤ 64 `signatureWords(v, n)(0) == signature(v, n)`
+    * bit-for-bit — the wide path is a superset, not a fork, and the
+    * DuckDB replay (one hyperplane row per bit index) covers both. */
+  def signatureWords(vec: Array[Double], nbits: Int): Array[Long] = {
+    val words = new Array[Long]((nbits + 63) / 64)
+    var i = 0
+    while (i < nbits) {
+      var acc = 0L
+      var d = 0
+      while (d < vec.length) {
+        acc += hyperplaneSign(i, d) * quantize(vec(d))
+        d += 1
+      }
+      if (acc > 0L) words(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    words
+  }
+
+  /** Band `b`'s packed bits — bit string positions [b·r, b·r+r) — out
+    * of a [[signatureWords]] array, handling bands that straddle a
+    * word boundary (any r not dividing 64). r ≤ 16 < 64, so a band
+    * spans at most two words. */
+  def bandOf(words: Array[Long], b: Int, bandBits: Int): Long = {
+    val lo = b * bandBits
+    val w = lo >> 6
+    val off = lo & 63
+    val mask = (1L << bandBits) - 1L
+    val first = (words(w) >>> off) & mask
+    if (off + bandBits <= 64) first
+    else first | ((words(w + 1) << (64 - off)) & mask)
+  }
+
+  /** [[firstCommonBand]] over word arrays. */
+  def firstCommonBandWords(a: Array[Long], b: Array[Long], bands: Int,
+      bandBits: Int): Int = {
+    var i = 0
+    while (i < bands) {
+      if (bandOf(a, i, bandBits) == bandOf(b, i, bandBits)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** dot / (||a||·||b||) with precomputed norms (callers hoist the
     * norms so each vector's self-product is computed once, not once
     * per candidate pair — the constant-factor point of these operators
@@ -202,8 +249,10 @@ case class SimilarityBroadcastGateExec(
 /** Approximate cosine-threshold join, banded LSH regime — the
   * large-large shape where neither side fits a broadcast: each row
   * computes one signature (bands × bandBits hyperplane bits packed in
-  * a long), replicates itself `bands` times keyed by (band,
-  * band-signature), the shuffle co-locates band collisions, and only
+  * ⌈bits/64⌉ longs — one for the classic 64-bit budget, more under a
+  * [[BandGeometry.deriveWide]] geometry), replicates itself `bands`
+  * times keyed by (band, band-signature), the shuffle co-locates band
+  * collisions, and only
   * same-bucket cross pairs are scored with the exact cosine gate.
   * Deterministic recall < 1: a qualifying pair appears iff it collides
   * in ≥ 1 band (probability rises with similarity — the standard
@@ -244,7 +293,7 @@ case class SimilarityBandedJoinExec(
   def maxCellPairs: Long = Option(maxAcc).map(_.value).getOrElse(-1L)
   @transient private var maxAcc: MaxLongAccumulator = _
 
-  /** (bucketKey, cellKey) → (signature, row) with bands-fold
+  /** (bucketKey, cellKey) → (signature words, row) with bands-fold
     * replication. bucketKey packs (band, band-signature) into one
     * long; cellKey is 0 except in `hot` buckets, which are split into
     * a kL×kR grid of cells — each left row lands in ONE deterministic
@@ -254,7 +303,7 @@ case class SimilarityBandedJoinExec(
     * maxBucketPairs instead of |bucket_l|×|bucket_r|. */
   private def keyed(plan: SparkPlan, vecE: Expression, isLeft: Boolean,
       hotBc: org.apache.spark.broadcast.Broadcast[Map[Long, (Int, Int)]])
-      : RDD[((Long, Long), (Long, UnsafeRow))] = {
+      : RDD[((Long, Long), (Array[Long], UnsafeRow))] = {
     val nbits = bands * bandBits
     val nBands = bands
     val nBandBits = bandBits
@@ -266,13 +315,12 @@ case class SimilarityBandedJoinExec(
         val arr = vecProj(row).getArray(0)
         if (arr == null) Iterator.empty
         else {
-          val sig = SimilarityJoinKernels.signature(
+          val sig = SimilarityJoinKernels.signatureWords(
             arr.toDoubleArray(), nbits)
           val copy = row.asInstanceOf[UnsafeRow].copy()
-          val mask = (1L << nBandBits) - 1L
           (0 until nBands).iterator.flatMap { b =>
-            val bucket =
-              (b.toLong << nBandBits) | ((sig >> (b * nBandBits)) & mask)
+            val bucket = (b.toLong << nBandBits) |
+              SimilarityJoinKernels.bandOf(sig, b, nBandBits)
             hot.get(bucket) match {
               case None =>
                 Iterator(((bucket, 0L), (sig, copy)))
@@ -313,12 +361,11 @@ case class SimilarityBandedJoinExec(
         val arr = vecProj(row).getArray(0)
         if (arr == null) Iterator.empty
         else {
-          val sig = SimilarityJoinKernels.signature(
+          val sig = SimilarityJoinKernels.signatureWords(
             arr.toDoubleArray(), nbits)
-          val mask = (1L << nBandBits) - 1L
           (0 until nBands).iterator.map { b =>
-            ((b.toLong << nBandBits) | ((sig >> (b * nBandBits)) & mask),
-              1L)
+            ((b.toLong << nBandBits) |
+              SimilarityJoinKernels.bandOf(sig, b, nBandBits), 1L)
           }
         }
       }
@@ -410,8 +457,8 @@ case class SimilarityBandedJoinExec(
             lRows.iterator.flatMap { case (lSig, l) =>
               rRows.iterator.collect {
                 case (rSig, r)
-                    if firstCommonBand(lSig, rSig, nBands, nBandBits) ==
-                      band &&
+                    if firstCommonBandWords(lSig, rSig, nBands,
+                      nBandBits) == band &&
                       gatedSim(l.vec, r.vec, l.norm, r.norm) >= t =>
                   numOut.add(1)
                   resultProj(joined(l.row, r.row))

@@ -8,7 +8,7 @@ import graft.operators.Similarity
 import graft.plans.{SimilarityBandedJoinExec, SimJoinRegime}
 
 /** Banded-similarity-join hot-bucket soak:
-  * `BandSoak <sfDir> [thresholds csv] [maxBucketPairs]`
+  * `BandSoak <sfDir> [thresholds csv] [maxBucketPairs] [sigBits csv]`
   *
   * Measures the scale caveat `BandGeometry.derive` documents — a low
   * threshold forces narrow bands (0.35 → 4-bit bands = 16 coarse
@@ -22,8 +22,12 @@ import graft.plans.{SimilarityBandedJoinExec, SimJoinRegime}
   * An optional third arg re-runs every threshold with the grid-split
   * mitigation bound (`spark.graft.similarityJoin.maxBucketPairs`)
   * set, so the pinned table shows mitigation effect + overhead on the
-  * same data. BASELINE.md records the 200k-vector table (GenData
-  * mult=100 embeddings).
+  * same data. An optional fourth arg re-runs every threshold under
+  * each signature-bit budget (`signatureBits` conf →
+  * [[graft.plans.BandGeometry.deriveWide]]), measuring what a wider
+  * budget buys at mid thresholds where the 64-bit derive is stuck on
+  * coarse 4-bit bands. BASELINE.md records the 200k-vector tables
+  * (GenData mult=100 embeddings).
   */
 object BandSoak {
   def main(args: Array[String]): Unit = {
@@ -32,6 +36,9 @@ object BandSoak {
       if (args.length > 1) args(1).split(",").toSeq.map(_.toDouble)
       else Seq(0.35, 0.6, 0.8)
     val splitBound = if (args.length > 2) args(2).toLong else 0L
+    val sigBitsList =
+      if (args.length > 3) args(3).split(",").toSeq.map(_.toInt)
+      else Seq.empty[Int]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,12 +63,19 @@ object BandSoak {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
 
-    def run(t: Double, bound: Long): Unit = {
+    def run(t: Double, bound: Long, sigBits: Int = 0): Unit = {
       if (bound > 0)
         spark.conf.set(SimilarityBandedJoinExec.MaxBucketPairsConf,
           bound.toString)
       else
         spark.conf.unset(SimilarityBandedJoinExec.MaxBucketPairsConf)
+      if (sigBits > 0)
+        spark.conf.set(
+          graft.plans.SimilarityJoinStrategy.SignatureBitsConf,
+          sigBits.toString)
+      else
+        spark.conf.unset(
+          graft.plans.SimilarityJoinStrategy.SignatureBitsConf)
       maxTaskMs = 0L
       val t0 = System.nanoTime()
       val df = Similarity.cosineJoin(a, b, "va", "vb", t,
@@ -75,11 +89,12 @@ object BandSoak {
       val exec = df.queryExecution.executedPlan.collect {
         case e: SimilarityBandedJoinExec => e
       }.head
-      println(f"""{"tool":"bandsoak","n":$n,"threshold":$t,"bands":${exec.bands},"bandBits":${exec.bandBits},"splitBound":$bound,"pairs":${exec.metrics("numOutputRows").value},"candPairs":${exec.metrics("candPairs").value},"bucketCells":${exec.metrics("numBuckets").value},"splitBuckets":${exec.metrics("splitBuckets").value},"maxCellPairs":${exec.maxCellPairs},"maxTaskSecs":${maxTaskMs / 1000.0},"secs":$secs%.1f}""")
+      println(f"""{"tool":"bandsoak","n":$n,"threshold":$t,"bands":${exec.bands},"bandBits":${exec.bandBits},"sigBits":$sigBits,"splitBound":$bound,"pairs":${exec.metrics("numOutputRows").value},"candPairs":${exec.metrics("candPairs").value},"bucketCells":${exec.metrics("numBuckets").value},"splitBuckets":${exec.metrics("splitBuckets").value},"maxCellPairs":${exec.maxCellPairs},"maxTaskSecs":${maxTaskMs / 1000.0},"secs":$secs%.1f}""")
     }
 
     thresholds.foreach(t => run(t, 0L))
     if (splitBound > 0) thresholds.foreach(t => run(t, splitBound))
+    for (bits <- sigBitsList; t <- thresholds) run(t, 0L, bits)
     spark.stop()
   }
 }

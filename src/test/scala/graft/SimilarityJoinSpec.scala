@@ -333,4 +333,110 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(SimilarityJoinKernels.firstCommonBand(a, c, 8, 8) === 2)
     assert(SimilarityJoinKernels.firstCommonBand(1L, 2L, 1, 8) === -1)
   }
+
+  test("wide kernels: signatureWords extends signature bit-for-bit, " +
+      "bandOf handles word-straddling bands, firstCommonBandWords " +
+      "matches the one-long form on a 64-bit budget") {
+    import SimilarityJoinKernels._
+    val v = Array(0.25, -1.5, 3.75, 0.125, -0.875, 2.0, -3.25, 1.0)
+    for (n <- Seq(1, 37, 64)) {
+      val words = signatureWords(v, n)
+      assert(words.length === (n + 63) / 64)
+      assert(words(0) === signature(v, n),
+        s"word 0 must equal the one-long signature at $n bits")
+    }
+    // 64-bit budget: bandOf ≡ the legacy shift-mask band extraction
+    val sig64 = signature(v, 64)
+    val w64 = signatureWords(v, 64)
+    for ((bands, r) <- Seq((16, 4), (8, 8), (4, 16)); b <- 0 until bands)
+      assert(bandOf(w64, b, r) === ((sig64 >>> (b * r)) & ((1L << r) - 1)),
+        s"band $b of ${bands}x$r")
+    // straddle: 128 bits at r=9 — band 7 spans bit positions [63, 72),
+    // crossing the word boundary; reconstruct from per-bit reads
+    val w128 = signatureWords(v, 128)
+    def bitAt(ws: Array[Long], i: Int): Long = (ws(i >> 6) >>> (i & 63)) & 1L
+    for (b <- 0 until 14) {
+      var expect = 0L
+      for (k <- 0 until 9) expect |= bitAt(w128, b * 9 + k) << k
+      assert(bandOf(w128, b, 9) === expect, s"straddling band $b")
+    }
+    // firstCommonBandWords ≡ firstCommonBand when everything fits a long
+    val v2 = v.map(x => -x)
+    val s1 = signatureWords(v, 64)
+    val s2 = signatureWords(v2, 64)
+    assert(firstCommonBandWords(s1, s2, 8, 8) ===
+      firstCommonBand(s1(0), s2(0), 8, 8))
+    assert(firstCommonBandWords(s1, s1, 8, 8) === 0)
+  }
+
+  test("deriveWide: widest band width whose minimal band count fits " +
+      "the budget; meets the recall target; 64-bit budget never does " +
+      "more work than derive") {
+    import graft.plans.BandGeometry._
+    // the q225 geometry: 256 bits at 0.6 → 26 bands × 7 bits
+    assert(deriveWide(0.6, budgetBits = 256) === ((26, 7)))
+    for (t <- Seq(0.35, 0.5, 0.6, 0.7, 0.8, 0.9);
+         budget <- Seq(64, 128, 256, 512)) {
+      val (b, r) = deriveWide(t, budgetBits = budget)
+      assert(b * r <= budget, s"budget overrun at t=$t budget=$budget")
+      assert(r <= 16)
+      assert(recallAt(t, b, r) >= DefaultTargetRecall,
+        s"recall miss at t=$t budget=$budget: ($b, $r)")
+      // minimal band count: one band fewer misses the target
+      if (b > 1) assert(recallAt(t, b - 1, r) < DefaultTargetRecall,
+        s"bands not minimal at t=$t budget=$budget: ($b, $r)")
+      // vs derive under the same 64-bit budget: same width or wider,
+      // never more bands at the same width
+      if (budget == 64) {
+        val (db, dr) = derive(t)
+        assert(r >= dr, s"deriveWide narrower than derive at t=$t")
+        if (r == dr) assert(b <= db)
+      }
+    }
+    intercept[IllegalArgumentException] { deriveWide(0.6, budgetBits = 8) }
+    intercept[IllegalArgumentException] {
+      deriveWide(0.6, budgetBits = 2048)
+    }
+  }
+
+  test("wide-geometry banded join: >64-bit signature executes, subset " +
+      "of exact, no duplicates, stable under repartitioning; the " +
+      "signatureBits session conf steers derived geometry") {
+    // explicit 26×7 (the deriveWide(0.6, 256) geometry) on the fixture
+    val wide = Similarity.cosineJoin(
+      vecs("id_a", "va"), vecs("id_b", "vb"),
+      "va", "vb", 0.6, SimJoinRegime.Banded, bands = 26, bandBits = 7)
+    val execs = findExec(wide) { case e: SimilarityBandedJoinExec => e }
+    assert(execs.nonEmpty && execs.head.bands * execs.head.bandBits === 182)
+    val got = collectPairs(wide)
+    assert(got.size === got.toSet.size,
+      "first-common-band dedup must hold across word-straddling bands")
+    val exact = exactPairs(0.6)
+    assert(got.toSet.subsetOf(exact), "banded may miss pairs, never invent")
+    assert(got.size >= (exact.size * 8) / 10,
+      s"recall too low: ${got.size} of ${exact.size}")
+    val repart = Similarity.cosineJoin(
+      vecs("id_a", "va").repartition(7), vecs("id_b", "vb").repartition(3),
+      "va", "vb", 0.6, SimJoinRegime.Banded, bands = 26, bandBits = 7)
+    assert(collectPairs(repart).toSet === got.toSet)
+    // conf path: signatureBits=256 makes the DERIVED geometry wide
+    val confKey = graft.plans.SimilarityJoinStrategy.SignatureBitsConf
+    try {
+      spark.conf.set(confKey, "256")
+      val derived = Similarity.cosineJoin(
+        vecs("id_a", "va"), vecs("id_b", "vb"),
+        "va", "vb", 0.6, SimJoinRegime.Banded)
+      val de = findExec(derived) { case e: SimilarityBandedJoinExec => e }
+      assert(de.head.bands === 26 && de.head.bandBits === 7)
+      assert(collectPairs(derived).toSet === got.toSet,
+        "conf-derived geometry must equal the explicit 26x7 run")
+    } finally spark.conf.unset(confKey)
+    // conf unset (default 0): classic 64-bit derive — unchanged plans
+    val legacy = Similarity.cosineJoin(
+      vecs("id_a", "va"), vecs("id_b", "vb"),
+      "va", "vb", 0.6, SimJoinRegime.Banded)
+    val le = findExec(legacy) { case e: SimilarityBandedJoinExec => e }
+    assert((le.head.bands, le.head.bandBits) ===
+      graft.plans.BandGeometry.derive(0.6))
+  }
 }
