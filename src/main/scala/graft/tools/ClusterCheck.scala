@@ -194,6 +194,28 @@ object ClusterCheck {
         s"${g1.size} banded pairs, ${exact.size} exact, repartition-stable=${g1 == g2}")
     }
 
+    // ---- 3b. WIDE (>64-bit) banded geometry: the Array[Long] ------
+    // ---- signature words must survive the cross-JVM shuffle codec --
+    // ---- and word-straddling band extraction must be JVM-stable ----
+    check("simjoin_wide_banded_stable") {
+      def run(pa: Int, pb: Int) = Similarity.cosineJoin(
+        emb.select(col("vec_id").as("id_a"), col("embedding").as("va")).repartition(pa),
+        emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")).repartition(pb),
+        "va", "vb", 0.35, SimJoinRegime.Banded, bands = 26, bandBits = 7)
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val g1 = run(7, 3)
+      val g2 = run(2, 8)
+      val exact = (for {
+        (ia, va) <- vecs; (ib, vb) <- vecs
+        if ia < ib && cosine(va, vb) >= 0.35
+      } yield (ia, ib)).toSet
+      (g1 == g2 && g1.subsetOf(exact) && g1.nonEmpty,
+        s"${g1.size} wide-banded pairs, ${exact.size} exact, " +
+          s"repartition-stable=${g1 == g2}")
+    }
+
     // ---- 4. naive SQL jaccard join → inverted-index exec ≡ ref ----
     check("jaccard_rewrite") {
       docs.select(col("doc_id"), col("text")).createOrReplaceTempView("cc_docs")

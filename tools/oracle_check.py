@@ -137,6 +137,12 @@ SAMPLED_ORACLES = {
         "got_filter": "id_a % 41 == 0 and id_b % 41 == 0",
         "note": "sampled decomposed oracle: 1/41 vec_ids, exact on subset",
     },
+    # same per-vector banding argument, wide (216-bit) geometry
+    "q225_simjoin_wide_band": {
+        "sub": ("FROM embeddings)", "FROM embeddings WHERE vec_id % 41 = 0)"),
+        "got_filter": "id_a % 41 == 0 and id_b % 41 == 0",
+        "note": "sampled decomposed oracle: 1/41 vec_ids, exact on subset",
+    },
 }
 
 
