@@ -369,6 +369,45 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(firstCommonBandWords(s1, s1, 8, 8) === 0)
   }
 
+  test("wide kernels property: random geometry, random vectors — " +
+      "bandOf over signatureWords reconstructs every band bit-for-bit " +
+      "from independent per-bit reads, and firstCommonBandWords agrees " +
+      "with a scalar reference") {
+    import SimilarityJoinKernels._
+    import org.scalacheck.Gen
+    def sampleSure[T](g: Gen[T]): T =
+      Iterator.continually(g.sample).flatten.next()
+    val geomGen = for {
+      r <- Gen.chooseNum(1, 16)
+      b <- Gen.chooseNum(1, 1024 / r)
+    } yield (b, r)
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1000, 1000))
+      .map(_.map(_ / 37.0).toArray)
+    def bitAt(ws: Array[Long], i: Int): Long = (ws(i >> 6) >>> (i & 63)) & 1L
+    for (_ <- 1 to 40) {
+      val (bands, r) = sampleSure(geomGen)
+      val nbits = bands * r
+      val v1 = sampleSure(vecGen)
+      val v2 = sampleSure(vecGen)
+      val w1 = signatureWords(v1, nbits)
+      val w2 = signatureWords(v2, nbits)
+      assert(w1.length === (nbits + 63) / 64)
+      var refFirst = -1
+      for (b <- 0 until bands) {
+        var e1 = 0L; var e2 = 0L
+        for (k <- 0 until r) {
+          e1 |= bitAt(w1, b * r + k) << k
+          e2 |= bitAt(w2, b * r + k) << k
+        }
+        assert(bandOf(w1, b, r) === e1, s"geometry ${bands}x$r band $b")
+        assert(bandOf(w2, b, r) === e2, s"geometry ${bands}x$r band $b")
+        if (refFirst < 0 && e1 == e2) refFirst = b
+      }
+      assert(firstCommonBandWords(w1, w2, bands, r) === refFirst,
+        s"geometry ${bands}x$r")
+    }
+  }
+
   test("deriveWide: widest band width whose minimal band count fits " +
       "the budget; meets the recall target; 64-bit budget never does " +
       "more work than derive") {
