@@ -6206,8 +6206,10 @@ object Queries {
     * per band and no over-provisioned bands, ~1.8× fewer candidates
     * here and up to ~5× at 0.6 (the BandSoak pin) for a linear
     * signature-cost increase. Threshold 0.4 (vs q224's 0.35) keeps
-    * the output non-empty at every rung (59 pairs at sf0.01, 66 at
-    * sf0.001) while exercising the word-straddling 216-bit path.
+    * the output non-empty at every rung (59 exact qualifying pairs
+    * at sf0.01, of which the banding recovers 53; 66 at sf0.001, 60
+    * recovered — both ≥ the 0.9 recall target) while exercising the
+    * word-straddling 216-bit path.
     * Same determinism contract as q131/q224: integer Rademacher
     * signatures, so the oracle replays the banding + exact gate
     * bit-for-bit. */
