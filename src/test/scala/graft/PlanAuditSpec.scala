@@ -30,6 +30,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *     (calendar days, value buckets, spark_partition_id offset
   *     frames from the two-phase `Analytics.globalRunning`
   *     decomposition — aggregate domains, never corpus rows).
+  *  5. No query's pre-AQE physical plan scans EVERY column of a wide
+  *     (>4 col) canonical corpus table ([[PlanChecks.fullWidthScans]])
+  *     unless allowlisted with the reason the query genuinely consumes
+  *     the full record (survivor export, whole-row fingerprinting). A
+  *     missing projection is invisible to row-count reasoning but at
+  *     100 TB it ships every byte of `text` through a scan that needed
+  *     two columns — column pruning is the audit's third class.
   *
   * Scope note: a `BroadcastNestedLoopJoin` string inside a reused
   * cached subplan (`InMemoryRelation`) belongs to the plan that built
@@ -43,6 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = GraftTestSpark.spark
   private val dir = "/root/testdata/sf0.001"
   private val boundCap = 4096L
+  private val widthCap = 4
 
   /** Non-equi joins whose bounded side is a grouped aggregate over a
     * key domain that is bounded by construction (maxRows can't see
@@ -115,6 +123,21 @@ class PlanAuditSpec extends AnyFunSuite {
     "q98_mixture_weights" ->
       "mixture shares over the per-SOURCE aggregate (source domain)")
 
+  /** Queries that scan a wide canonical table FULL-WIDTH because they
+    * genuinely consume the whole record. Each entry names the reason
+    * every column is load-bearing. (PlanScan adjudication: these are
+    * the only 2 full-width wide-table scans in the 224-query catalog.) */
+  private val fullRecordScans: Map[String, String] = Map(
+    "q215_constraint_suite" ->
+      ("the declarative suite profiles EVERY documents column — " +
+        "Completeness(text), UniqueRatio(doc_id), bounds(n_chars), " +
+        "Match/InSet(lang) — grouped by source; full width IS the " +
+        "projection, and the suite compiles to one aggregate pass"),
+    "q219_suite_drift" ->
+      ("suggest profiles text/doc_id/n_chars/lang on the baseline " +
+        "half and the suggested suite re-evaluates them on the next " +
+        "half, grouped by source — every column load-bearing"))
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without scale-killer joins or global windows") {
       GraftTestSpark.withCaches {
@@ -138,6 +161,15 @@ class PlanAuditSpec extends AnyFunSuite {
               "at scale; decompose two-phase (Analytics.globalRunning) " +
               "or allowlist with the bounded-domain reason:\n" +
               gwin.map(w => s"  ${w.nodeName} over ${w.child.nodeName}")
+                .mkString("\n"))
+        val scans = PlanChecks.fullWidthScans(qe.executedPlan, widthCap)
+        if (!fullRecordScans.contains(name))
+          assert(scans.isEmpty,
+            s"$name scans ${scans.size} wide corpus table(s) FULL-WIDTH " +
+              "— a missing projection ships every column at 100 TB; " +
+              "select the needed columns or allowlist with the reason " +
+              "the whole record is consumed:\n" +
+              scans.map { case (t, w) => s"  $t (all $w columns)" }
                 .mkString("\n"))
       }
     }
@@ -202,5 +234,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanChecks.unboundedGlobalWindows(
       w.queryExecution.optimizedPlan, boundCap).isEmpty,
       "a ≤4096-row frame (limit) is not a scale risk")
+  }
+
+  test("audit catches a full-width scan of a wide corpus table") {
+    // a grouped count never needed `text` — the classic missing
+    // projection; select(*) keeps every column alive into the scan
+    val q = docs().groupBy(col("lang")).agg(count(lit(1)).as("n"),
+      max(length(col("text"))).as("m"), max(col("doc_id")).as("d"),
+      max(col("n_chars")).as("c"), max(col("source")).as("s"))
+    val scans =
+      PlanChecks.fullWidthScans(q.queryExecution.executedPlan, widthCap)
+    assert(scans.nonEmpty && scans.head._1 == "documents.parquet",
+      "an all-columns documents scan must be flagged")
+  }
+
+  test("audit accepts a pruned scan of the same table") {
+    val q = docs().groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(PlanChecks.fullWidthScans(
+      q.queryExecution.executedPlan, widthCap).isEmpty,
+      "a 1-column read of documents is pruned — must not be flagged")
+  }
+
+  test("audit exempts narrow tables read whole") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .where(col("label") >= 0)
+    assert(PlanChecks.fullWidthScans(
+      q.queryExecution.executedPlan, widthCap).isEmpty,
+      "embeddings (3 cols) read whole is the genuine need — exempt")
+  }
+
+  test("scan audit traverses planned subqueries and AQE wrappers") {
+    // scalar subquery over a wide table, full width: the subquery's
+    // scan must be found even though it lives behind a PlanExpression
+    // (and, under AQE, behind an AdaptiveSparkPlanExec leaf)
+    docs().createOrReplaceTempView("pas_docs")
+    val q = spark.sql(
+      """SELECT lang, count(*) AS n FROM pas_docs
+        |WHERE n_chars > (SELECT min(n_chars + doc_id) FROM pas_docs d2
+        |                 WHERE d2.text IS NOT NULL AND d2.source <> 'x'
+        |                 AND d2.lang <> 'qq')
+        |GROUP BY lang""".stripMargin)
+    val scans =
+      PlanChecks.fullWidthScans(q.queryExecution.executedPlan, widthCap)
+    assert(scans.exists(_._1 == "documents.parquet"),
+      "a full-width scan inside a scalar subquery must be flagged")
   }
 }

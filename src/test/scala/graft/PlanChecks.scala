@@ -1,7 +1,9 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, PlanExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Shared plan-shape predicates for the scale-killer audit
   * ([[PlanAuditSpec]]) and its adjudication enumerator
@@ -68,4 +70,57 @@ object PlanChecks {
       case w: WindowGroupLimit if w.partitionSpec.forall(_.foldable) &&
           !w.child.maxRows.exists(_ <= cap) => w
     }
+
+  /** The THIRD scale-killer class: a parquet scan that reads EVERY
+    * column of a wide table. Column pruning is Catalyst's cheapest
+    * win — a 100 TB scan that ships `text` to compute `count(*)` is
+    * wrong regardless of how good the rest of the plan is — and it is
+    * invisible to row-count reasoning, so it gets its own audit.
+    * Collects, from the pre-AQE physical plan (pruning is decided by
+    * `FileSourceStrategy` at planning, AQE never widens a scan), every
+    * `FileSourceScanExec` whose required data schema is the ENTIRE
+    * table schema, for tables wider than `minCols` columns (narrow
+    * tables — region, nation, supplier, embeddings — are usually read
+    * whole because the query genuinely needs every column; the audit
+    * targets the wide fact/document tables where full-width is almost
+    * always a missing projection). Only the CANONICAL corpus tables
+    * are audited: a full-width read of a query's own materialized
+    * intermediate (a sink, a pair table, a compacted unit) is correct
+    * by construction — those schemas were already projected when they
+    * were written. Returns (table file name, width).
+    *
+    * Traversal: pass the EXECUTED plan. AQE wrappers are unwrapped
+    * through `inputPlan` (AQE re-plans exchanges, never widens a
+    * scan), and subquery plans are followed only when already planned
+    * physical — `collectWithSubqueries` on a pre-preparation plan
+    * would cast a still-logical subquery to SparkPlan and throw. */
+  private val auditedTables =
+    Set("lineitem", "orders", "events", "documents", "customer", "part")
+      .map(_ + ".parquet")
+
+  def fullWidthScans(plan: SparkPlan, minCols: Int): Seq[(String, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    def visit(p: SparkPlan): Unit = p.foreach { node =>
+      node match {
+        case f: FileSourceScanExec
+            if f.relation.dataSchema.length > minCols &&
+              f.requiredSchema.length == f.relation.dataSchema.length &&
+              f.relation.location.rootPaths.headOption
+                .exists(r => auditedTables(r.getName)) =>
+          out += ((f.relation.location.rootPaths.head.getName,
+            f.requiredSchema.length))
+        case a: AdaptiveSparkPlanExec => visit(a.inputPlan)
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach {
+        case e: PlanExpression[_] => e.plan match {
+          case sub: SparkPlan => visit(sub)
+          case _ => () // still-logical subquery (pre-preparation plan)
+        }
+        case _ => ()
+      })
+    }
+    visit(plan)
+    out.toSeq
+  }
 }

@@ -2,10 +2,11 @@ package graft
 
 /** Scratch enumerator for PlanAuditSpec adjudication: prints, for
   * each catalog query, (a) every logical nest-loop join without a
-  * provably bounded side, and (b) every empty-partitionSpec window
-  * over a frame `maxRows` can't bound — the two allowlists in
-  * [[PlanAuditSpec]] were derived from this table. Predicates shared
-  * via [[PlanChecks]]. `sbt "Test/runMain graft.PlanScan"`. */
+  * provably bounded side, (b) every empty-partitionSpec window over a
+  * frame `maxRows` can't bound, and (c) every full-width scan of a
+  * wide (>4 col) table — the three allowlists in [[PlanAuditSpec]]
+  * were derived from this table. Predicates shared via [[PlanChecks]].
+  * `sbt "Test/runMain graft.PlanScan"`. */
 object PlanScan {
   def main(args: Array[String]): Unit = {
     val spark = GraftTestSpark.spark
@@ -17,9 +18,11 @@ object PlanScan {
         val cart = plan.contains("CartesianProduct")
         val unbounded = PlanChecks.unboundedNestLoops(qe.optimizedPlan, 4096)
         val gwin = PlanChecks.unboundedGlobalWindows(qe.optimizedPlan, 4096)
-        if (cart || unbounded.nonEmpty || gwin.nonEmpty) {
+        val scans = PlanChecks.fullWidthScans(qe.executedPlan, 4)
+        if (cart || unbounded.nonEmpty || gwin.nonEmpty || scans.nonEmpty) {
           println(s"PLANSCAN $name cart=$cart " +
-            s"unboundedNest=${unbounded.size} globalWin=${gwin.size}" +
+            s"unboundedNest=${unbounded.size} globalWin=${gwin.size} " +
+            s"fullScans=${scans.size}" +
             (if (unbounded.nonEmpty)
               " :: " + unbounded.map(j =>
                 s"[L.maxRows=${j.left.maxRows} R.maxRows=${j.right.maxRows} " +
@@ -29,6 +32,10 @@ object PlanScan {
               " :: win " + gwin.map(w =>
                 s"[${w.nodeName} childMaxRows=${w.child.maxRows} " +
                   s"child=${w.child.nodeName}]").mkString(" | ")
+            else "") +
+            (if (scans.nonEmpty)
+              " :: scan " + scans.map { case (t, w) => s"[$t width=$w]" }
+                .mkString(" | ")
             else ""))
         }
       } catch {
