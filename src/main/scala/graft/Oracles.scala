@@ -3662,10 +3662,10 @@ object Oracles {
         |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
     // q225: q224's replay at the WIDE derived geometry — the
-    // signatureBits=256 session budget makes deriveWide(0.6) pick
-    // 26 bands × 7 bits (182 hyperplanes; recall 0.905 at the
+    // signatureBits=256 session budget makes deriveWide(0.4) pick
+    // 36 bands × 6 bits (216 hyperplanes; recall 0.904 at the
     // threshold), so the only changes vs q224 are the bit count, the
-    // band substring width/count, and the 0.6 gate. Same integer
+    // band substring width/count, and the 0.4 gate. Same integer
     // Rademacher hyperplane mix (bit indices just run past 64).
     "q225_simjoin_wide_band" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

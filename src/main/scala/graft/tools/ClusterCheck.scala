@@ -367,6 +367,33 @@ object ClusterCheck {
       (got == ref, s"${got.size} morton keys")
     }
 
+    // ---- 9b. two-phase global running decomposition: the range ----
+    // ---- partitioner samples across remote JVMs, the tracked ------
+    // ---- persist pins blocks on executor block managers, and the --
+    // ---- pid-offset broadcast join crosses process boundaries; ----
+    // ---- result must equal a driver-side sequential prefix sum ----
+    // ---- exactly (long sums — no float-order ambiguity) -----------
+    check("global_running") {
+      val got =
+        try Analytics.globalRunning(
+            docs.select(col("doc_id"), col("n_chars")),
+            Seq(col("n_chars"), col("doc_id")), // total order: unique tiebreak
+            rankOut = Some("rnk"),
+            runningSums = Seq("n_chars" -> "cum"))
+          .select(col("doc_id"), col("rnk"), col("cum"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .toMap
+        finally graft.operators.Caches.releaseAll()
+      val rows = docs.select("doc_id", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, n) => (n, id) }
+      var cum = 0L
+      val ref = rows.zipWithIndex.map { case ((id, n), i) =>
+        cum += n; (id, (i + 1L, cum))
+      }.toMap
+      (got == ref, s"${got.size} ranked rows, exact prefix sums")
+    }
+
     // ---- 10. constraint monoid: per-half states built in remote ----
     // ---- JVMs, merged (register-wise max + bin-count sum + ----
     // ---- scalar sums), must equal the one-pass batch suite AND ----
