@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -28,7 +28,17 @@ import graft.plans.{SimilarityBandedJoinExec, SimJoinRegime}
   * budget buys at mid thresholds where the 64-bit derive is stuck on
   * coarse 4-bit bands. BASELINE.md records the 200k-vector tables
   * (GenData mult=100 embeddings).
-  */
+  *
+  * `<sfDir>` may instead be `skew:<n>[:<blobPct>]` — a deterministic
+  * SKEWED corpus: blobPct% of the n vectors (default 10%) are a dense
+  * cluster around one fixed centroid (±0.02 jitter on ±0.5 components
+  * → intra-blob cosine ≈ 0.998), the rest iid uniform (the GenData
+  * recipe). This is the mitigation's MOTIVATING case: every band maps
+  * the whole blob into ONE bucket, so the unsplit join has a single
+  * cell holding (n·blobPct)² candidate pairs regardless of how the
+  * uniform mass spreads — the profile the uniform table cannot show,
+  * where the grid split is the difference between one multi-minute
+  * task and a parallel bounded fan. */
 object BandSoak {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -58,7 +68,23 @@ object BandSoak {
           maxTaskMs = e.taskInfo.duration
     })
 
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb =
+      if (dir.startsWith("skew:")) {
+        val spec = dir.split(":")
+        val nv = spec(1).toLong
+        val blobPct = if (spec.length > 2) spec(2).toInt else 10
+        val dims = sequence(lit(0), lit(63))
+        // GenData's deterministic uniform component: hash → ±0.5
+        def comp(src: Column, j: Column, seed: Int): Column =
+          (pmod(hash(src * 64 + j, lit(seed)), lit(2001)) - 1000) / 2000.0
+        spark.range(nv).select(
+          col("id").as("vec_id"),
+          transform(dims, j =>
+            when(col("id") % 100 < blobPct,
+              comp(lit(-1L), j, 41) + comp(col("id"), j, 42) / 25.0)
+            .otherwise(comp(col("id"), j, 43))
+            .cast("float")).as("embedding"))
+      } else spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -94,7 +120,13 @@ object BandSoak {
 
     thresholds.foreach(t => run(t, 0L))
     if (splitBound > 0) thresholds.foreach(t => run(t, splitBound))
-    for (bits <- sigBitsList; t <- thresholds) run(t, 0L, bits)
+    for (bits <- sigBitsList; t <- thresholds) {
+      run(t, 0L, bits)
+      // the composition row: wider buckets remove candidates, the
+      // grid split bounds whatever single cell the data still packs
+      // (a dense cluster lands in ONE bucket per band at ANY width)
+      if (splitBound > 0) run(t, splitBound, bits)
+    }
     spark.stop()
   }
 }

@@ -85,4 +85,29 @@ class ContractSpec extends AnyFunSuite {
   test("smoke entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("main source carries no udf(), stub bodies, or TODO/FIXME") {
+    // the per-round anti-pattern greps, codified: Scala udfs are
+    // opaque to codegen (the engine's rule is native expressions or
+    // Column algebra), ??? is an unimplemented stub, TODO/FIXME is
+    // unfinished work shipping. All three are zero in src/main and
+    // must stay zero — anything new fails here, not in a review.
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala")
+    assert(Files.isDirectory(root),
+      s"expected to run from the repo root; missing $root")
+    val walk = Files.walk(root)
+    val files =
+      try walk.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+      finally walk.close()
+    assert(files.size > 30, s"suspiciously few sources: ${files.size}")
+    val offenders = for {
+      f <- files
+      (line, i) <- Files.readString(f).linesIterator.zipWithIndex
+      if line.contains("udf(") || line.contains("???") ||
+        line.contains("TODO") || line.contains("FIXME")
+    } yield s"$f:${i + 1}: ${line.trim}"
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
