@@ -110,6 +110,11 @@ object PlanChecks {
           out += ((f.relation.location.rootPaths.head.getName,
             f.requiredSchema.length))
         case a: AdaptiveSparkPlanExec => visit(a.inputPlan)
+        // a tracked persist hides its subtree behind an
+        // InMemoryRelation leaf — the cached plan's scans are still
+        // this query's scans (it built the cache), so audit them too
+        case imts: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => visit(imts.relation.cachedPlan)
         case _ => ()
       }
       node.expressions.foreach(_.foreach {
