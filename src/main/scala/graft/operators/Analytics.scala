@@ -33,7 +33,14 @@ object Analytics {
     * `sortCols` MUST be a total order (include a unique tiebreak):
     * with unique keys the result is partition-placement-invariant —
     * global rank/running sums are functions of the order alone, so
-    * output is bit-identical to the single-task window. The
+    * output is bit-identical to the single-task window. That
+    * bit-identity claim is why `runningSums` columns must be
+    * INTEGRAL (enforced): the decomposition reorders additions
+    * (per-partition partials + a pid offset vs the window's
+    * sequential fold), which is exact for integer sums but differs
+    * in low bits for floating point — a double measure would
+    * silently break the oracle parity this operator promises (use
+    * integer cents / fixed-point, the repo-wide money rule). The
     * range-partitioned frame is persisted (tracked via [[Caches]])
     * so the offset pass and the row pass see one pid assignment.
     *
@@ -46,6 +53,16 @@ object Analytics {
       runningSums: Seq[(String, String)] = Nil): DataFrame = {
     require(rankOut.nonEmpty || runningSums.nonEmpty,
       "globalRunning needs a rank output and/or running sums")
+    runningSums.foreach { case (src, _) =>
+      val dt = df.schema(src).dataType
+      require(dt == org.apache.spark.sql.types.ByteType ||
+          dt == org.apache.spark.sql.types.ShortType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.LongType,
+        s"globalRunning running-sum column '$src' is $dt — the " +
+          "two-phase decomposition is bit-identical only for integral " +
+          "sums (FP addition reorders); use integer cents/fixed-point")
+    }
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val parts = Caches.persistTracked(
       df.repartitionByRange(p, sortCols: _*)

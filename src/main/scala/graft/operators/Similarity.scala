@@ -97,19 +97,32 @@ object Similarity {
     * once. The join is a shuffled hash join on the cell key — no
     * broadcast, per-task memory bounded by |Q|/qBlocks — and both
     * replication factors are knobs, so shuffle volume vs parallelism
-    * tunes to the cluster. Scoring, rounding, and ranking are
-    * bit-identical to [[bruteForceTopK]]. */
+    * tunes to the cluster. The 0 (default) block counts DERIVE from
+    * the session: qBlocks = cBlocks = ⌈√(4·shuffle-partitions)⌉, so
+    * the grid always offers ~4 cells per task slot and the cell count
+    * SCALES with the cluster instead of capping parallelism at a
+    * constant (a fixed 8×8 is 64 cells forever — at corpus scale
+    * that is ~|Q|·|C|/64 sequential dots per task, the same
+    * bounded-parallelism class the banded join's split exists for);
+    * replication grows only as √partitions. Block counts do not
+    * affect OUTPUT (every pair meets exactly once under any grid),
+    * so scoring, rounding, and ranking stay bit-identical to
+    * [[bruteForceTopK]]. */
   def gridTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      qBlocks: Int = 8, cBlocks: Int = 8): DataFrame = {
-    val cells = (0 until cBlocks).map(lit(_))
-    val qcells = (0 until qBlocks).map(lit(_))
+      qBlocks: Int = 0, cBlocks: Int = 0): DataFrame = {
+    val auto = math.max(2, math.ceil(math.sqrt(4.0 *
+      queries.sparkSession.sessionState.conf.numShufflePartitions)).toInt)
+    val qb = if (qBlocks > 0) qBlocks else auto
+    val cb = if (cBlocks > 0) cBlocks else auto
+    val cells = (0 until cb).map(lit(_))
+    val qcells = (0 until qb).map(lit(_))
     val q = withL2(queries.select(col("id").as("query_id"),
         col("vec").cast("array<double>").as("qv")), "qv", "qn")
-      .withColumn("__qb", pmod(hash(col("query_id")), lit(qBlocks)))
+      .withColumn("__qb", pmod(hash(col("query_id")), lit(qb)))
       .withColumn("__cb", explode(array(cells: _*)))
     val c = withL2(corpus.select(col("id").as("neighbor_id"),
         col("vec").cast("array<double>").as("cv")), "cv", "cnn")
-      .withColumn("__cb", pmod(hash(col("neighbor_id")), lit(cBlocks)))
+      .withColumn("__cb", pmod(hash(col("neighbor_id")), lit(cb)))
       .withColumn("__qb", explode(array(qcells: _*)))
     val scored = c.join(q, Seq("__qb", "__cb"))
       .where(col("query_id") =!= col("neighbor_id"))

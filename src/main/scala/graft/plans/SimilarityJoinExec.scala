@@ -394,22 +394,47 @@ case class SimilarityBandedJoinExec(
     val maxAccL = maxAcc
 
     // opt-in hot-bucket mitigation: size every bucket first (an extra
-    // signature pass over both children), then grid-split any bucket
-    // whose cross product exceeds the bound. Only the hot buckets —
+    // signature pass — ONE for a self-join, where both children plan
+    // the same scan, two otherwise), then grid-split any bucket whose
+    // cross product exceeds the bound. Only the hot buckets —
     // typically none — reach the driver or pay replication.
     val hot: Map[Long, (Int, Int)] =
       if (maxPairs <= 0) Map.empty
       else {
         val cell = math.max(1L,
           math.ceil(math.sqrt(maxPairs.toDouble)).toLong)
-        bucketCounts(left, leftVec)
-          .join(bucketCounts(right, rightVec))
-          .filter { case (_, (lc, rc)) => lc * rc > maxPairs }
-          .collect()
-          .map { case (bucket, (lc, rc)) =>
-            (bucket, (((lc + cell - 1) / cell).toInt,
-              ((rc + cell - 1) / cell).toInt))
-          }.toMap
+        def blocks(c: Long): Int = ((c + cell - 1) / cell).toInt
+        // the split predicate is division, not lc * rc > maxPairs: at
+        // the corpus sizes this mitigation exists for the product
+        // overflows Long (lc = rc ≈ 3.04e9 wraps negative) and the
+        // overflow would silently skip splitting exactly the hottest
+        // buckets
+        // self-join detection must be exprId-free: the two sides carry
+        // distinct attribute ids even when they plan the same scan, so
+        // compare the vec expressions bound to their own side's output
+        // ordinals (BoundReference is canonical by position)
+        val selfJoin = left.sameResult(right) &&
+          org.apache.spark.sql.catalyst.expressions.BindReferences
+            .bindReference(lVecE, left.output) ==
+          org.apache.spark.sql.catalyst.expressions.BindReferences
+            .bindReference(rVecE, right.output)
+        if (selfJoin)
+          // self-join (every canonical caller): per bucket lc == rc,
+          // so ONE signature pass sizes both sides — the join of two
+          // independently recomputed count RDDs would scan twice
+          bucketCounts(left, leftVec)
+            .filter { case (_, c) => c > maxPairs / c }
+            .collect()
+            .map { case (bucket, c) => (bucket, (blocks(c), blocks(c))) }
+            .toMap
+        else
+          bucketCounts(left, leftVec)
+            .join(bucketCounts(right, rightVec))
+            .filter { case (_, (lc, rc)) => lc > maxPairs / rc }
+            .collect()
+            .map { case (bucket, (lc, rc)) =>
+              (bucket, (blocks(lc), blocks(rc)))
+            }.toMap
       }
     if (hot.nonEmpty) {
       val m = longMetric("splitBuckets")

@@ -111,7 +111,19 @@ object BandSoak {
       // could not read)
       df.queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the async listener bus drain task events
+      // the listener bus is async and a fixed sleep is racy — after a
+      // multi-minute run the hottest task's end event (the one number
+      // this tool exists to pin) can land late. Poll until the max is
+      // stable for a full second, capped at 10 s.
+      var last = maxTaskMs
+      var stable = 0
+      var polls = 0
+      while (stable < 5 && polls < 50) {
+        Thread.sleep(200)
+        polls += 1
+        if (maxTaskMs == last) stable += 1
+        else { stable = 0; last = maxTaskMs }
+      }
       val exec = df.queryExecution.executedPlan.collect {
         case e: SimilarityBandedJoinExec => e
       }.head
