@@ -35,8 +35,8 @@ import graft.plans.{SimilarityBandedJoinExec, SimJoinRegime}
   * → intra-blob cosine ≈ 0.998), the rest iid uniform (the GenData
   * recipe). This is the mitigation's MOTIVATING case: every band maps
   * the whole blob into ONE bucket, so the unsplit join has a single
-  * cell holding (n·blobPct)² candidate pairs regardless of how the
-  * uniform mass spreads — the profile the uniform table cannot show,
+  * cell holding (n·blobPct/100)² candidate pairs regardless of how
+  * the uniform mass spreads — the profile the uniform table cannot show,
   * where the grid split is the difference between one multi-minute
   * task and a parallel bounded fan. */
 object BandSoak {
@@ -62,9 +62,14 @@ object BandSoak {
     spark.sparkContext.setLogLevel("WARN")
 
     @volatile var maxTaskMs = 0L
+    @volatile var runStartMs = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskInfo != null && e.taskInfo.duration > maxTaskMs)
+        // finishTime guard: the bus is async, so a straggler TaskEnd
+        // from run N could otherwise land after run N+1 resets the max
+        // and be misattributed to it
+        if (e.taskInfo != null && e.taskInfo.finishTime >= runStartMs &&
+            e.taskInfo.duration > maxTaskMs)
           maxTaskMs = e.taskInfo.duration
     })
 
@@ -103,6 +108,7 @@ object BandSoak {
         spark.conf.unset(
           graft.plans.SimilarityJoinStrategy.SignatureBitsConf)
       maxTaskMs = 0L
+      runStartMs = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val df = Similarity.cosineJoin(a, b, "va", "vb", t,
         SimJoinRegime.Banded)

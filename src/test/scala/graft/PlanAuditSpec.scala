@@ -255,13 +255,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "a 1-column read of documents is pruned — must not be flagged")
   }
 
-  test("audit exempts narrow tables read whole") {
+  test("audit exempts tables at or below the width cap") {
+    // exercise the WIDTH predicate itself on an audited table: the
+    // same full-width documents scan is flagged at the audit's cap
+    // (documents is 5 > 4 wide) and exempt once the cap covers it
+    // (5 > 5 is false) — narrow tables are additionally outside
+    // auditedTables, but that name filter must not be the only thing
+    // standing between a width regression and a green suite
+    val q = docs().groupBy(col("lang")).agg(count(lit(1)).as("n"),
+      max(length(col("text"))).as("m"), max(col("doc_id")).as("d"),
+      max(col("n_chars")).as("c"), max(col("source")).as("s"))
+    val plan = q.queryExecution.executedPlan
+    assert(PlanChecks.fullWidthScans(plan, widthCap).nonEmpty,
+      "5-wide documents read whole must be flagged at cap 4")
+    assert(PlanChecks.fullWidthScans(plan, 5).isEmpty,
+      "the same scan is exempt once the cap covers its width")
+    // and tables outside the canonical audited set never flag at all
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val q = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val nq = emb.select(col("vec_id"), col("embedding"), col("label"))
       .where(col("label") >= 0)
     assert(PlanChecks.fullWidthScans(
-      q.queryExecution.executedPlan, widthCap).isEmpty,
-      "embeddings (3 cols) read whole is the genuine need — exempt")
+      nq.queryExecution.executedPlan, 0).isEmpty,
+      "embeddings is not an audited corpus table — exempt by name")
   }
 
   test("scan audit traverses planned subqueries and AQE wrappers") {
