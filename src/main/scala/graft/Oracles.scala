@@ -1278,8 +1278,8 @@ object Oracles {
         |  SELECT unnest([a, b, c]) AS vec_id FROM tri) GROUP BY 1)
         |SELECT d.vec_id, CAST(deg AS BIGINT) AS deg,
         |CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
-        |CAST(2 * coalesce(n_triangles, 0) * 10000
-        |  // (deg * (deg - 1)) AS BIGINT) AS cc_bp
+        |CAST(2 * CAST(coalesce(n_triangles, 0) AS HUGEINT) * 10000
+        |  // (CAST(deg AS HUGEINT) * (deg - 1)) AS BIGINT) AS cc_bp
         |FROM deg d LEFT JOIN tc USING (vec_id) WHERE deg >= 2
         |ORDER BY cc_bp DESC, vec_id""".stripMargin,
 
@@ -1336,7 +1336,8 @@ object Oracles {
         |conv AS (SELECT pu.event_type, pu.user_id % 2 AS arm,
         |  count(*) AS c
         |  FROM pu JOIN pt USING (event_type) CROSS JOIN nu
-        |  WHERE pu.cu * nu.n_users > pt.st GROUP BY 1, 2),
+        |  WHERE CAST(pu.cu AS HUGEINT) * nu.n_users > pt.st
+        |  GROUP BY 1, 2),
         |wide AS (SELECT event_type,
         |  CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c0,
         |  CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
@@ -1344,7 +1345,8 @@ object Oracles {
         |  CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1
         |  FROM conv JOIN arms USING (arm) GROUP BY 1),
         |z AS (SELECT *,
-        |  CAST((c1 * n0 - c0 * n1) * 10000 // nullif(c0 * n1, 0)
+        |  CAST((CAST(c1 AS HUGEINT) * n0 - CAST(c0 AS HUGEINT) * n1)
+        |    * 10000 // nullif(CAST(c0 AS HUGEINT) * n1, 0)
         |    AS BIGINT) AS lift_bp,
         |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
         |  round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
@@ -1540,7 +1542,8 @@ object Oracles {
         |  GROUP BY 1, 2 HAVING count(*) >= 5),
         |sc AS (SELECT ante, cons, s_ab,
         |  CAST(s_ab * 10000 // sa.s AS BIGINT) AS conf_bp,
-        |  CAST(s_ab * n.n_orders * 1000000 // (sa.s * sb.s) AS BIGINT)
+        |  CAST(CAST(s_ab AS HUGEINT) * n.n_orders * 1000000
+        |    // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT)
         |    AS lift_1e6
         |  FROM pr JOIN sp sa ON sa.b = pr.ante
         |  JOIN sp sb ON sb.b = pr.cons CROSS JOIN n)
@@ -1585,13 +1588,16 @@ object Oracles {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
         |  FROM rev),
         |cls AS (SELECT rev_c,
-        |  CASE WHEN cum_c * 10000 <= total_c * 8000 THEN 'A'
-        |    WHEN cum_c * 10000 <= total_c * 9500 THEN 'B'
+        |  CASE WHEN CAST(cum_c AS HUGEINT) * 10000
+        |      <= CAST(total_c AS HUGEINT) * 8000 THEN 'A'
+        |    WHEN CAST(cum_c AS HUGEINT) * 10000
+        |      <= CAST(total_c AS HUGEINT) * 9500 THEN 'B'
         |    ELSE 'C' END AS cls, total_c
         |  FROM run CROSS JOIN tot)
         |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
         |CAST(sum(rev_c) AS DOUBLE)/100.0 AS revenue,
-        |CAST(sum(rev_c) * 10000 // max(total_c) AS BIGINT) AS share_bp
+        |CAST(CAST(sum(rev_c) AS HUGEINT) * 10000 // max(total_c)
+        |  AS BIGINT) AS share_bp
         |FROM cls GROUP BY cls ORDER BY cls""".stripMargin,
 
     // q178: per-type entropy terms round ONCE from exact integers
@@ -1770,7 +1776,8 @@ object Oracles {
          |tt AS MATERIALIZED (SELECT a, CAST(sum(t_ab) AS BIGINT) AS t_a
          |  FROM tc GROUP BY 1),
          |p AS MATERIALIZED (SELECT tc.a, tc.b,
-         |  CAST(t_ab * 1000000 // t_a AS BIGINT) AS p_1e6
+         |  CAST(CAST(t_ab AS HUGEINT) * 1000000 // t_a AS BIGINT)
+         |    AS p_1e6
          |  FROM tc JOIN tt ON tt.a = tc.a),
          |st AS MATERIALIZED (SELECT a AS s, t_a,
          |  (SELECT count(*) FROM tt) AS m FROM tt),
@@ -2650,7 +2657,8 @@ object Oracles {
         |bt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s_total,
         |  CAST(count(*) AS BIGINT) AS d_total FROM daily GROUP BY 1)
         |SELECT bd.event_type, CAST(dow AS INT) AS dow, s_dow, d_dow,
-        |CAST(s_dow * d_total * 10000 // (s_total * d_dow) AS BIGINT)
+        |CAST(CAST(s_dow AS HUGEINT) * d_total * 10000
+        |  // (CAST(s_total AS HUGEINT) * d_dow) AS BIGINT)
         |  AS idx_bp
         |FROM bd JOIN bt USING (event_type)
         |ORDER BY event_type, dow""".stripMargin,
@@ -2862,8 +2870,9 @@ object Oracles {
         |  ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |  AS cum_x FROM ag)
         |SELECT segment, CAST(decile AS BIGINT) AS decile, n_customers,
-        |CAST(dx * 10000 // s AS BIGINT) AS share_bp,
-        |CAST(cum_x * 10000 // s AS BIGINT) AS cum_share_bp
+        |CAST(CAST(dx AS HUGEINT) * 10000 // s AS BIGINT) AS share_bp,
+        |CAST(CAST(cum_x AS HUGEINT) * 10000 // s AS BIGINT)
+        |  AS cum_share_bp
         |FROM cm ORDER BY segment, decile""".stripMargin,
 
     // q204: VMR exact in integers; zeros handled in closed form.

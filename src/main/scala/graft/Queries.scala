@@ -3984,8 +3984,11 @@ object Queries {
       .join(tcount, Seq("vec_id"), "left")
       .select(col("vec_id"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        expr("2 * coalesce(n_triangles, 0) * 10000" +
-          " div (deg * (deg - 1))").as("cc_bp"))
+        // tri ≤ deg²/2 so the numerator is deg²·1e4-scale: a hub with
+        // deg > ~9.6e6 wraps Long — decimal(38,0) both sides
+        expr("2 * cast(coalesce(n_triangles, 0) as decimal(38,0))" +
+          " * 10000 div (cast(deg as decimal(38,0)) * (deg - 1))")
+          .as("cc_bp"))
       .orderBy(col("cc_bp").desc, col("vec_id"))
   }
 
@@ -4084,7 +4087,12 @@ object Queries {
     val conv = perUser
       .join(broadcast(perType), Seq("event_type"))
       .crossJoin(broadcast(nUsers))
-      .where(col("cu") * col("n_users") > col("st"))
+      // cu·N over decimal(38,0): a hot user's per-type count times a
+      // corpus-scale user population exceeds Long range, and a
+      // wrapped-negative product would silently DROP exactly the
+      // most-converted users from the experiment
+      .where(col("cu").cast("decimal(38,0)") * col("n_users")
+        > col("st"))
       .withColumn("arm", pmod(col("user_id"), lit(2)))
       .groupBy(col("event_type"), col("arm"))
       .agg(count(lit(1)).as("c"))
@@ -4095,8 +4103,12 @@ object Queries {
         sum(when(col("arm") === 1, col("c"))).as("c1"),
         sum(when(col("arm") === 1, col("n"))).as("n1"))
     wide
+      // conversion·arm-size cross-products are |users|²-scale —
+      // decimal(38,0) so the lift can't wrap at corpus user counts
       .withColumn("lift_bp", expr(
-        "(c1 * n0 - c0 * n1) * 10000 div nullif(c0 * n1, 0)"))
+        "(cast(c1 as decimal(38,0)) * n0 -" +
+          " cast(c0 as decimal(38,0)) * n1) * 10000" +
+          " div nullif(cast(c0 as decimal(38,0)) * n1, 0)"))
       .withColumn("z", expr(
         // degenerate pools (0% or 100%) have zero variance: z is NULL
         "case when c0 + c1 = 0 or c0 + c1 = n0 + n1 then null else " +
@@ -4333,8 +4345,13 @@ object Queries {
       .crossJoin(broadcast(nOrders))
       .select(col("ante"), col("cons"), col("s_ab"), col("s_a"),
         col("s_b"),
+        // conf_bp stays long: s_ab ≤ n_orders, ·10000 needs > 9.2e14
+        // orders (≈ sf 6e8) to wrap. lift rides decimal(38,0): the
+        // numerator is support·orders·1e6 ≈ corpus² and wraps Long
+        // from sf≈1e3 on; div on decimals still yields exact long.
         expr("s_ab * 10000 div s_a").as("conf_bp"),
-        expr("s_ab * n_orders * 1000000 div (s_a * s_b)")
+        expr("cast(s_ab as decimal(38,0)) * n_orders * 1000000" +
+          " div (cast(s_a as decimal(38,0)) * s_b)")
           .as("lift_1e6"))
     scored
       .withColumn("rank", row_number().over(Window.orderBy(
@@ -4396,8 +4413,10 @@ object Queries {
   /** Pareto / ABC inventory classification: parts ranked by exact
     * integer-cents revenue, classified by the RUNNING cumulative
     * revenue share (A ≤ 80%, B ≤ 95%, C rest — thresholds compared in
-    * exact basis points: cum·10000 ≤ bp·total, no float division in
-    * the decision). One keyed rollup of the fact table; the ranked
+    * exact basis points over decimal(38,0): cum·10000 ≤ bp·total with
+    * corpus-scale cents totals, so the cross-product can never wrap
+    * Long; no float division in the decision). One keyed rollup of
+    * the fact table; the ranked
     * running-sum window is part-frame sized (at open cardinality it
     * becomes the two-phase prefix-sum — same note as q173). */
   def q177AbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
@@ -4416,14 +4435,26 @@ object Queries {
         Seq(col("rev_c").desc, col("l_partkey")),
         runningSums = Seq("rev_c" -> "cum_c"))
       .crossJoin(broadcast(total))
+      // decimal(38,0) basis-point cross-multiplication: cum_c/total_c
+      // are corpus-scale cents (≈2.3e13·sf) and ·10000 exceeds Long
+      // past sf≈40 — under the ANSI default that ABORTS the query,
+      // under non-ANSI it wraps negative and silently misclassifies
+      // every part — the SimilarityJoinExec split-predicate overflow
+      // class. decimal keeps the compare exact at
+      // any scale (2.3e22 is 23 digits ≪ 38); `div` (IntegralDivide)
+      // on decimal operands still returns an exact LongType, so the
+      // oracle schema is unchanged.
       .withColumn("cls",
-        when(col("cum_c") * 10000 <= col("total_c") * 8000, "A")
-          .when(col("cum_c") * 10000 <= col("total_c") * 9500, "B")
+        when(col("cum_c").cast("decimal(38,0)") * 10000
+            <= col("total_c").cast("decimal(38,0)") * 8000, "A")
+          .when(col("cum_c").cast("decimal(38,0)") * 10000
+            <= col("total_c").cast("decimal(38,0)") * 9500, "B")
           .otherwise("C"))
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"),
         (sum(col("rev_c")) / 100.0).as("revenue"),
-        expr("sum(rev_c) * 10000 div max(total_c)").as("share_bp"))
+        expr("cast(sum(rev_c) as decimal(38,0)) * 10000" +
+          " div max(total_c)").as("share_bp"))
       .orderBy(col("cls"))
   }
 
@@ -4643,7 +4674,10 @@ object Queries {
     val p = graft.operators.Caches.persistTracked(
       trans.join(tot, Seq("a"))
         .select(col("a"), col("b"),
-          expr("t_ab * 1000000 div t_a").as("p_1e6")))
+          // t_ab is an event-transition count; ·1e6 wraps Long past
+          // ~9.2e12 events — decimal(38,0) numerator, exact long out
+          expr("cast(t_ab as decimal(38,0)) * 1000000 div t_a")
+            .as("p_1e6")))
     val states = graft.operators.Caches.persistTracked(
       tot.withColumn("m", count(lit(1)).over(Window.partitionBy()))
         .select(col("a").as("s"), col("t_a"), col("m")))
@@ -4746,6 +4780,9 @@ object Queries {
         col("exp_1e6"))
       .crossJoin(broadcast(total))
       .select(col("digit"), col("n_d"),
+        // bound: n_d ≤ n = |orders|; n·1e6 (and n·exp_1e6, exp ≤
+        // 3.02e5) stays in Long below ~9.2e12 orders ≈ sf 6e6 — three
+        // orders of magnitude past the 100 TB design point
         expr("n_d * 1000000 div n").as("obs_1e6"), col("exp_1e6"),
         expr("cast(round(pow(cast(n_d * 1000000 - n * exp_1e6 as double), 2)" +
           " / (cast(n as double) * exp_1e6 * 1000000)) as bigint)")
@@ -5177,7 +5214,10 @@ object Queries {
     byDow.join(broadcast(byType), Seq("event_type"))
       .select(col("event_type"), col("dow"), col("s_dow"),
         col("d_dow"),
-        expr("s_dow * d_total * 10000 div (s_total * d_dow)")
+        // s_dow·d_total·1e4 ≈ per-type event count × day span × 1e4
+        // wraps Long near 1e12 events — decimal(38,0) numerator
+        expr("cast(s_dow as decimal(38,0)) * d_total * 10000" +
+          " div (cast(s_total as decimal(38,0)) * d_dow)")
           .as("idx_bp"))
       .orderBy(col("event_type"), col("dow"))
   }
@@ -5460,8 +5500,12 @@ object Queries {
         Window.partitionBy(col("segment")).orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("segment"), col("decile"), col("n_customers"),
-        expr("dx * 10000 div s").as("share_bp"),
-        expr("cum_x * 10000 div s").as("cum_share_bp"))
+        // dx/cum_x are segment-revenue cents (≈4.6e17 at 100 TB);
+        // ·10000 wraps Long — decimal(38,0) numerators, exact long out
+        expr("cast(dx as decimal(38,0)) * 10000 div s")
+          .as("share_bp"),
+        expr("cast(cum_x as decimal(38,0)) * 10000 div s")
+          .as("cum_share_bp"))
       .orderBy(col("segment"), col("decile"))
   }
 
