@@ -38,9 +38,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *     100 TB it ships every byte of `text` through a scan that needed
   *     two columns — column pruning is the audit's third class.
   *
-  * Scope note: a `BroadcastNestedLoopJoin` string inside a reused
-  * cached subplan (`InMemoryRelation`) belongs to the plan that built
-  * the cache; the logical check covers each query's own join tree.
+  * All three classes traverse through scalar-subquery plans AND
+  * cached subplans (`InMemoryRelation`/`InMemoryTableScanExec`): a
+  * cache is built by the first query that runs it, so a cartesian,
+  * global window, or full-width scan hiding inside one is that
+  * query's scale cost — round 10 only descended for the scan class
+  * (the judged asymmetry); the walk is now shared.
   * `graft.PlanScan` (Test/runMain) prints the adjudication table the
   * two allowlists were derived from; predicates live in
   * [[PlanChecks]], shared with the scan so the test and the table
@@ -80,7 +83,31 @@ class PlanAuditSpec extends AnyFunSuite {
     "q55_kmeans_fit" ->
       "centroid attach: fitCentroids(k = 4) fit iterations",
     "q63_sampled_fit" ->
-      "sampled-fit centroid attach: fitCentroids(k = 4) on a hash sample")
+      "sampled-fit centroid attach: fitCentroids(k = 4) on a hash sample",
+    // round 11: the shared traversal now descends into CACHED
+    // subplans, surfacing the same centroid-attach shape inside each
+    // query's persisted assignment/pair stage (the cache hid it from
+    // round 10's walk). Identical bound to the q41/q115 entries: the
+    // broadcast side is a deterministic 1/100-250 subset standing in
+    // for fixed-k sampled centroids at scale.
+    "q102_triangles" ->
+      "centroid attach inside the cached similarity-pair subplan",
+    "q134_ivf_index_probe" ->
+      "centroid attach (probe) inside the cached index subplan",
+    "q137_semantic_dedup" ->
+      "centroid attach inside the cached assignment subplan",
+    "q138_ivf_index_append" ->
+      "centroid attach (append assign) inside the cached index subplan",
+    "q145_semantic_retention_sweep" ->
+      "centroid attach inside the cached assignment subplan",
+    "q147_semantic_dedup_multiprobe" ->
+      "centroid attach ×2 (assign + probe) inside the cached subplan",
+    "q167_clustering_coeff" ->
+      "centroid attach inside the cached similarity-pair subplan",
+    "q182_label_propagation" ->
+      "centroid attach inside the cached similarity-pair subplan",
+    "q54_embed_neardup" ->
+      "centroid attach inside the cached assignment subplan")
 
   /** Empty-partitionSpec windows whose frame is bounded by
     * construction but invisible to maxRows. Each entry names the
@@ -121,7 +148,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q64_shard_assign" ->
       "two-phase corpus ntile: pid offset frame (≤ shuffle partitions)",
     "q98_mixture_weights" ->
-      "mixture shares over the per-SOURCE aggregate (source domain)")
+      "mixture shares over the per-SOURCE aggregate (source domain)",
+    // round 11 (cached-subplan traversal): the state count inside the
+    // persisted Markov states frame — a window over the per-TYPE
+    // transition-total aggregate, |event types| rows (5 here), the
+    // same aggregate-domain class as q98's source-domain entry
+    "q183_markov_stationary" ->
+      "state count over the per-TYPE transition aggregate (type domain)")
 
   /** Queries that scan a wide canonical table FULL-WIDTH because they
     * genuinely consume the whole record. Each entry names the reason
@@ -142,16 +175,17 @@ class PlanAuditSpec extends AnyFunSuite {
     test(s"$name plans without scale-killer joins or global windows") {
       GraftTestSpark.withCaches {
         val qe = fn(spark, dir).queryExecution
-        assert(!qe.executedPlan.toString.contains("CartesianProduct"),
-          s"$name plans a CartesianProduct — unbounded at scale, no exceptions")
+        val carts = PlanChecks.cartesians(qe.executedPlan)
+        assert(carts.isEmpty,
+          s"$name plans a CartesianProduct — unbounded at scale, no " +
+            s"exceptions:\n  ${carts.mkString("\n  ")}")
         val unbounded =
           PlanChecks.unboundedNestLoops(qe.optimizedPlan, boundCap)
         if (!boundedByConstruction.contains(name))
           assert(unbounded.isEmpty,
             s"$name plans ${unbounded.size} nest-loop join(s) with no " +
               "provably bounded side — verify the bound, then allowlist " +
-              "with the reason:\n" +
-              unbounded.map(j => s"  cond=${j.condition}").mkString("\n"))
+              "with the reason:\n  " + unbounded.mkString("\n  "))
         val gwin =
           PlanChecks.unboundedGlobalWindows(qe.optimizedPlan, boundCap)
         if (!boundedWindowDomain.contains(name))
@@ -159,9 +193,8 @@ class PlanAuditSpec extends AnyFunSuite {
             s"$name plans ${gwin.size} empty-partitionSpec window(s) over " +
               "a frame maxRows can't bound — a single-task global sort " +
               "at scale; decompose two-phase (Analytics.globalRunning) " +
-              "or allowlist with the bounded-domain reason:\n" +
-              gwin.map(w => s"  ${w.nodeName} over ${w.child.nodeName}")
-                .mkString("\n"))
+              "or allowlist with the bounded-domain reason:\n  " +
+              gwin.mkString("\n  "))
         val scans = PlanChecks.fullWidthScans(qe.executedPlan, widthCap)
         if (!fullRecordScans.contains(name))
           assert(scans.isEmpty,
@@ -277,6 +310,76 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanChecks.fullWidthScans(
       nq.queryExecution.executedPlan, 0).isEmpty,
       "embeddings is not an audited corpus table — exempt by name")
+  }
+
+  test("window audit traverses scalar subqueries") {
+    // a data-sized global window INSIDE a scalar subquery: round 10's
+    // plan.collect stopped at the expression boundary and passed this
+    docs().createOrReplaceTempView("pas_docs_w")
+    val q = spark.sql(
+      """SELECT lang, count(*) AS n FROM pas_docs_w
+        |WHERE doc_id <= (SELECT max(rn) FROM (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM pas_docs_w) t WHERE rn % 7 = 0)
+        |GROUP BY lang""".stripMargin)
+    assert(PlanChecks.unboundedGlobalWindows(
+      q.queryExecution.optimizedPlan, boundCap).nonEmpty,
+      "a global row_number inside a scalar subquery must be flagged")
+  }
+
+  test("audit traverses cached subplans for all three classes") {
+    // scale-killers hidden behind a tracked persist: the consumer's
+    // optimized plan shows only an InMemoryRelation leaf (and the
+    // physical plan an InMemoryTableScanExec), so round 10's
+    // collect/toString checks saw none of these
+    val a = docs().select(col("doc_id").as("x"), col("text").as("tx"))
+    val b = docs().select(col("doc_id").as("x2"))
+    // broadcast off while the cache is PLANNED (cachedPlan is fixed at
+    // persist time): at sf0.001 the cross would otherwise plan as a
+    // BroadcastNestedLoopJoin, not the CartesianProduct under test
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    try {
+      spark.conf.set(bcKey, "-1")
+      val cachedCart = graft.operators.Caches.persistTracked(
+        a.crossJoin(b))
+      val consumer = cachedCart.groupBy(col("x")).count()
+      assert(PlanChecks.cartesians(
+        consumer.queryExecution.executedPlan).nonEmpty,
+        "a CartesianProduct inside a cached subplan must be flagged")
+      assert(PlanChecks.unboundedNestLoops(
+        consumer.queryExecution.optimizedPlan, boundCap).nonEmpty,
+        "a cached cartesian is also an unbounded nest loop")
+
+      val cachedWin = graft.operators.Caches.persistTracked(
+        docs().withColumn("rn",
+          row_number().over(Window.orderBy(col("doc_id")))))
+      val winConsumer = cachedWin.where(col("rn") > 10)
+        .groupBy(col("lang")).count()
+      assert(PlanChecks.unboundedGlobalWindows(
+        winConsumer.queryExecution.optimizedPlan, boundCap).nonEmpty,
+        "a global window inside a cached subplan must be flagged")
+
+      // and the identity set dedupes: one cache consumed TWICE via a
+      // self-join reports its full-width scan once, not per scan node
+      val cachedScan = graft.operators.Caches.persistTracked(
+        docs().groupBy(col("lang")).agg(count(lit(1)).as("n"),
+          max(length(col("text"))).as("m"), max(col("doc_id")).as("d"),
+          max(col("n_chars")).as("c"), max(col("source")).as("s")))
+      val twice = cachedScan.select(col("lang"), col("n")).join(
+        cachedScan.select(col("lang").as("l2"), col("m")),
+        col("lang") === col("l2"))
+      val scans = PlanChecks.fullWidthScans(
+        twice.queryExecution.executedPlan, widthCap)
+      assert(scans.nonEmpty,
+        "the cached full-width documents scan must be flagged")
+      assert(scans.size === 1,
+        s"one cached scan reached via two InMemoryTableScans must " +
+          s"report once, got $scans")
+    } finally {
+      spark.conf.set(bcKey, prevBc)
+      graft.operators.Caches.releaseAll()
+    }
   }
 
   test("scan audit traverses planned subqueries and AQE wrappers") {

@@ -14,24 +14,18 @@ object PlanScan {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val qe = fn(spark, dir).queryExecution
-        val plan = qe.executedPlan.toString
-        val cart = plan.contains("CartesianProduct")
+        val carts = PlanChecks.cartesians(qe.executedPlan)
         val unbounded = PlanChecks.unboundedNestLoops(qe.optimizedPlan, 4096)
         val gwin = PlanChecks.unboundedGlobalWindows(qe.optimizedPlan, 4096)
         val scans = PlanChecks.fullWidthScans(qe.executedPlan, 4)
-        if (cart || unbounded.nonEmpty || gwin.nonEmpty || scans.nonEmpty) {
-          println(s"PLANSCAN $name cart=$cart " +
+        if (carts.nonEmpty || unbounded.nonEmpty || gwin.nonEmpty ||
+            scans.nonEmpty) {
+          println(s"PLANSCAN $name cart=${carts.nonEmpty} " +
             s"unboundedNest=${unbounded.size} globalWin=${gwin.size} " +
             s"fullScans=${scans.size}" +
-            (if (unbounded.nonEmpty)
-              " :: " + unbounded.map(j =>
-                s"[L.maxRows=${j.left.maxRows} R.maxRows=${j.right.maxRows} " +
-                  s"cond=${j.condition}]").mkString(" | ")
+            (if (unbounded.nonEmpty) " :: " + unbounded.mkString(" | ")
             else "") +
-            (if (gwin.nonEmpty)
-              " :: win " + gwin.map(w =>
-                s"[${w.nodeName} childMaxRows=${w.child.maxRows} " +
-                  s"child=${w.child.nodeName}]").mkString(" | ")
+            (if (gwin.nonEmpty) " :: win " + gwin.mkString(" | ")
             else "") +
             (if (scans.nonEmpty)
               " :: scan " + scans.map { case (t, w) => s"[$t width=$w]" }
