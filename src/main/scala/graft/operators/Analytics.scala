@@ -44,8 +44,11 @@ object Analytics {
     * range-partitioned frame is persisted (tracked via [[Caches]])
     * so the offset pass and the row pass see one pid assignment.
     *
-    * `rankOut`: column name for the 1-based global row_number (LONG —
-    * a global rank can exceed Int at 100 TB). `runningSums`:
+    * `rankOut`: column name for the 1-based global row_number, LONG
+    * END-TO-END — both across partitions (a global rank exceeds Int
+    * at 100 TB) and within one (the intra rank is a LongType running
+    * count, never an IntegerType row_number that could wrap in a
+    * skew-fattened range partition before widening). `runningSums`:
     * (srcCol, outCol) pairs for inclusive running sums over the same
     * order. */
   def globalRunning(df: DataFrame, sortCols: Seq[Column],
@@ -69,9 +72,15 @@ object Analytics {
         .withColumn("__gr_pid", spark_partition_id()))
     val wIntra = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
     val wRun = wIntra.rowsBetween(Window.unboundedPreceding, 0)
+    // the intra rank is a LONG running count over the row frame (==
+    // row_number over the same frame, but computed in LongType from
+    // the first row): row_number() is IntegerType and would wrap
+    // INSIDE a range partition holding >2^31 rows before any cast —
+    // the scaladoc's Long contract must hold per-partition too, and
+    // the range partitioner does not bound partition sizes under a
+    // pathologically skewed total order
     val intra = runningSums.foldLeft(
-      parts.withColumn("__gr_irn",
-        row_number().over(wIntra).cast("long"))) {
+      parts.withColumn("__gr_irn", count(lit(1)).over(wRun))) {
       case (acc, (src, out)) =>
         acc.withColumn(s"__gr_ir_$out", sum(col(src)).over(wRun))
     }

@@ -27,6 +27,21 @@ class TwoPhaseSpec extends AnyFunSuite {
           .cast("long"))
       val two = Analytics.globalRunning(base,
         Seq(col("v").desc, col("doc_id")), rankOut = Some("rk"))
+      // the Long contract holds END-TO-END: the output column is
+      // LongType AND no IntegerType RowNumber feeds it anywhere in
+      // the optimized plan (an Int intra rank would wrap inside a
+      // >2^31-row range partition BEFORE any widening cast — the
+      // round-10 finding; the intra rank must be a Long running count)
+      assert(two.schema("rk").dataType ===
+        org.apache.spark.sql.types.LongType)
+      val rowNumbers = two.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case r: org.apache.spark.sql.catalyst.expressions.RowNumber => r
+        })
+      }.flatten
+      assert(rowNumbers.isEmpty,
+        "globalRunning must not compute any rank through an " +
+          "IntegerType row_number")
       assert(two.select("doc_id", "rk").except(
         naive.select("doc_id", "rk")).isEmpty)
       assert(naive.select("doc_id", "rk").except(
