@@ -240,8 +240,26 @@ object SimilarityJoinStrategy extends SparkStrategy {
         // keeps the classic 64-bit derive, so existing derived plans
         // (q224's oracle replays 16×4 bit-for-bit) never shift under
         // a library upgrade.
-        val sigBits = SQLConf.get.getConfString(
-          SimilarityJoinStrategy.SignatureBitsConf, "0").toInt
+        // validated HERE, at the strategy boundary, so a bad session
+        // conf fails planning with an error naming the CONF KEY and
+        // its domain — not deriveWide's `budgetBits` parameter (which
+        // 1..15 would otherwise reach) or a bare NumberFormatException
+        val rawBits = SQLConf.get.getConfString(
+          SimilarityJoinStrategy.SignatureBitsConf, "0")
+        val sigBits =
+          try rawBits.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"${SimilarityJoinStrategy.SignatureBitsConf} must be an " +
+                "integer: 0 (default, classic 64-bit derive) or a bit " +
+                s"budget in [16, ${BandGeometry.MaxSignatureBits}]; " +
+                s"got '$rawBits'")
+          }
+        require(sigBits == 0 || (sigBits >= 16 &&
+            sigBits <= BandGeometry.MaxSignatureBits),
+          s"${SimilarityJoinStrategy.SignatureBitsConf} must be 0 " +
+            "(default, classic 64-bit derive) or a bit budget in " +
+            s"[16, ${BandGeometry.MaxSignatureBits}]; got $sigBits")
         val (b, r) =
           if (p.bands > 0) (p.bands, p.bandBits)
           else if (sigBits > 0)
