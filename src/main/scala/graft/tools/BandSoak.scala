@@ -79,9 +79,11 @@ object BandSoak {
         val nv = spec(1).toLong
         val blobPct = if (spec.length > 2) spec(2).toInt else 10
         val dims = sequence(lit(0), lit(63))
-        // GenData's deterministic uniform component: hash → ±0.5
+        // GenData's deterministic uniform component — the one shared
+        // definition, so the soak vectors can't drift from the
+        // generator's distribution
         def comp(src: Column, j: Column, seed: Int): Column =
-          (pmod(hash(src * 64 + j, lit(seed)), lit(2001)) - 1000) / 2000.0
+          GenData.uniformComp(src, j, seed)
         spark.range(nv).select(
           col("id").as("vec_id"),
           transform(dims, j =>
@@ -107,8 +109,13 @@ object BandSoak {
       else
         spark.conf.unset(
           graft.plans.SimilarityJoinStrategy.SignatureBitsConf)
-      maxTaskMs = 0L
+      // bump runStartMs BEFORE resetting the max: a new run's tasks
+      // cannot finish before the run starts, so this order is
+      // race-free — reset-then-bump left a window where a straggler
+      // TaskEnd from the PREVIOUS run passed the stale finishTime
+      // guard and seeded the new run's max
       runStartMs = System.currentTimeMillis()
+      maxTaskMs = 0L
       val t0 = System.nanoTime()
       val df = Similarity.cosineJoin(a, b, "va", "vb", t,
         SimJoinRegime.Banded)

@@ -33,6 +33,15 @@ import org.apache.spark.sql.functions._
   *   with a vocab choice.
   */
 object GenData {
+  /** Deterministic iid-uniform component in [-0.5, 0.5]: Murmur3 of
+    * (src·64 + dim j, seed) quantized to 1/2000 steps. THE embedding
+    * formula — BandSoak's `skew:` mode regenerates vectors with it so
+    * planted-cluster soaks measure the same distribution GenData
+    * writes (one definition; a drifted copy would silently soak a
+    * different geometry). */
+  def uniformComp(src: Column, j: Column, seed: Int): Column =
+    (pmod(hash(src * 64 + j, lit(seed)), lit(2001)) - 1000) / 2000.0
+
   private val Vocab = Seq(
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
     "fast", "filter", "group", "hash", "join", "key", "line", "merge",
@@ -230,8 +239,7 @@ object GenData {
     val dims = sequence(lit(0), lit(63))
     val vecSrc = when(col("id") % 50 === 37 && col("id") >= 17,
       col("id") - 17).otherwise(col("id"))
-    def comp(src: Column, j: Column): Column =
-      (pmod(hash(src * 64 + j, lit(35)), lit(2001)) - 1000) / 2000.0
+    def comp(src: Column, j: Column): Column = uniformComp(src, j, 35)
     val emb = spark.range(nVecs).select(
       col("id").as("vec_id"),
       transform(dims, j =>
