@@ -301,14 +301,15 @@ case class SimilarityBandedJoinExec(
     * blocks, each right row symmetrically, so a pair meets in exactly
     * one cell and the per-task pairing cost is bounded by
     * maxBucketPairs instead of |bucket_l|×|bucket_r|. */
-  private def keyed(plan: SparkPlan, vecE: Expression, isLeft: Boolean,
+  private def keyed(rdd: RDD[InternalRow],
+      planOut: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      vecE: Expression, isLeft: Boolean,
       hotBc: org.apache.spark.broadcast.Broadcast[Map[Long, (Int, Int)]])
       : RDD[((Long, Long), (Array[Long], UnsafeRow))] = {
     val nbits = bands * bandBits
     val nBands = bands
     val nBandBits = bandBits
-    val planOut = plan.output
-    plan.execute().mapPartitions { iter =>
+    rdd.mapPartitions { iter =>
       val vecProj = UnsafeProjection.create(Seq(vecE), planOut)
       val hot = hotBc.value
       iter.flatMap { row =>
@@ -349,13 +350,13 @@ case class SimilarityBandedJoinExec(
     * (long, long) pairs — tiny next to the join shuffle). Used only
     * when the split conf is on; costs one extra traversal of the
     * child. */
-  private def bucketCounts(plan: SparkPlan, vecE: Expression)
-      : RDD[(Long, Long)] = {
+  private def bucketCounts(rdd: RDD[InternalRow],
+      planOut: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      vecE: Expression): RDD[(Long, Long)] = {
     val nbits = bands * bandBits
     val nBands = bands
     val nBandBits = bandBits
-    val planOut = plan.output
-    plan.execute().mapPartitions { iter =>
+    rdd.mapPartitions { iter =>
       val vecProj = UnsafeProjection.create(Seq(vecE), planOut)
       iter.flatMap { row =>
         val arr = vecProj(row).getArray(0)
@@ -393,6 +394,38 @@ case class SimilarityBandedJoinExec(
     sparkContext.register(maxAcc, "max bucket-cell candidate pairs")
     val maxAccL = maxAcc
 
+    // self-join detection must be exprId-free: the two sides carry
+    // distinct attribute ids even when they plan the same scan, so
+    // compare the vec expressions bound to their own side's output
+    // ordinals (BoundReference is canonical by position)
+    val selfJoin = left.sameResult(right) &&
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(lVecE, left.output) ==
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(rVecE, right.output)
+    // sizing-pass consistency: with the split conf on, the bucket
+    // sizing pass and the join pass traverse each child TWICE. For a
+    // deterministic child the recompute is identical and free of
+    // state; a NON-deterministic child (rand()/udf-nondet/monotonic
+    // id anywhere in the subtree) could produce different rows per
+    // traversal, so the sizing would split stale buckets and the one
+    // shape this conf exists to bound — an oversized cell — could
+    // sail through unsplit. Such children are persisted ONCE (rows
+    // copied first: execute() reuses mutable UnsafeRows) and both
+    // passes read the same materialization; a sameResult self-join
+    // shares the single persisted RDD across both sides (positional
+    // binding is valid by sameResult). The cached RDD is released by
+    // the ContextCleaner when the plan's RDDs are collected.
+    val stabilize = maxPairs > 0 &&
+      (left.find(_.expressions.exists(!_.deterministic)).isDefined ||
+        right.find(_.expressions.exists(!_.deterministic)).isDefined)
+    def childRdd(p: SparkPlan): RDD[InternalRow] =
+      if (!stabilize) p.execute()
+      else p.execute().map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lRdd = childRdd(left)
+    val rRdd = if (selfJoin && stabilize) lRdd else childRdd(right)
+
     // opt-in hot-bucket mitigation: size every bucket first (an extra
     // signature pass — ONE for a self-join, where both children plan
     // the same scan, two otherwise), then grid-split any bucket whose
@@ -409,27 +442,18 @@ case class SimilarityBandedJoinExec(
         // overflows Long (lc = rc ≈ 3.04e9 wraps negative) and the
         // overflow would silently skip splitting exactly the hottest
         // buckets
-        // self-join detection must be exprId-free: the two sides carry
-        // distinct attribute ids even when they plan the same scan, so
-        // compare the vec expressions bound to their own side's output
-        // ordinals (BoundReference is canonical by position)
-        val selfJoin = left.sameResult(right) &&
-          org.apache.spark.sql.catalyst.expressions.BindReferences
-            .bindReference(lVecE, left.output) ==
-          org.apache.spark.sql.catalyst.expressions.BindReferences
-            .bindReference(rVecE, right.output)
         if (selfJoin)
           // self-join (every canonical caller): per bucket lc == rc,
           // so ONE signature pass sizes both sides — the join of two
           // independently recomputed count RDDs would scan twice
-          bucketCounts(left, leftVec)
+          bucketCounts(lRdd, lOut, leftVec)
             .filter { case (_, c) => c > maxPairs / c }
             .collect()
             .map { case (bucket, c) => (bucket, (blocks(c), blocks(c))) }
             .toMap
         else
-          bucketCounts(left, leftVec)
-            .join(bucketCounts(right, rightVec))
+          bucketCounts(lRdd, lOut, leftVec)
+            .join(bucketCounts(rRdd, rOut, rightVec))
             .filter { case (_, (lc, rc)) => lc > maxPairs / rc }
             .collect()
             .map { case (bucket, (lc, rc)) =>
@@ -445,8 +469,8 @@ case class SimilarityBandedJoinExec(
     }
     val hotBc = sparkContext.broadcast(hot)
 
-    keyed(left, leftVec, isLeft = true, hotBc)
-      .cogroup(keyed(right, rightVec, isLeft = false, hotBc),
+    keyed(lRdd, lOut, leftVec, isLeft = true, hotBc)
+      .cogroup(keyed(rRdd, rOut, rightVec, isLeft = false, hotBc),
         conf.numShufflePartitions)
       .mapPartitions { buckets =>
         val lProj = UnsafeProjection.create(Seq(lVecE), lOut)

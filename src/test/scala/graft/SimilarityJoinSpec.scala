@@ -478,4 +478,97 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert((le.head.bands, le.head.bandBits) ===
       graft.plans.BandGeometry.derive(0.6))
   }
+
+  test("signatureBits conf is validated at the strategy boundary: " +
+      "each bad-value class fails planning naming the conf key") {
+    val confKey = graft.plans.SimilarityJoinStrategy.SignatureBitsConf
+    // planning happens at executedPlan access — no execution needed
+    def plan(): Unit = Similarity.cosineJoin(
+      vecs("id_a", "va"), vecs("id_b", "vb"),
+      "va", "vb", 0.6, SimJoinRegime.Banded)
+      .queryExecution.executedPlan
+    // below the 16-bit floor (1..15 used to fall through to
+    // deriveWide's require, which names its PARAMETER, not the conf)
+    for (bad <- Seq("1", "15")) {
+      try {
+        spark.conf.set(confKey, bad)
+        val e = intercept[Exception](plan())
+        assert(e.getMessage.contains(confKey),
+          s"'$bad' must fail naming $confKey, got: ${e.getMessage}")
+      } finally spark.conf.unset(confKey)
+    }
+    // above the 1024-bit cap
+    try {
+      spark.conf.set(confKey, "2048")
+      val e = intercept[Exception](plan())
+      assert(e.getMessage.contains(confKey))
+    } finally spark.conf.unset(confKey)
+    // non-numeric (used to surface as a bare NumberFormatException)
+    try {
+      spark.conf.set(confKey, "wide")
+      val e = intercept[Exception](plan())
+      assert(e.getMessage.contains(confKey))
+    } finally spark.conf.unset(confKey)
+    // negative
+    try {
+      spark.conf.set(confKey, "-64")
+      val e = intercept[Exception](plan())
+      assert(e.getMessage.contains(confKey))
+    } finally spark.conf.unset(confKey)
+    // boundary values that must PASS validation: 0 (classic), 16, 1024
+    for (ok <- Seq("0", "16", "1024")) {
+      try { spark.conf.set(confKey, ok); plan() }
+      finally spark.conf.unset(confKey)
+    }
+  }
+
+  test("hot-bucket sizing pass stays consistent under a " +
+      "non-deterministic child (chaos: rows differ per traversal)") {
+    // the chaos udf returns a SPREAD vector the first time it sees a
+    // row id and the dense CLUSTER vector on any re-evaluation — so
+    // if the sizing pass and the join pass each traverse the child,
+    // the sizing sees spread data (no splits needed), the join sees
+    // one giant bucket, and the conf's per-cell bound is violated by
+    // ~40×. The exec must detect the non-deterministic subtree and
+    // persist ONE materialization for both passes.
+    SimJoinChaos.seen.clear()
+    val n = 2000
+    val chaotic = udf((id: Long) => SimJoinChaos.vecFor(id))
+      .asNondeterministic()
+    val leftDf = spark.range(n)
+      .select(col("id").as("id_a"), chaotic(col("id")).as("va"))
+    val rightDf = spark.range(n).select((col("id") + 10000).as("id_b"),
+      array(SimJoinChaos.cluster.toSeq.map(lit): _*).as("vb"))
+    val bound = 50000L
+    val confKey = SimilarityBandedJoinExec.MaxBucketPairsConf
+    try {
+      spark.conf.set(confKey, bound.toString)
+      val df = Similarity.cosineJoin(leftDf, rightDf, "va", "vb", 0.9,
+        SimJoinRegime.Banded, bands = 4, bandBits = 4)
+      val exec = findExec(df) { case e: SimilarityBandedJoinExec => e }.head
+      df.collect()
+      assert(exec.maxCellPairs >= 0, "join must have executed")
+      // grid cells are ⌈c/√bound⌉ blocks, so a cell tops out under
+      // ~2× the conf; a stale sizing pass leaves the 2000×2000-pair
+      // cluster bucket (≈4e6 candidates, 80× the conf) unsplit
+      assert(exec.maxCellPairs <= 2 * bound,
+        s"stale sizing: one cell held ${exec.maxCellPairs} candidate " +
+          s"pairs against a $bound bound — the sizing pass and the " +
+          "join pass saw different data")
+    } finally spark.conf.unset(confKey)
+  }
+}
+
+/** JVM-wide state for the sizing-consistency chaos test: vectors flip
+  * from spread to clustered on RE-evaluation of the same row id, the
+  * sharpest possible traversal-count probe (local[*] tasks share the
+  * singleton). */
+object SimJoinChaos {
+  val seen =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]()
+  val cluster: Array[Float] = Array.tabulate(8)(d => (d + 1).toFloat)
+  def vecFor(id: Long): Array[Float] =
+    if (seen.putIfAbsent(id, java.lang.Boolean.TRUE) == null)
+      Array.tabulate(8)(d => (((id * 13 + d * 5) % 17).toFloat - 8f))
+    else cluster
 }
