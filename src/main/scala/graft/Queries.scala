@@ -903,6 +903,19 @@ object Queries {
     * every dir is registered for JVM-exit deletion so repeated bench
     * runs (n samples × 3 replay queries × SFs) do not accumulate
     * parquet+checkpoint dirs under java.io.tmpdir across processes. */
+  /** The replay's scale-adaptive state-partition derivation, pure for
+    * testability: one partition per `targetBytes` (default 4 MB) of
+    * staged input, floor 4, capped at the session's configured shuffle
+    * partitions; an explicit pin wins outright. Grows with data, never
+    * exceeds the cluster-tuned value. */
+  private[graft] def replayStateParts(stagedBytes: Long, confParts: Int,
+      targetBytes: Option[Long], pinned: Option[Int]): Int =
+    pinned.getOrElse {
+      val target = targetBytes.getOrElse(4L << 20)
+      math.max(4L, (stagedBytes + target - 1) / target)
+        .min(confParts.toLong).toInt
+    }
+
   private def replayToParquet(spark: SparkSession, dir: String,
       tag: String)(pipeline: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -916,13 +929,45 @@ object Queries {
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(base.getAbsolutePath + "/*")
-    val q = pipeline(stream).writeStream.format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/chk")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Scale-adaptive state partitioning (guide §2: derive partitioning
+    // from input size, not a constant): the stateful operators in the
+    // replayed topology create one state-store instance PER SHUFFLE
+    // PARTITION per operator per micro-batch — each with fixed
+    // provider/commit/file overhead that dwarfs the per-row work on a
+    // bounded replay (measured at sf0.1: the three q132 join stages ran
+    // 32 tasks × ~2 s of state overhead on < 1 MB of rows; 8.3 s →
+    // 3.0 s wall with right-sized partitions). Partitions derive from
+    // the staged input bytes (one per ~4 MB, floor 4) and are capped by
+    // the session's configured shuffle partitions, so a production-size
+    // replay keeps the cluster-tuned value; the partition count only
+    // shrinks when the data provably doesn't need it. The session conf
+    // is restored after the (blocking) replay; a fresh checkpoint per
+    // invocation means no stored state-partition count can conflict.
+    // Overrides: spark.graft.replay.statePartitions pins the count,
+    // spark.graft.replay.targetPartitionBytes tunes the derivation.
+    val stagedBytes = {
+      def sz(d: java.io.File): Long = Option(d.listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+        .getOrElse(0L)
+      sz(new java.io.File(base, "data")) + sz(new java.io.File(base, "clock"))
+    }
+    val stateParts = replayStateParts(stagedBytes,
+      spark.sessionState.conf.numShufflePartitions,
+      spark.conf.getOption("spark.graft.replay.targetPartitionBytes")
+        .map(_.toLong),
+      spark.conf.getOption("spark.graft.replay.statePartitions")
+        .map(_.toInt))
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try {
+      val q = pipeline(stream).writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     spark.read.parquet(s"$tmp/out")
   }
 

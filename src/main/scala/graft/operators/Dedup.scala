@@ -104,9 +104,14 @@ object Dedup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     Caches.persistTracked(
-      docs.select(col(idCol).as("doc_id"),
-        graft.expressions.TextExpressions.wordShingles(col(textCol), n)
-          .as("sh")))
+      // Spread.forFanout: a small corpus scans as ONE task (single
+      // parquet file), serializing the whole shingling pass — spread
+      // it across the pool before the fanout; no-op at scan sizes
+      // that already fill the cluster (guide §2.5)
+      Spread.forFanout(docs, col(idCol))
+        .select(col(idCol).as("doc_id"),
+          graft.expressions.TextExpressions.wordShingles(col(textCol), n)
+            .as("sh")))
       .withColumn("n_sh", size(col("sh")))
       .where(col("n_sh") > 0)
 
@@ -648,7 +653,7 @@ object Dedup {
         + s" (pigeonhole); got maxHamming=$maxHamming with $bands bands")
     val bandBits = 64 / bands
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val bits = Caches.persistTracked(docs
+    val bits = Caches.persistTracked(Spread.forFanout(docs, col(idCol))
       .where(size(toks) > 0) // token-less docs have no fingerprint
       .select(col(idCol).as("doc_id"),
         graft.expressions.TextExpressions.simhashBits(toks).as("bits")))
@@ -692,8 +697,9 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 8, t: Int = 4, maxDf: Long = 5L, minSharedFp: Long = 2L,
       maxLevRatio: Double = 0.1): DataFrame = {
-    val base = Caches.persistTracked(docs.select(col(idCol).as("doc_id"),
-      col(textCol).as("txt"), length(col(textCol)).as("len")))
+    val base = Caches.persistTracked(
+      Spread.forFanout(docs, col(idCol)).select(col(idCol).as("doc_id"),
+        col(textCol).as("txt"), length(col(textCol)).as("len")))
     val fps = base.select(col("doc_id"),
       explode(graft.expressions.TextExpressions
         .winnowFingerprints(col("txt"), w, t)).as("fp"))
@@ -837,8 +843,8 @@ object Dedup {
 
   def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("tk"))
+    val base = Spread.forFanout(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
     val covered = dupCoveredPositions(base, k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("cpos"))
@@ -876,8 +882,8 @@ object Dedup {
     * makes the aggregation deterministic under any partitioning. */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("tk"))
+    val base = Spread.forFanout(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
     removalAudit(base, dupCoveredPositions(base, k))
   }
 
@@ -892,8 +898,8 @@ object Dedup {
     * the join broadcasts it while the corpus streams. */
   def removeContaminatedSpans(train: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame = {
-    val base = train.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("tk"))
+    val base = Spread.forFanout(train, col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
     val grams = base
       .select(col("doc_id"), posexplode(shingles(col("tk"), k)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("g"))
