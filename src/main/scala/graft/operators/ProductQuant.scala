@@ -28,8 +28,11 @@ object ProductQuant {
   /** (vec_id, j, sv): 1e-4-quantized sub-vector per subspace j. */
   def subVectors(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int): DataFrame = {
-    val q = emb.select(col(idCol).as("vec_id"),
-      Projection.quantize(col(vecCol)).as("qv"))
+    // Spread.forFanout (round-11): the m-way subspace explode below
+    // otherwise runs inside a single scan task on small corpora
+    val q = Spread.forFanout(emb, col(idCol))
+      .select(col(idCol).as("vec_id"),
+        Projection.quantize(col(vecCol)).as("qv"))
     val js = (0 until m).map(lit(_))
     q.select(col("vec_id"), col("qv"), explode(array(js: _*)).as("j"))
       .select(col("vec_id"), col("j"),
