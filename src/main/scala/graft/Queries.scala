@@ -967,6 +967,14 @@ object Queries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // diagnostic only (never set by the driver): per-batch duration
+      // breakdown for attributing replay wall time to micro-batch
+      // phases (planning / WAL commit / state commit / addBatch)
+      if (sys.env.contains("SPARK_GRAFT_REPLAY_DEBUG"))
+        q.recentProgress.foreach { pr =>
+          System.err.println(s"[replay $tag] batch ${pr.batchId} " +
+            s"rows=${pr.numInputRows} durationMs=${pr.durationMs}")
+        }
     } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     spark.read.parquet(s"$tmp/out")
   }
@@ -4988,8 +4996,15 @@ object Queries {
     * coverage saturates in one pick on a closed vocabulary; the
     * shingle space stays meaningful on every corpus). */
   def q190GreedyCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // spread = false (round-11): five rounds of anti-join/semi-join
+    // consumer stages each fan the cached posting out; with a wide
+    // (spread) cache those stages saturate the pool and the rounds'
+    // critical-path single-task stages queue behind them — measured
+    // 4.7 -> 6.5 s. The narrow posting keeps the per-round stages
+    // one-task and overlapped.
     val posting = graft.operators.Caches.persistTracked(
-      Dedup.shingleSets(t(spark, dir).documents, "doc_id", "text", n = 3)
+      Dedup.shingleSets(t(spark, dir).documents, "doc_id", "text", n = 3,
+          spread = false)
         .select(col("doc_id"), explode(col("sh")).as("tok")))
     var covered: DataFrame = posting.select(col("tok")).where(lit(false))
     var winners: DataFrame = null

@@ -26,6 +26,25 @@ object Caches {
     df
   }
 
+  /** [[persistTracked]] + EAGER materialization (one summary-only
+    * count, never a data collect). For a CHEAP frame with MANY
+    * independent consumer stages: the DAG scheduler submits every
+    * stage whose parents are ready, so N map stages that each need
+    * only this frame launch concurrently against a COLD cache and
+    * each recomputes the subtree (q190's five per-round anti-join map
+    * sides re-ran the whole shingle build 5×; q133's delta adjustment
+    * raced its posting caches similarly). Eager-materializing turns
+    * those into cache reads for one blocking pass. Use ONLY when the
+    * subtree is cheap relative to its consumer count — an eager count
+    * on an expensive frame SERIALIZES work that the concurrent race
+    * would overlap (measured: q192's three eager minings cost +1.6 s
+    * wall) — and never on a frame consumed once. */
+  def persistEager[T](df: Dataset[T]): Dataset[T] = {
+    val out = persistTracked(df)
+    out.count(): Unit
+    out
+  }
+
   /** Unpersist every tracked frame (non-blocking) and delete any
     * reliable-checkpoint files the fixpoint loops registered
     * ([[Lineage.releaseAll]]). Call after the action that consumes the

@@ -102,13 +102,16 @@ object Dedup {
     * joining.
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int, spread: Boolean = true): DataFrame =
     Caches.persistTracked(
       // Spread.forFanout: a small corpus scans as ONE task (single
       // parquet file), serializing the whole shingling pass — spread
       // it across the pool before the fanout; no-op at scan sizes
-      // that already fill the cluster (guide §2.5)
-      Spread.forFanout(docs, col(idCol))
+      // that already fill the cluster (guide §2.5). `spread = false`
+      // opts out for LOOP consumers (greedy coverage, delta-cap
+      // maintenance) where a wide cached posting multiplies per-round
+      // stage fanout and measured slower than the narrow shape.
+      (if (spread) Spread.forFanout(docs, col(idCol)) else docs)
         .select(col(idCol).as("doc_id"),
           graft.expressions.TextExpressions.wordShingles(col(textCol), n)
             .as("sh")))
@@ -391,8 +394,12 @@ object Dedup {
   def deltaCapJaccardPairs(storedPairs: DataFrame, corpus: DataFrame,
       incoming: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDf: Long = 1000L): DataFrame = {
+    // spread = false (round-11): the adjustment's many independent
+    // consumer stages fan a wide cached posting into concurrent
+    // 32-task stages whose scheduling cost measured above the narrow
+    // shape's — the delta side stays narrow by design
     def post(side: DataFrame): DataFrame =
-      shingleSets(side, idCol, textCol, n)
+      shingleSets(side, idCol, textCol, n, spread = false)
         .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
         .select(col("doc_id"), col("n_sh"),
           xxhash64(col("shingle")).as("sh_key"))
