@@ -152,10 +152,75 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Merge-count of common elements of two SORTED array<bigint> columns
+  * (round-11): the pair-verification hot loop computed
+  * `size(array_intersect(sig_a, sig_b))`, which builds a hash set per
+  * candidate pair; on sorted signature arrays the same count is one
+  * allocation-free merge walk. Equal to the array_intersect size when
+  * both inputs are sorted sets — the signature builders emit
+  * sort_array over DISTINCT shingle hashes, so duplicates require an
+  * xxhash64 collision (the 2^-64 class the posting hashing already
+  * accepts, and the oracle hash-compare would surface). */
+object SetKernels {
+  def sortedIntersectCount(l: ArrayData, r: ArrayData): Long = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Native merge-intersection count over two sorted array<bigint>
+  * columns — see [[SetKernels.sortedIntersectCount]]. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SetKernels.sortedIntersectCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.SetKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Cosine similarity of two array<double> columns (native). */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Merge-count of common elements of two sorted array<bigint>
+    * columns (native). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Native dot product of two array<double> columns. */

@@ -224,8 +224,13 @@ object Dedup {
         col("n_sh").as("na")), Seq("id_a"))
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
         col("n_sh").as("nb")), Seq("id_b"))
+      // merge-count on the sorted sigs (round-11): same count as
+      // size(array_intersect(...)) on sorted distinct arrays, without
+      // the per-pair hash-set build — the verification stage's CPU was
+      // ~1 s/task at sf0.1 (QueryProf q192)
       .withColumn("shared",
-        size(array_intersect(col("sig_a"), col("sig_b"))).cast("long"))
+        graft.expressions.VectorExpressions.sortedIntersectCount(
+          col("sig_a"), col("sig_b")))
       // emit on the UNROUNDED jaccard in exact integers: the prune
       // filters above assume true jaccard >= t, so emitting on
       // round(j,4) >= t would keep pairs in [t-5e-5, t) that the
@@ -787,14 +792,24 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // fetch the shingle sets for the surviving candidates by id
-    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+    // fetch SORTED HASH signatures for the surviving candidates by id
+    // (round-11): the string shingle arrays used to ride both
+    // candidate joins and pay a per-pair hash-set array_intersect;
+    // fixed 8-byte elements keep the fetch shuffles narrow and the
+    // intersection is an allocation-free merge — same 2^-64 xxhash64
+    // collision class the posting index already accepts (a collision
+    // would need two distinct shingles of one pair's union to collide,
+    // and the oracle hash-compare would surface it)
+    val sigs = sets.select(col("doc_id"), col("n_sh"),
+      sort_array(expr("transform(sh, x -> xxhash64(x))")).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
       col("n_sh").as("na"))
-    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
       col("n_sh").as("nb"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("shared",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        graft.expressions.VectorExpressions.sortedIntersectCount(
+          col("sig_a"), col("sig_b")))
       .withColumn("jaccard",
         round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")), 4))
