@@ -5002,10 +5002,17 @@ object Queries {
     // critical-path single-task stages queue behind them — measured
     // 4.7 -> 6.5 s. The narrow posting keeps the per-round stages
     // one-task and overlapped.
+    // tok rides as xxhash64 (round-11): the five per-round anti joins
+    // and the growing covered-set distinct all shuffle this frame —
+    // 8-byte keys instead of ~30-byte shingle strings, the same
+    // accepted 2^-64 collision class as the q22 posting index (gain
+    // counts distinct tokens; a collision would merge two, and the
+    // oracle hash-compare would surface it)
     val posting = graft.operators.Caches.persistTracked(
       Dedup.shingleSets(t(spark, dir).documents, "doc_id", "text", n = 3,
           spread = false)
-        .select(col("doc_id"), explode(col("sh")).as("tok")))
+        .select(col("doc_id"), explode(col("sh")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("tok")))
     var covered: DataFrame = posting.select(col("tok")).where(lit(false))
     var winners: DataFrame = null
     var round = 1
@@ -5045,7 +5052,11 @@ object Queries {
     * in basis points. */
   def q191FrequentTriples(spark: SparkSession, dir: String): DataFrame = {
     val tt = t(spark, dir)
-    val baskets = graft.operators.Caches.persistTracked(tt.lineitem
+    // persistEager (round-11): five independent consumer legs
+    // (nOrders, the f2 mine, cands, the triple support chain) race
+    // this frame cold and re-run the lineitem scan + distinct up to
+    // 8x concurrently; one blocking pass turns them into cache reads
+    val baskets = graft.operators.Caches.persistEager(tt.lineitem
       .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
         col("p_brand"))), Seq("l_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
