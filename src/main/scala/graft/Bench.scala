@@ -207,6 +207,35 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
+    // Round-12 addition (VERDICT r11 item 1): at 224 queries the stdout
+    // line degrades to the compact positional encoding, which the
+    // driver does not decode — its per-query/scaling comparison came
+    // back empty (PERF_r11 n_common=0). Every run therefore ALSO
+    // writes the full NAMED per-query map to a repo file the driver /
+    // judge can read directly. Additions only: the stdout contract and
+    // BENCH_DETAIL.json (pinned manually after closing runs) are
+    // unchanged.
+    // FULL query names here (the stdout line and BENCH_DETAIL keep the
+    // short qNN prefixes): the short names made q19_lang_quality vs
+    // q190_* decode-ambiguous for readers sorting differently than the
+    // bench — the round-11 per-query verdict misattributed q190's cost
+    // to q19 exactly this way.
+    val queriesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES",
+      "BENCH_QUERIES.json")
+    try {
+      val fullMap = results.map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) ms(v) else "-1") }
+        .mkString("{", ",", "}")
+      val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+      val totalOk = results.collect { case (_, v, true) => v }.sum
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(queriesPath),
+        (s"""{"metric":"total","value":${ms(totalOk)},"unit":"sec",""" +
+          s""""queries":$fullMap,"subset43":${ms(subset43Of(results))},""" +
+          s""""sf":"$sfEsc","n":$n}""" + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] queries write failed: ${e.getMessage}")
+    }
     // stop BEFORE printing: Spark's stop()-time WARN chatter shares
     // the driver's merged tail window, and the contract is that the
     // JSON line is the last thing printed on either stream

@@ -313,6 +313,100 @@ case class Tokenize(child: Expression)
     copy(child = c)
 }
 
+/** Precompiled keyword lookup for [[TokenListStats]]: token →
+  * indices of the keyword lists containing it. Built once per
+  * expression instance (driver) and shipped as a codegen reference
+  * object; the map keys are UTF8String so the per-token probe needs
+  * no string conversion. */
+final class TokenListLookup(lists: Seq[Seq[String]]) extends Serializable {
+  private val nLists = lists.length
+  // rebuilt lazily on each executor after deserialization
+  @transient private lazy val map = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    lists.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val cur = m.get(k)
+        m.put(k, if (cur == null) Array(i) else cur :+ i)
+      }
+    }
+    m
+  }
+
+  /** One traversal: (token count, distinct-token count, per-list hit
+    * counts with multiplicity) — exactly size(toks),
+    * size(array_distinct(toks)) and
+    * size(filter(toks, isInCollection(list))) per list. A null
+    * element behaves as array_distinct/filter treat it: one distinct
+    * value, member of no list. */
+  def stats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String](Math.max(8, n * 2))
+    val hits = new Array[Int](nLists)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      seen.add(t): Unit
+      if (t != null) {
+        val ls = map.get(t)
+        if (ls != null) {
+          var j = 0
+          while (j < ls.length) { hits(ls(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    val hitsArr = new Array[Any](nLists)
+    var k = 0
+    while (k < nLists) { hitsArr(k) = hits(k); k += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, seen.size, new GenericArrayData(hitsArr)))
+  }
+}
+
+/** Single-pass token-list statistics (round-12):
+  * struct(n, n_distinct, hits) over one traversal of the token array —
+  * the counts that quality scoring, language-ID and sentiment scoring
+  * previously extracted with 7+ higher-order passes per row
+  * (array_distinct + one size(filter(...)) PER keyword list, each
+  * allocating an intermediate array). All scoring functions build the
+  * SAME expression (same child, same canonical list-of-lists), so
+  * whole-stage codegen's subexpression elimination evaluates it once
+  * per row no matter how many scores a query asks for. */
+case class TokenListStats(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "token_list_stats"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> input, got ${other.simpleString}")
+    }
+
+  @transient private lazy val lookup = new TokenListLookup(lists)
+
+  override def nullSafeEval(input: Any): Any =
+    lookup.stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenListLookup", lookup,
+      classOf[TokenListLookup].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.stats($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenListStats =
+    copy(child = c)
+}
+
 /** Distinct word n-gram shingles — semantics of
   * `array_distinct(shingles(tokens(text), n))`. */
 case class WordShingles(child: Expression, n: Int)
@@ -499,6 +593,11 @@ object TextExpressions {
   /** SimHash-64 bit string of a token-array column (native). */
   def simhashBits(tokens: Column): Column =
     ColumnBridge.column(SimHashBits(ColumnBridge.expression(tokens)))
+
+  /** Single-pass struct(n, n_distinct, hits) over a token-array
+    * column for the given keyword lists (native). */
+  def tokenListStats(tokens: Column, lists: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TokenListStats(ColumnBridge.expression(tokens), lists))
 
   /** Winnowed rolling-hash fingerprint sketch (native). */
   def winnowFingerprints(text: Column, w: Int, t: Int): Column =

@@ -163,17 +163,27 @@ case class L2Norm(child: Expression)
   * accepts, and the oracle hash-compare would surface). */
 object SetKernels {
   def sortedIntersectCount(l: ArrayData, r: ArrayData): Long = {
-    val a = l.toLongArray()
-    val b = r.toLongArray()
+    // index the ArrayData directly (round-12): toLongArray() copied
+    // both sides into fresh arrays on EVERY pair — two allocations per
+    // candidate pair in the verify stage's hottest loop. UnsafeArrayData
+    // getLong is a direct word read; the merge itself is unchanged.
+    val n = l.numElements()
+    val m = r.numElements()
     var i = 0
     var j = 0
     var c = 0L
-    while (i < a.length && j < b.length) {
-      val x = a(i)
-      val y = b(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    var x = if (n > 0) l.getLong(0) else 0L
+    var y = if (m > 0) r.getLong(0) else 0L
+    while (i < n && j < m) {
+      if (x == y) {
+        c += 1; i += 1; j += 1
+        if (i < n) x = l.getLong(i)
+        if (j < m) y = r.getLong(j)
+      } else if (x < y) {
+        i += 1; if (i < n) x = l.getLong(i)
+      } else {
+        j += 1; if (j < m) y = r.getLong(j)
+      }
     }
     c
   }

@@ -46,6 +46,32 @@ object TextFunctions {
   def keywordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words.map(lit))))
 
+  // ---- shared single-pass stats (round-12) ----
+  // The scoring functions below (quality / language-ID / sentiment)
+  // each needed 1-5 keyword-hit scans plus an array_distinct — 7+
+  // traversals and allocations per row when a query asks for several
+  // scores. They now all read ONE canonical
+  // [[graft.expressions.TokenListStats]] expression (same child, same
+  // list-of-lists), so whole-stage codegen's subexpression elimination
+  // computes the counts once per row; the arithmetic on top keeps the
+  // EXACT column shapes of the original definitions (same casts, same
+  // operation order), so every output bit matches the previous
+  // formulation and the unchanged oracle SQL.
+  // lazy: Stopwords/LangProfiles are defined further down this object
+  // and object vals initialize top-to-bottom
+  private[graft] lazy val StatsLists: Seq[Seq[String]] =
+    Seq(Stopwords, PosWords, NegWords) ++ LangProfiles.map(_._2)
+  private val StopIdx = 0
+  private val PosIdx = 1
+  private val NegIdx = 2
+  private val LangIdx0 = 3
+
+  private def stats(toks: Column): Column =
+    graft.expressions.TextExpressions.tokenListStats(toks, StatsLists)
+  private def statN(toks: Column): Column = stats(toks).getField("n")
+  private def statHits(toks: Column, i: Int): Column =
+    stats(toks).getField("hits").getItem(i)
+
   // Keyword lists for the sentiment ladder over the synthetic corpus
   // (role of the pos/neg emoji+keyword lists, job3_sentiment.py:46-57).
   val PosWords: Seq[String] = Seq("fast", "big", "spark")
@@ -54,7 +80,7 @@ object TextFunctions {
   /** Sentiment score: +2 per positive hit, -2 per negative hit
     * (reference scoring shape, job3_sentiment.py:191-201). */
   def sentimentScore(toks: Column): Column =
-    (keywordHits(toks, PosWords) * 2 - keywordHits(toks, NegWords) * 2)
+    (statHits(toks, PosIdx) * 2 - statHits(toks, NegIdx) * 2)
       .cast("int")
 
   /** Priority ladder — positives checked first, order matters
@@ -72,13 +98,14 @@ object TextFunctions {
 
   /** Share of tokens that are stopwords, in [0,1]; 0 for empty docs. */
   def stopwordRatio(toks: Column): Column =
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(keywordHits(toks, Stopwords).cast("double") / size(toks))
+    when(statN(toks) === 0, lit(0.0))
+      .otherwise(statHits(toks, StopIdx).cast("double") / statN(toks))
 
   /** Share of distinct tokens (lexical diversity). */
   def uniqueRatio(toks: Column): Column =
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+    when(statN(toks) === 0, lit(0.0))
+      .otherwise(
+        stats(toks).getField("n_distinct").cast("double") / statN(toks))
 
   /** Mean token length; 0 for empty docs. */
   def avgTokenLen(toks: Column): Column =
@@ -93,7 +120,7 @@ object TextFunctions {
     round(
       uniqueRatio(toks) * 0.5
         + (lit(1.0) - stopwordRatio(toks)) * 0.3
-        + least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.2,
+        + least(statN(toks).cast("double") / 100.0, lit(1.0)) * 0.2,
       4)
 
   /** N-gram language-ID heuristic: score each language profile by
@@ -110,9 +137,9 @@ object TextFunctions {
   def langGuess(toks: Column): Column = {
     // struct(score, priority) argmax via greatest(): higher score wins,
     // earlier profile wins ties (priority encoded descending).
-    val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
       struct(
-        keywordHits(toks, words).as("score"),
+        statHits(toks, LangIdx0 + i).as("score"),
         lit(LangProfiles.size - i).as("prio"),
         lit(lang).as("lang"))
     }

@@ -543,12 +543,18 @@ object Dedup {
           col("cluster_id").as("nlabel")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("cluster_id"), col("nmin")).as("cluster_id"),
-          (col("nmin") < col("cluster_id")).as("changed"))
-        .transform(Lineage.truncate)
-      converged = next.where(col("changed")).limit(1).count() == 0L
+      // round-12: truncate + convergence probe in ONE job — the probe
+      // (any row with nmin < cluster_id?) rides an accumulator on the
+      // truncate's materializing count instead of a second driver
+      // round-trip per round. Zero-test semantics only (accumulators
+      // may overcount on retry, never fake a zero) — exactly this test.
+      val (next, _, nChanged) = Lineage.truncateCounted(
+        labels.join(neighborMin, Seq("doc_id"))
+          .select(col("doc_id"),
+            least(col("cluster_id"), col("nmin")).as("cluster_id"),
+            (col("nmin") < col("cluster_id")).as("changed")),
+        probeCol = Some("changed"))
+      converged = nChanged == 0L
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
@@ -591,10 +597,10 @@ object Dedup {
         least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-    var edges = canon(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .transform(Lineage.truncate)
-    var n = edges.count()
+    // round-12: the truncate's materializing job IS a count — take the
+    // edge count from it instead of a second job (here and per round).
+    var (edges, n, _) = Lineage.truncateCounted(canon(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -613,12 +619,10 @@ object Dedup {
       // the minimum small neighbor
       val ssMin = ls.groupBy("src").agg(min(col("dst")).as("m"))
       val j = ls.join(ssMin, Seq("src"))
-      val ss = canon(
+      val (ss, nNext, _) = Lineage.truncateCounted(canon(
         j.select(col("src"), col("m").as("dst"))
           .union(j.where(col("dst") =!= col("m"))
-            .select(col("dst").as("src"), col("m").as("dst"))))
-        .transform(Lineage.truncate)
-      val nNext = ss.count()
+            .select(col("dst").as("src"), col("m").as("dst")))))
       converged = nNext == n &&
         ss.join(edges, Seq("src", "dst"), "left_anti").limit(1).count() == 0L
       edges = ss

@@ -49,6 +49,26 @@ object Lineage {
       out
     } else df.localCheckpoint()
 
+  /** [[truncate]] fused with the convergence probe (round-12): one
+    * materializing job returns the truncated frame, its EXACT row
+    * count, and the number of rows whose `probeCol` boolean is true.
+    * The probe count is accumulator-based — valid ONLY as a zero-test
+    * (retries / the reliable regime's second pass may overcount a
+    * non-zero value, never fake a zero) — which is exactly what the
+    * fixpoint loops branch on. Saves one full driver round-trip per
+    * round versus truncate-then-count. */
+  def truncateCounted(df: DataFrame, probeCol: Option[String] = None)
+      : (DataFrame, Long, Long) = {
+    val sc = df.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    val res = org.apache.spark.sql.graftbridge.PlanBridge
+      .truncateCounted(df, reliable, probeCol)
+    if (reliable)
+      org.apache.spark.sql.graftbridge.PlanBridge.checkpointFile(res._1)
+        .foreach { p => ckpts.add((p, sc.hadoopConfiguration)) }
+    res
+  }
+
   /** Delete every registered reliable-checkpoint directory. Safe only
     * AFTER the action that consumed the operator's output (a truncated
     * frame reads its checkpoint files on every recompute) — call it

@@ -38,6 +38,48 @@ object PlanBridge {
       case _ => None
     }
 
+  /** Truncate `df`'s lineage exactly like `Dataset.checkpoint` /
+    * `localCheckpoint` (copy the internal rows, checkpoint the RDD,
+    * materialize, wrap in a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * via `fromDataset` so output partitioning/ordering survive) but
+    * fold the fixpoint loops' convergence probe into the SINGLE
+    * materializing job. Returns (truncated frame, exact row count,
+    * probe-column true-count).
+    *
+    * Before (round-11 shape) every fixpoint round paid TWO driver
+    * round-trips: the eager truncate's internal count and a separate
+    * probe job (`.where(changed).limit(1).count()` or `.count()`),
+    * each ~40–70 ms of fixed job latency at ANY scale. The probe
+    * count here rides a LongAccumulator on the materializing count.
+    * Accumulator semantics: task retries (and the reliable regime's
+    * checkpoint-write second pass) can OVERcount, never UNDERcount a
+    * non-zero value — callers must branch only on `== 0`, which is
+    * exactly the convergence test. The row count is the action's
+    * return value and is exact. */
+  def truncateCounted(df: DataFrame, reliable: Boolean,
+      probeCol: Option[String]): (DataFrame, Long, Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val session = ds.sparkSession
+    val acc = session.sparkContext.longAccumulator("graft.fixpoint.probe")
+    val probeIdx = probeCol.map(ds.schema.fieldIndex)
+    val base = ds.queryExecution.toRdd
+    val internalRdd = probeIdx match {
+      case Some(i) =>
+        base.map { r =>
+          val out = r.copy()
+          if (!out.isNullAt(i) && out.getBoolean(i)) acc.add(1L)
+          out
+        }
+      case None => base.map(_.copy())
+    }
+    if (reliable) internalRdd.checkpoint() else internalRdd.localCheckpoint()
+    val total = internalRdd.count()
+    val out = classic.Dataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        internalRdd, ds, isStreaming = false))
+    (out, total, acc.value)
+  }
+
   /** Idempotently add an extra planner strategy to a live session —
     * the registration path for sessions built without
     * `spark.sql.extensions=graft.GraftExtensions`. */
