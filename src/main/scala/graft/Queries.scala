@@ -4743,8 +4743,13 @@ object Queries {
           Seq("a"))
         .groupBy(col("b").as("s"))
         .agg(sum(expr("pa * p_1e6 div 1000000")).as("pi_in"))
-      pi = states.select(col("s")).join(nxt, Seq("s"), "left")
-        .select(col("s"), coalesce(col("pi_in"), lit(0L)).as("pi"))
+      // lazy truncate (round-12): pi is |states|-sized and only ever
+      // read by the NEXT round's plan; without truncation each
+      // round's broadcast builds re-executed the whole prior-round
+      // chain (8 rounds deep by the end). Lazy = no extra job.
+      pi = graft.operators.Lineage.truncateLazy(
+        states.select(col("s")).join(nxt, Seq("s"), "left")
+          .select(col("s"), coalesce(col("pi_in"), lit(0L)).as("pi")))
       it += 1
     }
     states.select(col("s"), col("t_a")).join(pi, Seq("s"))
@@ -5056,10 +5061,21 @@ object Queries {
     // (nOrders, the f2 mine, cands, the triple support chain) race
     // this frame cold and re-run the lineitem scan + distinct up to
     // 8x concurrently; one blocking pass turns them into cache reads
+    // repartition by ok BEFORE the distinct (round-12, guide §2.4
+    // "two operations keyed the same way share one exchange"): hash
+    // partitioning on ok satisfies the distinct's (ok, b) clustering
+    // requirement AND every downstream key — the pair/triple
+    // self-joins and the nOrders distinct are all keyed on ok — so
+    // the cached frame carries the partitioning every consumer needs
+    // and the per-leg exchanges of the basket frame disappear
+    // (measured: 6 exchanges of the cached frame → 0). The trade:
+    // the build shuffles pre-dedup rows (no map-side partial
+    // distinct), bounded by the small per-order duplicate factor.
     val baskets = graft.operators.Caches.persistEager(tt.lineitem
       .join(broadcast(tt.part.select(col("p_partkey").as("l_partkey"),
         col("p_brand"))), Seq("l_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .repartition(col("ok"))
       .distinct())
     val nOrders = baskets.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))

@@ -67,7 +67,13 @@ object Graphs {
         .select(col("id"),
           (lit(teleport)
             + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
-      ranks = if (it % 3 == 0 && it < iters) next.transform(Lineage.truncate) else next
+      // lazy truncate every round (round-12): ranks is only read by
+      // the next round's plan, so a LAZY local checkpoint bounds plan
+      // depth and stops per-round broadcast builds from re-executing
+      // the whole prior chain, at zero extra jobs (the old eager
+      // every-3-rounds truncate paid a materializing job and still
+      // left 3-deep plans between truncation points).
+      ranks = if (it < iters) Lineage.truncateLazy(next) else next
       it += 1
     }
     ranks.join(deg.select(col("src").as("id"), col("out_deg")), Seq("id"))
@@ -102,8 +108,8 @@ object Graphs {
           .orderBy(col("c").desc, col("lbl"))))
         .where(col("rn") === 1)
         .select(col("src").as("id"), col("lbl"))
-      labels = if (it % 2 == 0 && it < rounds) next.transform(Lineage.truncate)
-        else next
+      // lazy truncate every round — same rationale as pageRankFixed
+      labels = if (it < rounds) Lineage.truncateLazy(next) else next
       it += 1
     }
     labels
@@ -136,8 +142,8 @@ object Graphs {
     var it = 1
     while (it <= rounds) {
       val next = peelOnce(e, k)
-      e = if (it % 2 == 0 && it < rounds) next.transform(Lineage.truncate)
-        else next
+      // lazy truncate every round — same rationale as pageRankFixed
+      e = if (it < rounds) Lineage.truncateLazy(next) else next
       it += 1
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))

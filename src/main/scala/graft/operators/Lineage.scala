@@ -69,6 +69,20 @@ object Lineage {
     res
   }
 
+  /** LAZY lineage truncate (round-12) for loop frames that are never
+    * consumed by an action of their own, only referenced by later
+    * rounds' plans (q183's stationary vector, PageRank's rank frame):
+    * marks a local checkpoint so the FIRST consuming job persists the
+    * rows and cuts the lineage — bounding plan depth and stopping
+    * broadcast-future subtrees from re-executing the whole round
+    * chain — without paying a separate materializing job per round
+    * the way eager [[truncate]] does. Falls back to eager truncate
+    * when a checkpoint dir is set (reliable checkpoint files must be
+    * registered for cleanup, which requires materialization). */
+  def truncateLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) truncate(df)
+    else df.localCheckpoint(eager = false)
+
   /** Delete every registered reliable-checkpoint directory. Safe only
     * AFTER the action that consumed the operator's output (a truncated
     * frame reads its checkpoint files on every recompute) — call it
