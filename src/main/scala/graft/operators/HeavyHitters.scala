@@ -37,12 +37,17 @@ object HeavyHitters {
   val Rows = 4
   val Width = 256
 
-  /** One CMS bucket per hash row: first two hex chars of
-    * md5("row|tok") — 0..255. Mirrors q106's bucket function (and the
-    * DuckDB strpos-based replay that oracle documents). */
+  /** One CMS bucket per hash row (round-12: xxhash64 instead of the
+    * md5-hex ladder — one 64-bit hash per cell vs a full digest +
+    * string slicing + base conversion). The sketch is a
+    * no-false-negative SCREEN, never an output: any hash family keeps
+    * `est(tok) >= exact(tok)`, so the survivors of pass 2's exact
+    * `n >= T` filter — the only thing the caller sees — are identical
+    * under any bucket function. (q106, whose sketch IS the output,
+    * keeps its own md5 bucket for oracle replay; this one is free to
+    * be fast.) */
   private def bucket(row: Column, tok: Column): Column =
-    conv(substring(md5(concat_ws("|", row, tok)), 1, 2), 16, 10)
-      .cast("int")
+    pmod(xxhash64(row, tok), lit(Width)).cast("int")
 
   /** Pass 1: the CMS cells of an occurrence stream, as the flat map
     * key `hrow*Width + bucket → count`. The groupBy key space is the
